@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Window-function operator helpers (SURVEY.md §2.5).
+  *
+  * Scale notes: every helper here shuffles once on its partition keys and
+  * keeps the sort inside the window exchange — no extra repartition. Global
+  * (un-partitioned) windows funnel to a single task; callers at 100 TB must
+  * supply partition keys or pre-aggregate first (the helpers that allow a
+  * global window are for small post-aggregation frames, as in the reference
+  * `usage_analysis.py:173-177`).
+  */
+object Windows {
+
+  /** Keep the latest row per key — the reference's core SCD dedup
+    * (ref: `servicenow_api_extract.py:2334-2349`, W2). `order` columns are
+    * applied descending with a deterministic total order expected from the
+    * caller (pin a tiebreak column!). */
+  def dedupLatest(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** rank()==1 filter that deliberately KEEPS ties (ref: bof_30_migrate
+    * rule-priority selection `:79-81` uses rank, not row_number; W1). */
+  def keepTopRanked(df: DataFrame, w: WindowSpec): DataFrame =
+    df.withColumn("__rank", rank().over(w))
+      .filter(col("__rank") === 1)
+      .drop("__rank")
+
+  /** Cumulative sum column (W5; ref: `usage_analysis.py:173-177`). */
+  def cumulativeSum(value: Column, partitionBy: Seq[Column], orderBy: Seq[Column]): Column = {
+    val base = if (partitionBy.isEmpty) Window.orderBy(orderBy: _*)
+               else Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    sum(value).over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+  }
+
+  /** Lag-N feature columns (W4; modern form of the reference's 10-way
+    * rank-offset self-join, `automl_linearreg_process_stocks.py:100-211`,
+    * J6 — one window sort instead of 10 shuffled joins). */
+  def lagFeatures(df: DataFrame, value: Column, orderBy: Seq[Column],
+                  lags: Seq[Int], prefix: String,
+                  partitionBy: Seq[Column] = Nil): DataFrame = {
+    val base = if (partitionBy.isEmpty) Window.orderBy(orderBy: _*)
+               else Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    lags.foldLeft(df)((d, n) => d.withColumn(s"$prefix$n", lag(value, n).over(base)))
+  }
+
+  /** Gaps-and-islands run-group id (W8): a new group starts where
+    * `newGroupFlag` is 1; returns df + `groupCol` id assigned per partition
+    * key in `orderBy` order (ref: `automl…py:327-375` streaks;
+    * `overlap_query…sql:36-108` sweep-line). */
+  def runGroups(df: DataFrame, newGroupFlag: Column, groupCol: String,
+                partitionBy: Seq[Column], orderBy: Seq[Column]): DataFrame = {
+    val base = if (partitionBy.isEmpty) Window.orderBy(orderBy: _*)
+               else Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    df.withColumn(groupCol,
+      sum(newGroupFlag).over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+}

@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Aggregation operator catalog (SURVEY.md §2.4, §2.6). */
+object AggQueries {
+
+  val queries: Map[String, Q] = Map(
+    // A1/A3 multi-measure groupBy — TPC-H-Q1-shaped pricing summary
+    // (ref: usage_analysis.py:185-190 groupBy().sum(cols…)).
+    "a1_pricing_summary" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // A2 scalar high-watermark fetch kept distributed as a 1-row frame
+    // (ref: from_api_call_to_columnar_db.py:176-215 max(modified_on)).
+    "a2_high_watermark" -> { (s, dir) =>
+      Tables.orders(s, dir).agg(
+        max(col("o_orderdate")).as("max_orderdate"),
+        min(col("o_orderdate")).as("min_orderdate"),
+        count(lit(1)).as("n"))
+    },
+
+    // A5 exact distinct counts per group (approx variant is benched
+    // separately — HLL sketches differ across engines so it is not
+    // oracle-hashable; ref: dq_utils.py:89-95).
+    "a5_distinct_per_group" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // A8 subset-key dropDuplicates (ref: sas_conversion…sql:255).
+    "a8_dropdup_subset" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_returnflag", "l_linestatus")
+        .dropDuplicates(Seq("l_orderkey", "l_returnflag", "l_linestatus"))
+        .orderBy("l_orderkey", "l_returnflag", "l_linestatus")
+    },
+
+    // A10 min/max collapse per group (ref: slow_temp…py:189-198).
+    "a10_minmax_group" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(
+          min(col("o_orderdate")).as("first_order"),
+          max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // A4 GROUP BY + HAVING over aggregates (ref: dq_check_for_target_table
+    // .py:188-193).
+    "a4_having" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"), count(lit(1)).as("n_lines"))
+        .filter(col("total_qty") > 150.0 && col("n_lines") >= 3)
+        .orderBy(col("l_orderkey"))
+    },
+
+    // O2 top-N via orderBy+limit → TakeOrderedAndProject, no global sort
+    // (ref: usage_analysis.py:207,248-249 "Limit 10").
+    "o2_topn_orders" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${sqlDsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         |  ${sqlDavg("l_quantity")} AS avg_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a2_high_watermark" ->
+      """SELECT max(o_orderdate) AS max_orderdate, min(o_orderdate) AS min_orderdate,
+        |  COUNT(*) AS n FROM orders""".stripMargin,
+
+    "a5_distinct_per_group" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a8_dropdup_subset" ->
+      """SELECT DISTINCT l_orderkey, l_returnflag, l_linestatus
+        |FROM lineitem ORDER BY l_orderkey, l_returnflag, l_linestatus""".stripMargin,
+
+    "a10_minmax_group" ->
+      """SELECT o_custkey, min(o_orderdate) AS first_order,
+        |  max(o_orderdate) AS last_order, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "a4_having" ->
+      s"""SELECT l_orderkey, ${sqlDsum("l_quantity")} AS total_qty,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem GROUP BY l_orderkey
+         |HAVING ${sqlDsum("l_quantity")} > 150.0 AND COUNT(*) >= 3
+         |ORDER BY l_orderkey""".stripMargin,
+
+    "o2_topn_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+  )
+}

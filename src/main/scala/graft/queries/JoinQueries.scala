@@ -1,0 +1,186 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.RuleJoins
+import org.apache.spark.sql.functions._
+
+/** Join operator catalog (SURVEY.md §2.3).
+  *
+  * Physical-plan intent at scale: `nation`/`region`/rule CTE tables are
+  * broadcast (no shuffle of the fact side); customer⋈orders and
+  * orders⋈lineitem shuffle on their keys once; AQE handles skew.
+  */
+object JoinQueries {
+
+  val queries: Map[String, Q] = Map(
+    // J1/J17 star-schema multi-dim join with broadcast dims
+    // (ref: pbi_airport_rls_example.py:72-109).
+    "j1_star_revenue" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"), col("c_mktsegment"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name"), col("c_mktsegment"))
+    },
+
+    // J3 left outer join keeping unmatched fact rows
+    // (ref: bof_30_migrate.scala:64-78; hive_to_hive_cte.py:96-103).
+    "j3_left_outer" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             coalesce(dsum(col("o_totalprice")), lit(0.0)).as("spend"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // J11 anti join (ref: partiton_by_date…py:121-133 SQL anti join).
+    "j11_anti_customers_no_orders" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).select("o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    // J12 semi join / EXISTS (ref: dq_check_for_target_table.py:179-193).
+    "j12_semi_customers_with_f_orders" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F").select("o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // J8 range/band join against a small broadcast band table
+    // (ref: bof_30_migrate.scala:1098-1103 BLOPRCTR..BHIPRCTR).
+    "j8_range_band" -> { (s, dir) =>
+      import s.implicits._
+      val bands = Seq(
+        ("S", 0.0, 10.0), ("M", 10.0, 25.0), ("L", 25.0, 40.0), ("XL", 40.0, 1e9)
+      ).toDF("qty_band", "lo", "hi")
+      val li = Tables.lineitem(s, dir)
+      RuleJoins.rangeJoin(li, bands, col("l_quantity"), col("lo"), col("hi") - lit(0.000001))
+        .groupBy(col("qty_band"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total_price"))
+        .orderBy(col("qty_band"))
+    },
+
+    // J5 full-outer coalesce merge = upsert (ref: joinIngestBofs,
+    // bof_30_migrate.scala:38-52). "Existing" = O-status orders, "incoming"
+    // = F-status; incoming wins on shared keys.
+    "j5_outer_coalesce_merge" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val existing = o.filter(col("o_orderstatus") =!= "F")
+        .select(col("o_custkey"), col("o_orderpriority"),
+                col("o_totalprice").as("price_a"))
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(dsum(col("price_a")).as("price_a"))
+      val incoming = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"), col("o_orderpriority"),
+                col("o_totalprice").as("price_b"))
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(dsum(col("price_b")).as("price_b"))
+      RuleJoins.outerCoalesceMerge(existing, incoming, Seq("o_custkey", "o_orderpriority"))
+        .orderBy("o_custkey", "o_orderpriority")
+    },
+
+    // J13 manual salted skew join (ref: sas_conversion_with_manual_salt_
+    // skewed_join.sql). Salt is physical only — the oracle is the plain
+    // equi-join, proving salting preserves semantics.
+    "j13_salted_join" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+      RuleJoins.saltedJoin(li, o, "l_orderkey", 16, seed = 42L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("qty"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // J10 interval-overlap self join (ref: overlap_query_no_recursive_cte_
+    // needed.sql:7-17): pairs of orders by the same customer within 7 days.
+    "j10_interval_overlap_self" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+      val a = o.as("a"); val b = o.as("b")
+      a.join(b,
+          col("a.o_custkey") === col("b.o_custkey") &&
+          col("a.o_orderkey") < col("b.o_orderkey") &&
+          col("b.o_orderdate") >= col("a.o_orderdate") &&
+          col("b.o_orderdate") <= col("a.o_orderdate") + expr("INTERVAL 7 DAYS"))
+        .select(col("a.o_custkey").as("custkey"),
+                col("a.o_orderkey").as("k1"), col("b.o_orderkey").as("k2"))
+        .orderBy("custkey", "k1", "k2")
+    }
+  )
+
+  private def saltedJoinOracle: String =
+    s"""SELECT o.o_orderpriority, COUNT(*) AS n_lines, ${sqlDsum("l.l_quantity")} AS qty
+       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "j1_star_revenue" ->
+      s"""SELECT r.r_name, n.n_name, c.c_mktsegment,
+         |  ${sqlDsum("o.o_totalprice")} AS revenue, COUNT(*) AS n_orders
+         |FROM customer c
+         |JOIN orders o ON c.c_custkey = o.o_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY r.r_name, n.n_name, c.c_mktsegment
+         |ORDER BY r.r_name, n.n_name, c.c_mktsegment""".stripMargin,
+
+    "j3_left_outer" ->
+      s"""SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
+         |  COALESCE(${sqlDsum("o.o_totalprice")}, 0.0) AS spend
+         |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+         |GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey""".stripMargin,
+
+    "j11_anti_customers_no_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j12_semi_customers_with_f_orders" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j8_range_band" ->
+      s"""WITH bands(qty_band, lo, hi) AS (
+         |  VALUES ('S', 0.0, 10.0), ('M', 10.0, 25.0), ('L', 25.0, 40.0), ('XL', 40.0, 1e9))
+         |SELECT qty_band, COUNT(*) AS n, ${sqlDsum("l_extendedprice")} AS total_price
+         |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity <= hi - 0.000001
+         |GROUP BY qty_band ORDER BY qty_band""".stripMargin,
+
+    "j5_outer_coalesce_merge" ->
+      s"""WITH a AS (
+         |  SELECT o_custkey, o_orderpriority, ${sqlDsum("o_totalprice")} AS price_a
+         |  FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_custkey, o_orderpriority),
+         |b AS (
+         |  SELECT o_custkey, o_orderpriority, ${sqlDsum("o_totalprice")} AS price_b
+         |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey, o_orderpriority)
+         |SELECT COALESCE(b.o_custkey, a.o_custkey) AS o_custkey,
+         |  COALESCE(b.o_orderpriority, a.o_orderpriority) AS o_orderpriority,
+         |  a.price_a, b.price_b
+         |FROM a FULL OUTER JOIN b
+         |  ON a.o_custkey = b.o_custkey AND a.o_orderpriority = b.o_orderpriority
+         |ORDER BY o_custkey, o_orderpriority""".stripMargin,
+
+    "j13_salted_join" -> saltedJoinOracle,
+
+    "j10_interval_overlap_self" ->
+      """SELECT a.o_custkey AS custkey, a.o_orderkey AS k1, b.o_orderkey AS k2
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        | AND b.o_orderdate >= a.o_orderdate
+        | AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY
+        |ORDER BY custkey, k1, k2""".stripMargin
+  )
+}

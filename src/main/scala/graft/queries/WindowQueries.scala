@@ -1,0 +1,190 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.{Intervals, Windows}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function catalog (SURVEY.md §2.5). Oracle note: `events.ts` is
+  * ns-precision in parquet; Spark sees µs (see Tables.events), so every
+  * oracle references `CAST(ts AS TIMESTAMP)` to truncate DuckDB to the same
+  * µs values.
+  */
+object WindowQueries {
+
+  val queries: Map[String, Q] = Map(
+    // W2 dedup-latest — the servicenow SCD merge core
+    // (ref: servicenow_api_extract.py:2334-2349).
+    "w2_dedup_latest_event" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      Windows.dedupLatest(ev, Seq("user_id", "event_type"),
+          Seq(col("ts"), col("event_id")))
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type")
+    },
+
+    // W1 rank()==1 keep-ties rule selection (ref: bof_30_migrate.scala:79-81).
+    "w1_rank_top_order_per_cust" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+      Windows.keepTopRanked(o, w)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // W5 cumulative sum over daily revenue (ref: usage_analysis.py:173-191).
+    "w5_cumulative_daily_revenue" -> { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("order_date"))
+        .agg(dsum(col("o_totalprice")).as("daily_rev"))
+      val w = Window.orderBy(col("order_date"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("cum_rev", sum(dec(col("daily_rev"))).over(w).cast("double"))
+        .orderBy("order_date")
+    },
+
+    // W4 LAG(expr, N) features (ref: automl_linearreg_process_stocks.py:
+    // 220-285), replacing the reference's 10-way self-join J6 with one sort.
+    "w4_lag_features" -> { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("order_date"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      Windows.lagFeatures(daily, col("rev"), Seq(col("order_date")), Seq(1, 7), "rev_lag")
+        .withColumn("rev_delta1",
+          (dec(col("rev")) - dec(col("rev_lag1"))).cast("double"))
+        .orderBy("order_date")
+    },
+
+    // W3 row_number sequencing (ref: automl…py:100 date rank).
+    "w3_date_rank" -> { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("order_date"))
+        .agg(count(lit(1)).as("n_orders"))
+      daily
+        .withColumn("date_rank",
+          row_number().over(Window.orderBy(col("order_date").desc)))
+        .orderBy("order_date")
+    },
+
+    // W7 NTILE quartiles (ref: mlflow_pymatch_single_node.py:113-114).
+    // Total order (acctbal, custkey) pinned so tile assignment is stable.
+    "w7_ntile_quartiles" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .withColumn("quartile",
+          ntile(4).over(Window.orderBy(col("c_acctbal"), col("c_custkey"))))
+        .groupBy("quartile")
+        .agg(count(lit(1)).as("n"),
+             dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy("quartile")
+    },
+
+    // W8 gaps-and-islands interval collapse, sweep-line form
+    // (ref: overlap_query_no_recursive_cte_needed.sql:65-108; golden pair).
+    // Orders become [date, date+3] intervals per customer, merged when
+    // overlapping or abutting within 1 day.
+    "w8_interval_collapse" -> { (s, dir) =>
+      val iv = Tables.orders(s, dir).select(
+        col("o_custkey"),
+        to_date(col("o_orderdate")).as("begin_dt"),
+        date_add(to_date(col("o_orderdate")), 3).as("end_dt"))
+      Intervals.collapse(iv, Seq("o_custkey"), "begin_dt", "end_dt", gapDays = 1)
+        .orderBy("o_custkey", "begin_dt")
+    },
+
+    // W6 RANGE BETWEEN time frame with approx_count_distinct — HLL is not
+    // cross-engine hashable, so this is a rows-only capability check
+    // (ref: windowed_lagN_awskms_postgres_date_partition.py:138-147).
+    "w6_sliding_approx_distinct" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_sec", (col("ts_ns") / lit(1000000000L)).cast("long"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts_sec"))
+        .rangeBetween(-600, 0)
+      ev.withColumn("users_10m", approx_count_distinct(col("user_id")).over(w))
+        .groupBy("event_type")
+        .agg(max(col("users_10m")).as("peak_users_10m"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "w2_dedup_latest_event" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id, value FROM ranked WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "w1_rank_top_order_per_cust" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice FROM ranked WHERE rk = 1
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w5_cumulative_daily_revenue" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS order_date,
+         |    ${sqlDsum("o_totalprice")} AS daily_rev
+         |  FROM orders GROUP BY 1)
+         |SELECT order_date, daily_rev,
+         |  CAST(SUM(CAST(daily_rev AS DECIMAL(18,6))) OVER (ORDER BY order_date
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_rev
+         |FROM daily ORDER BY order_date""".stripMargin,
+
+    "w4_lag_features" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS order_date,
+         |    ${sqlDsum("o_totalprice")} AS rev
+         |  FROM orders GROUP BY 1)
+         |SELECT order_date, rev,
+         |  LAG(rev, 1) OVER (ORDER BY order_date) AS rev_lag1,
+         |  LAG(rev, 7) OVER (ORDER BY order_date) AS rev_lag7,
+         |  CAST(CAST(rev AS DECIMAL(18,6)) -
+         |       CAST(LAG(rev, 1) OVER (ORDER BY order_date) AS DECIMAL(18,6))
+         |       AS DOUBLE) AS rev_delta1
+         |FROM daily ORDER BY order_date""".stripMargin,
+
+    "w3_date_rank" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT order_date, n_orders,
+        |  ROW_NUMBER() OVER (ORDER BY order_date DESC) AS date_rank
+        |FROM daily ORDER BY order_date""".stripMargin,
+
+    "w7_ntile_quartiles" ->
+      s"""WITH t AS (
+         |  SELECT c_acctbal,
+         |    NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+         |  FROM customer)
+         |SELECT quartile, COUNT(*) AS n, ${sqlDsum("c_acctbal")} AS total_bal
+         |FROM t GROUP BY quartile ORDER BY quartile""".stripMargin,
+
+    "w8_interval_collapse" ->
+      """WITH iv AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS b,
+        |         CAST(o_orderdate AS DATE) + 3 AS e
+        |  FROM orders),
+        |m AS (
+        |  SELECT o_custkey, b, e,
+        |    MAX(e) OVER (PARTITION BY o_custkey ORDER BY b, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv),
+        |f AS (
+        |  SELECT o_custkey, b, e,
+        |    CASE WHEN pme IS NULL OR b > pme + 1 THEN 1 ELSE 0 END AS flag
+        |  FROM m),
+        |g AS (
+        |  SELECT o_custkey, b, e,
+        |    SUM(flag) OVER (PARTITION BY o_custkey ORDER BY b, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM f)
+        |SELECT o_custkey, MIN(b) AS begin_dt, MAX(e) AS end_dt
+        |FROM g GROUP BY o_custkey, grp
+        |ORDER BY o_custkey, begin_dt""".stripMargin
+  )
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for the driver-checked query catalog.
+  *
+  * Oracle-parity rule: double aggregation order differs between Spark's
+  * partial aggregates and DuckDB's, so any SUM over doubles is computed as
+  * an exact DECIMAL(18,6) sum (per-row double expression first — IEEE
+  * identical in both engines — then cast to decimal, summed exactly, cast
+  * back to double). This makes results bit-deterministic at any parallelism,
+  * which is also what you want on a 1000-executor cluster.
+  */
+package object queries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact-decimal image of a per-row double expression. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Order-insensitive double sum (see package doc). */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Order-insensitive double avg. */
+  def davg(c: Column): Column = (sum(dec(c)) / count(lit(1))).cast("double")
+
+  /** SQL-side twin of [[dsum]] for DuckDB oracle strings. */
+  def sqlDsum(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
+  def sqlDavg(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) / COUNT(*) AS DOUBLE)"
+}
