@@ -42,16 +42,24 @@ object RuleJoins {
 
   /** Full-outer merge with per-column coalesce — the upsert pattern (J5;
     * ref: `joinIngestBofs`, bof_30_migrate.scala:38-52). Null-safe key
-    * equality; columns present on both sides prefer `incoming`. */
+    * equality; columns present on both sides prefer `incoming`.
+    *
+    * Both sides are aliased before the join: when `existing` and `incoming`
+    * derive from the same scan (the common snapshot-vs-staging case) raw
+    * attribute references are ambiguous — alias-qualified names are not. */
   def outerCoalesceMerge(existing: DataFrame, incoming: DataFrame,
                          keys: Seq[String]): DataFrame = {
-    val cond = keys.map(k => existing(k) <=> incoming(k)).reduce(_ && _)
+    val l = existing.alias("__mrg_l")
+    val r = incoming.alias("__mrg_r")
+    def lc(c: String): Column = col(s"__mrg_l.$c")
+    def rc(c: String): Column = col(s"__mrg_r.$c")
+    val cond = keys.map(k => lc(k) <=> rc(k)).reduce(_ && _)
     val cols = (existing.columns ++ incoming.columns).distinct.map { c =>
-      if (!existing.columns.contains(c)) incoming(c)
-      else if (!incoming.columns.contains(c)) existing(c)
-      else coalesce(incoming(c), existing(c)).as(c)
+      if (!existing.columns.contains(c)) rc(c).as(c)
+      else if (!incoming.columns.contains(c)) lc(c).as(c)
+      else coalesce(rc(c), lc(c)).as(c)
     }
-    existing.join(incoming, cond, "outer").select(cols.toSeq: _*)
+    l.join(r, cond, "outer").select(cols.toSeq: _*)
   }
 
   /** Manual salted skew join (J13; ref: `sas_conversion_with_manual_salt_
@@ -61,14 +69,25 @@ object RuleJoins {
     * supersedes this at runtime (GraftSession enables it); the helper exists
     * for capability parity and for engines/paths where AQE is off.
     *
-    * Deterministic given `seed`. Dim replication multiplies the small side
-    * by n — keep n ≤ ~64 and the dim broadcast-sized. */
-  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, n: Int,
-                 seed: Long = 42L, joinType: String = "inner"): DataFrame = {
+    * Deterministic given `seed`. Dim replication multiplies the dim side
+    * n-fold and shuffles it on (key, salt) — size n to the observed skew
+    * (the reference uses 16), not larger. `factKey`/`dimKey` may differ
+    * (l_orderkey vs o_orderkey); the dim's key column is dropped from the
+    * output, like USING-join semantics. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, n: Int, seed: Long = 42L,
+                 joinType: String = "inner"): DataFrame = {
     require(n > 0)
-    val salted   = fact.withColumn("__salt", (rand(seed) * n).cast("int"))
-    val saltVals = dim.sparkSession.range(n.toLong).select(col("id").cast("int").as("__salt"))
-    val dimRep   = dim.crossJoin(broadcast(saltVals))
-    salted.join(dimRep, Seq(key, "__salt"), joinType).drop("__salt")
+    // internal rename avoids output duplication when factKey == dimKey
+    val dimTmpKey = "__salt_dim_key"
+    val salted   = fact.withColumn("__fsalt", (rand(seed) * n).cast("int"))
+    val saltVals = dim.sparkSession.range(n.toLong)
+      .select(col("id").cast("int").as("__dsalt"))
+    val dimRep   = dim.withColumnRenamed(dimKey, dimTmpKey)
+      .crossJoin(broadcast(saltVals))
+    salted.join(dimRep,
+        salted(factKey) === dimRep(dimTmpKey) && col("__fsalt") === col("__dsalt"),
+        joinType)
+      .drop("__fsalt", "__dsalt", dimTmpKey)
   }
 }

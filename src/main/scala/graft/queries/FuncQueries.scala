@@ -155,7 +155,7 @@ object FuncQueries {
         |  CAST(o_orderdate AS DATE) + 30 AS due_date,
         |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
         |  datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS age_days,
-        |  epoch(o_orderdate) AS epoch_sec
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "f_yyyymmdd_ops" ->
@@ -170,7 +170,7 @@ object FuncQueries {
         |    THEN format('{:04d}{:02d}', CAST(year(d) + 1 AS INT), CAST(month(d) - 9 AS INT))
         |    ELSE format('{:04d}{:02d}', CAST(year(d) AS INT), CAST(month(d) + 3 AS INT))
         |  END AS fiscal_ym,
-        |  strftime(d - (day(d) - 1) + INTERVAL 2 MONTH, '%Y%m') || '00' AS lag_ym00
+        |  strftime(date_trunc('month', d) + INTERVAL 2 MONTH, '%Y%m') || '00' AS lag_ym00
         |FROM base ORDER BY o_orderkey""".stripMargin,
 
     "f_case_buckets" ->

@@ -97,7 +97,7 @@ object JoinQueries {
     "j13_salted_join" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
       val o  = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
-      RuleJoins.saltedJoin(li, o, "l_orderkey", 16, seed = 42L)
+      RuleJoins.saltedJoin(li, o, "l_orderkey", "o_orderkey", 16, seed = 42L)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("qty"))
         .orderBy(col("o_orderpriority"))
