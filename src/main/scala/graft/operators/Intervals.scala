@@ -54,18 +54,23 @@ object Intervals {
     var done  = false
     while (!done && iter < maxIter) {
       val w = Window.partitionBy(keys.map(col): _*).orderBy(col(begin), col(end))
+      // A row absorbs its successor only when the row itself survives this
+      // pass (otherwise a chain A<B<C would drop B — whose extended end was
+      // the only thing covering C — and lose coverage). One absorption per
+      // chain per pass; convergence over O(chain) passes matches the
+      // reference's deliberately iterative semantics.
       val stepped = cur
         .withColumn("__nxt_b", lead(col(begin), 1).over(w))
         .withColumn("__nxt_e", lead(col(end), 1).over(w))
         .withColumn("__merge", col("__nxt_b").isNotNull &&
           col("__nxt_b") <= date_add(col(end), gapDays))
-        .withColumn(end, when(col("__merge"),
+        .withColumn("__absorb", col("__merge") &&
+          !lag(col("__merge"), 1, false).over(w))
+        .withColumn(end, when(col("__absorb"),
           greatest(col(end), col("__nxt_e"))).otherwise(col(end)))
-        .withColumn("__rn", row_number().over(w))
-        .withColumn("__prev_merge", lag(col("__merge"), 1, false).over(w))
-        .filter(!col("__prev_merge"))
+        .withColumn("__dropped", lag(col("__absorb"), 1, false).over(w))
+        .filter(!col("__dropped"))
         .select((keys.map(col) :+ col(begin) :+ col(end)): _*)
-        .distinct()
       val path = s"$dir/iter$iter"
       stepped.write.mode(SaveMode.Overwrite).parquet(path)
       cur = spark.read.parquet(path)

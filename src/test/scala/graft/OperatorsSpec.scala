@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{DedupMerge, RuleJoins, SetOps, Windows}
+import org.apache.spark.sql.functions._
+
+/** Operator-helper unit tests over small in-memory frames plus the
+  * sf0.001 testdata where a real table shape matters. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin with identical key names on both sides (internal rename path)") {
+    val fact = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d")).toDF("k", "v")
+    val dim  = Seq((1, "x"), (2, "y")).toDF("k", "w")
+    val got = RuleJoins.saltedJoin(fact, dim, "k", "k", n = 4, seed = 1L)
+      .select("k", "v", "w").orderBy("k", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((1, "a", "x"), (1, "b", "x"), (2, "c", "y")))
+  }
+
+  test("saltedJoin equals the plain equi-join on testdata") {
+    val li = graft.core.Tables.lineitem(spark, sf001).select("l_orderkey", "l_quantity")
+    val o  = graft.core.Tables.orders(spark, sf001).select("o_orderkey", "o_orderpriority")
+    val salted = RuleJoins.saltedJoin(li, o, "l_orderkey", "o_orderkey", 16)
+      .groupBy("o_orderpriority").count()
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority").count()
+    assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
+  }
+
+  test("outerCoalesceMerge: incoming wins on shared keys, unmatched rows kept") {
+    val existing = Seq((1, "old", 10), (2, "keep", 20)).toDF("k", "name", "a")
+    val incoming = Seq((1, "new"), (3, "ins")).toDF("k", "name")
+    val got = RuleJoins.outerCoalesceMerge(existing, incoming, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1), Option(r.get(2)))).toSeq
+    assert(got == Seq((1, "new", Some(10)), (2, "keep", Some(20)), (3, "ins", None)))
+  }
+
+  test("outerCoalesceMerge on shared-lineage inputs (the ambiguity crash case)") {
+    val o = graft.core.Tables.orders(spark, sf001)
+    val a = o.filter(col("o_orderstatus") =!= "F").select("o_custkey", "o_totalprice")
+      .groupBy("o_custkey").agg(sum("o_totalprice").as("pa"))
+    val b = o.filter(col("o_orderstatus") === "F").select("o_custkey", "o_totalprice")
+      .groupBy("o_custkey").agg(sum("o_totalprice").as("pb"))
+    // must not throw AMBIGUOUS_COLUMN
+    val merged = RuleJoins.outerCoalesceMerge(a, b, Seq("o_custkey"))
+    assert(merged.count() > 0)
+    assert(merged.columns.toSeq == Seq("o_custkey", "pa", "pb"))
+  }
+
+  test("snapshotMerge is idempotent and newest-version wins") {
+    val prev = Seq((1, 1, "v1"), (2, 1, "v1")).toDF("id", "ver", "payload")
+    val stag = Seq((1, 2, "v2"), (3, 1, "v1")).toDF("id", "ver", "payload")
+    val m1 = DedupMerge.snapshotMerge(prev, stag, Seq("id"), Seq(col("ver")))
+    val got = m1.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+    assert(got == Seq((1, 2, "v2"), (2, 1, "v1"), (3, 1, "v1")))
+    // merging the merge with the same staging changes nothing
+    val m2 = DedupMerge.snapshotMerge(m1, stag, Seq("id"), Seq(col("ver")))
+    assert(m2.except(m1).count() == 0 && m1.except(m2).count() == 0)
+  }
+
+  test("latestByAggJoin == dedupLatest when version is unique per key") {
+    val df = Seq((1, 10, "a"), (1, 20, "b"), (2, 5, "c")).toDF("id", "ver", "p")
+    val viaAgg = DedupMerge.latestByAggJoin(df, Seq("id"), "ver")
+      .select("id", "ver", "p").orderBy("id")
+    val viaWin = Windows.dedupLatest(df, Seq("id"), Seq(col("ver")))
+      .select("id", "ver", "p").orderBy("id")
+    assert(viaAgg.collect().toSeq == viaWin.collect().toSeq)
+  }
+
+  test("unionByNameAll null-fills missing columns") {
+    val a = Seq((1, "x")).toDF("id", "only_a")
+    val b = Seq((2, 9L)).toDF("id", "only_b")
+    val u = SetOps.unionByNameAll(Seq(a, b)).orderBy("id").collect()
+    assert(u.length == 2)
+    assert(u(0).getString(1) == "x" && u(0).isNullAt(2))
+    assert(u(1).isNullAt(1) && u(1).getLong(2) == 9L)
+  }
+
+  test("wildcardRuleJoin: '*' matches all, rank==1 keeps ties") {
+    val fact = Seq(("US", "gold"), ("US", "silver"), ("DE", "gold")).toDF("ctry", "tier")
+    val rules = Seq(
+      ("US", "*", 1, "us-any"),
+      ("*", "gold", 1, "any-gold"),   // ties with us-any on (US, gold)
+      ("*", "*", 9, "fallback")
+    ).toDF("r_ctry", "r_tier", "prio", "rule")
+    val cond = RuleJoins.wildcardMatch(col("r_ctry"), fact("ctry")) &&
+      RuleJoins.wildcardMatch(col("r_tier"), fact("tier"))
+    val got = RuleJoins.wildcardRuleJoin(fact, rules, cond,
+        Seq("ctry", "tier"), col("prio"))
+      .select("ctry", "tier", "rule").orderBy("ctry", "tier", "rule").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      ("DE", "gold", "any-gold"),
+      ("US", "gold", "any-gold"), ("US", "gold", "us-any"), // tie kept
+      ("US", "silver", "us-any")))
+  }
+}
