@@ -19,6 +19,8 @@ object SparkEntry {
     (WindowQueries.queries, WindowQueries.oracle),
     (FuncQueries.queries, FuncQueries.oracle),
     (SetQueries.queries, SetQueries.oracle),
+    (MiscQueries.queries, MiscQueries.oracle),
+    (UdfQueries.queries, UdfQueries.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -103,6 +103,50 @@ object JoinQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // J7+J16+W1 wildcard rule join with priority selection, keeping ties
+    // (ref: bof_30_migrate.scala:64-110): a literal rule table whose '*'
+    // cells match anything; each order keeps its best-priority rule(s) by
+    // rank()==1 — an urgent finished order matches BOTH priority-1 rules
+    // and is deliberately counted twice, exactly like the reference.
+    "j7_wildcard_rules" -> { (s, dir) =>
+      import s.implicits._
+      val rules = Seq(
+        ("1-URGENT", "*", "expedite", 1),
+        ("*",        "F", "archive",  1),
+        ("2-HIGH",   "O", "fast",     2),
+        ("*",        "*", "default",  9)
+      ).toDF("rp", "rs", "label", "prio")
+      val o = Tables.orders(s, dir)
+      RuleJoins.wildcardRuleJoin(o, rules,
+          RuleJoins.wildcardMatch(rules("rp"), o("o_orderpriority")) &&
+          RuleJoins.wildcardMatch(rules("rs"), o("o_orderstatus")),
+          Seq("o_orderkey"), col("prio"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("label"))
+    },
+
+    // J4 right outer join (ref: sap_bw_api.scala:318).
+    "j4_right_outer" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "P")
+      val c = Tables.customer(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("n_p_orders"),
+             count(lit(1)).as("n_rows"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // J16/A11 aggregate-then-join-back: latest order(s) per customer via
+    // max-date join-back, ties kept (ref: sas_conversion…sql:184-189).
+    "j16_agg_join_back" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      graft.operators.DedupMerge.latestByAggJoin(o, Seq("o_custkey"), "o_orderdate")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // J10 interval-overlap self join (ref: overlap_query_no_recursive_cte_
     // needed.sql:7-17): pairs of orders by the same customer within 7 days.
     "j10_interval_overlap_self" -> { (s, dir) =>
@@ -174,6 +218,37 @@ object JoinQueries {
          |ORDER BY o_custkey, o_orderpriority""".stripMargin,
 
     "j13_salted_join" -> saltedJoinOracle,
+
+    "j7_wildcard_rules" ->
+      s"""WITH rules(rp, rs, label, prio) AS (VALUES
+         |  ('1-URGENT', '*', 'expedite', 1),
+         |  ('*',        'F', 'archive',  1),
+         |  ('2-HIGH',   'O', 'fast',     2),
+         |  ('*',        '*', 'default',  9)),
+         |j AS (
+         |  SELECT o.o_orderkey, o.o_totalprice, r.label, r.prio
+         |  FROM orders o LEFT JOIN rules r
+         |    ON (r.rp = '*' OR r.rp = o.o_orderpriority)
+         |   AND (r.rs = '*' OR r.rs = o.o_orderstatus)),
+         |rk AS (
+         |  SELECT *, RANK() OVER (PARTITION BY o_orderkey ORDER BY prio) AS rnk FROM j)
+         |SELECT label, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+         |FROM rk WHERE rnk = 1 GROUP BY label ORDER BY label""".stripMargin,
+
+    "j4_right_outer" ->
+      """SELECT c.c_mktsegment, COUNT(o.o_orderkey) AS n_p_orders, COUNT(*) AS n_rows
+        |FROM (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+        |RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+
+    "j16_agg_join_back" ->
+      """WITH mx AS (
+        |  SELECT o_custkey, MAX(o_orderdate) AS o_orderdate
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+        |FROM orders o JOIN mx ON o.o_custkey = mx.o_custkey
+        |                     AND o.o_orderdate = mx.o_orderdate
+        |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin,
 
     "j10_interval_overlap_self" ->
       """SELECT a.o_custkey AS custkey, a.o_orderkey AS k1, b.o_orderkey AS k2

@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+
+/** Small-operator catalog — the projection/filter/function gaps from
+  * SURVEY.md §2.2/§2.4/§2.8 that each take one short query to prove:
+  * where(SQL string) P5, between P6, try_cast P11, collect_set A7,
+  * from_json→Map, inline_outer.
+  */
+object MiscQueries {
+
+  val queries: Map[String, Q] = Map(
+    // P5+P6 SQL-string where + Column.between
+    // (ref: usage_analysis.py:101 where-string; hive_to_hive_cte.py:117).
+    "p5_where_between" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .where("o_orderstatus = 'F' AND o_orderpriority LIKE '%URGENT%'")
+        .filter(col("o_totalprice").between(50000.0, 200000.0))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // P11 try_cast: lenient numeric parse, null on failure
+    // (ref: servicenow_api_extract.py:190-211 defensive casts).
+    "p11_try_cast" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          expr("try_cast(split(o_orderpriority, '-')[0] AS int)").as("prio_num"),
+          expr("try_cast(o_orderstatus AS int)").as("status_num"))
+        .groupBy(col("prio_num"))
+        .agg(count(lit(1)).as("n"), count(col("status_num")).as("n_status_parsed"))
+        .orderBy(col("prio_num"))
+    },
+
+    // A7 collect_set, sorted + joined for cross-engine determinism
+    // (ref: pbi_airport_rls_example.py:95).
+    "a7_collect_set" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+               .as("priorities"),
+             count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // from_json → typed Map access (ref: usage_analysis.py:75
+    // from_json(props) → MapType → element_at).
+    "f_from_json_map" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("m", from_json(col("props"), MapType(StringType, IntegerType)))
+        .withColumn("k_val", element_at(col("m"), "k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k_val")).as("k_sum"))
+        .orderBy(col("event_type"))
+    },
+
+    // inline_outer over a conditionally-empty struct array — empty rows
+    // survive with null fields (ref: windowed_lagN…py:119 inline_outer).
+    "f_inline_outer" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("charges",
+          when(col("o_orderstatus") === "P", array().cast("array<struct<kind:string,amt:double>>"))
+            .otherwise(array(
+              struct(lit("base").as("kind"), col("o_totalprice").as("amt")),
+              struct(lit("tax").as("kind"), (col("o_totalprice") * 0.1).as("amt")))))
+        .select(col("o_orderkey"), expr("inline_outer(charges)"))
+        .groupBy(coalesce(col("kind"), lit("(none)")).as("kind"))
+        .agg(count(lit(1)).as("n"), coalesce(dsum(col("amt")), lit(0.0)).as("total"))
+        .orderBy(col("kind"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "p5_where_between" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+         |FROM orders
+         |WHERE o_orderstatus = 'F' AND o_orderpriority LIKE '%URGENT%'
+         |  AND o_totalprice BETWEEN 50000.0 AND 200000.0
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "p11_try_cast" ->
+      """SELECT TRY_CAST(string_split(o_orderpriority, '-')[1] AS INT) AS prio_num,
+        |  COUNT(*) AS n, COUNT(TRY_CAST(o_orderstatus AS INT)) AS n_status_parsed
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a7_collect_set" ->
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "f_from_json_map" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "f_inline_outer" ->
+      s"""WITH exploded AS (
+         |  SELECT o_orderkey, 'base' AS kind, o_totalprice AS amt
+         |  FROM orders WHERE o_orderstatus <> 'P'
+         |  UNION ALL
+         |  SELECT o_orderkey, 'tax', o_totalprice * 0.1
+         |  FROM orders WHERE o_orderstatus <> 'P'
+         |  UNION ALL
+         |  SELECT o_orderkey, NULL, NULL FROM orders WHERE o_orderstatus = 'P')
+         |SELECT COALESCE(kind, '(none)') AS kind, COUNT(*) AS n,
+         |  COALESCE(${sqlDsum("amt")}, 0.0) AS total
+         |FROM exploded GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Parsed log record for the typed Dataset.map port (F8; ref:
+  * notebooks/databricks/scala/logparsing.scala:42-77 — regex line parse
+  * into a case class via an implicit product Encoder). */
+case class EventLine(event_type: String, user_id: Long, value: Double)
+
+/** UDF-surface catalog (SURVEY.md §2.10 F1-F4, F8).
+  *
+  * Everything here is deliberately ALSO expressible with native functions —
+  * graft's style rule is "functions, not UDFs" (UDFs are codegen opaque: no
+  * predicate pushdown through them, no whole-stage fusion). These queries
+  * exist to prove the capability the reference uses heavily:
+  * udf-from-val (bof_30_migrate.scala:189,447,462), spark.udf.register
+  * (sap_bw_api.scala:227), typed Dataset.map (logparsing.scala:42-77).
+  * The DuckDB oracles are the native-SQL equivalents, so a green row also
+  * proves UDF-vs-native semantic parity.
+  */
+object UdfQueries {
+
+  /** F1: unallowable-character flag, the sap_bw_api.scala:227 shape. */
+  private val hasBadChar = udf((s: String) =>
+    s != null && !s.matches("[A-Za-z0-9 #_-]*"))
+
+  /** F2: two-arg udf — status-conditional discount. */
+  private val discounted = udf((price: Double, status: String) =>
+    if (status == "F") price * 0.9 else price)
+
+  val queries: Map[String, Q] = Map(
+    // F1+F2 udf vals applied as Columns.
+    "f_udf_scalar" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .withColumn("bad_name", hasBadChar(col("c_name")))
+        .withColumn("eff_price", discounted(col("o_totalprice"), col("o_orderstatus")))
+        .groupBy(col("o_orderstatus"), col("bad_name"))
+        .agg(count(lit(1)).as("n"), dsum(col("eff_price")).as("eff_total"))
+        .orderBy(col("o_orderstatus"), col("bad_name"))
+    },
+
+    // F3 spark.udf.register + use from SQL string (selectExpr).
+    "f_udf_register" -> { (s, dir) =>
+      s.udf.register("prio_num", (p: String) => p.split("-")(0).toInt)
+      Tables.orders(s, dir)
+        .selectExpr("prio_num(o_orderpriority) AS prio_num", "o_totalprice")
+        .groupBy(col("prio_num"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("prio_num"))
+    },
+
+    // F8 typed Dataset.map with a case-class Encoder: serialize each event
+    // to a delimited log line, then parse it back (logparsing.scala port).
+    "f_typed_map_logparse" -> { (s, dir) =>
+      import s.implicits._
+      val lines = Tables.events(s, dir)
+        .select(concat_ws("|", col("event_type"), col("user_id"), col("value")))
+        .as[String]
+      val parsed = lines.map { line =>
+        val Array(t, u, v) = line.split("\\|", 3)
+        EventLine(t, u.toLong, v.toDouble)
+      }
+      parsed.toDF()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("user_id")).as("n_users"),
+             dsum(col("value")).as("value_sum"))
+        .orderBy(col("event_type"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "f_udf_scalar" ->
+      s"""SELECT o.o_orderstatus,
+         |  NOT regexp_full_match(c.c_name, '[A-Za-z0-9 #_-]*') AS bad_name,
+         |  COUNT(*) AS n,
+         |  ${sqlDsum("CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice * 0.9 ELSE o.o_totalprice END")} AS eff_total
+         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "f_udf_register" ->
+      s"""SELECT CAST(string_split(o_orderpriority, '-')[1] AS INT) AS prio_num,
+         |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f_typed_map_logparse" ->
+      s"""SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+         |  ${sqlDsum("value")} AS value_sum
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
