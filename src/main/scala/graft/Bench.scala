@@ -10,6 +10,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = graft.core.GraftSession.local(cpus, "graft-bench")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // untimed warm-up: session init + codegen/JIT otherwise lands on the
+    // alphabetically-first query's number
+    try { SparkEntry.queries("a1_pricing_summary")(spark, sfDir)
+            .write.format("noop").mode("overwrite").save() }
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }

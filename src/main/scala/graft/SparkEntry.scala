@@ -21,6 +21,9 @@ object SparkEntry {
     (SetQueries.queries, SetQueries.oracle),
     (MiscQueries.queries, MiscQueries.oracle),
     (UdfQueries.queries, UdfQueries.oracle),
+    (DedupQueries.queries, DedupQueries.oracle),
+    (TextQueries.queries, TextQueries.oracle),
+    (SimQueries.queries, SimQueries.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftSql
+
+/** Near-duplicate text detection for training-data pipelines: MinHash-LSH,
+  * SimHash, and blocked exact n-gram Jaccard — all bucket-join designs.
+  *
+  * Scale contract (the whole point of these): candidate generation is an
+  * equi-join on a bucket key (LSH band signature / simhash band / length
+  * block), NEVER an all-pairs crossJoin. At 100 TB the bucket join
+  * shuffles each doc b times (b = #bands, a constant), bucket sizes stay
+  * O(dup-cluster size), and the exact-verify join touches candidate pairs
+  * only. Everything is built from codegen'd catalyst expressions
+  * (xxhash64 / transform / aggregate) — no UDFs, no driver-side loops.
+  */
+object TextDedup {
+
+  /** Distinct word n-gram shingles of a whitespace-tokenized text column
+    * (native expression — [[graft.functions.WordShingles]]). Empty array
+    * when the doc has fewer than n words. */
+  def wordShingles(text: Column, n: Int): Column =
+    GraftSql.column(graft.functions.WordShingles(GraftSql.expression(text), n))
+
+  /** Distinct character n-gram shingles
+    * (native expression — [[graft.functions.CharShingles]]). */
+  def charShingles(text: Column, n: Int): Column =
+    GraftSql.column(graft.functions.CharShingles(GraftSql.expression(text), n))
+
+  /** LSH band signatures (shingles → k minhashes → b bands) as one native
+    * expression — see [[graft.functions.MinHashBands]] for why this is not
+    * a `transform`/`aggregate` composition (interpreted HOFs are ~1000×
+    * slower and break codegen). */
+  def minhashBands(shingles: Column, k: Int, bands: Int): Column =
+    GraftSql.column(graft.functions.MinHashBands(GraftSql.expression(shingles), k, bands))
+
+  /** Exact Jaccard similarity of two shingle-array columns (ints divided
+    * in IEEE double — bit-identical across engines). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Candidate pairs (idA < idB) of docs sharing at least one bucket.
+    * `buckets` is (id, bucketKey…) with one row per (doc, bucket).
+    * One shuffle on the bucket key; within-bucket self-join. */
+  private def pairsFromBuckets(buckets: DataFrame, idCol: String,
+                               bucketCols: Seq[String]): DataFrame = {
+    val x = buckets.alias("__lsh_x")
+    val y = buckets.alias("__lsh_y")
+    val keyEq = bucketCols.map(c => col(s"__lsh_x.$c") === col(s"__lsh_y.$c"))
+      .reduce(_ && _)
+    x.join(y, keyEq && col(s"__lsh_x.$idCol") < col(s"__lsh_y.$idCol"))
+      .select(col(s"__lsh_x.$idCol").as("a"), col(s"__lsh_y.$idCol").as("b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * Pipeline: shingle → k-minhash → b bands × r rows → bucket equi-join →
+    * distinct candidates → exact Jaccard over shingle arrays → threshold.
+    * With b=32, r=4 the probability of missing a pair at Jaccard 0.7 is
+    * (1-0.7^4)^32 ≈ 1.5e-4 and at 0.9 it is ≈1e-15; false positives are
+    * removed exactly. Output: (a, b, jaccard), a < b.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, threshold: Double = 0.7,
+                      k: Int = 128, bands: Int = 32): DataFrame = {
+    require(k % bands == 0, "k must divide into bands evenly")
+    val r = k / bands
+    val sh = docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val banded = sh
+      .select(col(idCol), posexplode(minhashBands(col("__sh"), k, bands)))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bsig")
+    val cand = pairsFromBuckets(banded, idCol, Seq("__band", "__bsig"))
+    verifyJaccard(cand, sh, idCol, threshold)
+  }
+
+  /** 64-bit SimHash of a shingle array (native expression; bit i set when
+    * the ±1 sum over shingles of bit i of xxhash64(shingle) is
+    * non-negative) — see [[graft.functions.SimHash64]]. */
+  def simhash64(shingles: Column): Column =
+    GraftSql.column(graft.functions.SimHash64(GraftSql.expression(shingles)))
+
+  /** SimHash near-duplicate pairs: the 64-bit signature is cut into
+    * `numBands` equal bands — by pigeonhole every pair with Hamming
+    * distance ≤ numBands-1 shares at least one band, so the banded
+    * equi-join has guaranteed recall for any `maxHamming < numBands`;
+    * the final exact-Jaccard threshold removes hash collisions.
+    *
+    * Band width trades recall for selectivity: 16×4-bit bands guarantee
+    * recall to Hamming 15 but collide more often (short docs put real
+    * near-dups at Hamming ~11, so wide tolerance is the default here);
+    * a corpus enforcing the classic strict distance ≤ 3 should use
+    * 4×16-bit bands for far fewer candidates.
+    * Output: (a, b, jaccard), a < b. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, maxHamming: Int = 12,
+                   threshold: Double = 0.5, numBands: Int = 16): DataFrame = {
+    require(64 % numBands == 0, "numBands must divide 64")
+    require(maxHamming < numBands, s"banded recall only guaranteed to Hamming ${numBands - 1}")
+    val width = 64 / numBands
+    val mask = (1L << width) - 1
+    val sh = docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val sims = sh.select(col(idCol), simhash64(col("__sh")).as("__sim"))
+    val banded = sims.select(col(idCol), col("__sim"), posexplode(
+        transform(sequence(lit(0), lit(numBands - 1)),
+          j => call_function("shiftright", col("__sim"), j * width).bitwiseAND(lit(mask)))))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bval")
+    val x = banded.alias("__sim_x"); val y = banded.alias("__sim_y")
+    val cand = x.join(y,
+        col("__sim_x.__band") === col("__sim_y.__band") &&
+        col("__sim_x.__bval") === col("__sim_y.__bval") &&
+        col(s"__sim_x.$idCol") < col(s"__sim_y.$idCol"))
+      .filter(bit_count(col("__sim_x.__sim").bitwiseXOR(col("__sim_y.__sim"))) <= maxHamming)
+      .select(col(s"__sim_x.$idCol").as("a"), col(s"__sim_y.$idCol").as("b"))
+      .distinct()
+    verifyJaccard(cand, sh, idCol, threshold)
+  }
+
+  /** Blocked exact n-gram Jaccard dedup: docs are bucketed by
+    * floor(len/blockWidth) and its successor, so every pair within
+    * `maxLenDiff ≤ blockWidth/2` shares a bucket; candidates are exactly
+    * length-compatible pairs, then exact char-n-gram Jaccard filters.
+    * Output: (a, b, jaccard), a < b. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        lenCol: Column, n: Int = 4, threshold: Double = 0.6,
+                        blockWidth: Int = 100): DataFrame = {
+    val maxDiff = blockWidth / 2
+    val sh = docs.select(col(idCol), lenCol.as("__len"),
+      charShingles(col(textCol), n).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val blocked = sh.select(col(idCol), col("__len"),
+      explode(array((col("__len") / blockWidth).cast("long"),
+                    (col("__len") / blockWidth).cast("long") + 1)).as("__blk"))
+    val x = blocked.alias("__blk_x"); val y = blocked.alias("__blk_y")
+    val cand = x.join(y,
+        col("__blk_x.__blk") === col("__blk_y.__blk") &&
+        col(s"__blk_x.$idCol") < col(s"__blk_y.$idCol") &&
+        abs(col("__blk_x.__len") - col("__blk_y.__len")) <= maxDiff)
+      .select(col(s"__blk_x.$idCol").as("a"), col(s"__blk_y.$idCol").as("b"))
+      .distinct()
+    verifyJaccard(cand, sh, idCol, threshold)
+  }
+
+  /** Join candidate (a, b) pairs back to shingle arrays and keep pairs at
+    * or above the exact-Jaccard threshold. */
+  private def verifyJaccard(cand: DataFrame, shingled: DataFrame,
+                            idCol: String, threshold: Double): DataFrame = {
+    val sa = shingled.select(col(idCol).as("a"), col("__sh").as("__sha"))
+    val sb = shingled.select(col(idCol).as("b"), col("__sh").as("__shb"))
+    cand.join(sa, "a").join(sb, "b")
+      .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`) — the
+  * training-data-pipeline ANN operators (builder brief).
+  *
+  * All math is double-precision catalyst expressions (`zip_with` +
+  * `aggregate` sum left-to-right), no UDFs — bit-deterministic and inside
+  * whole-stage codegen. The scale design: the query side is broadcast
+  * (it is the small side by construction), the corpus is never shuffled
+  * whole — top-k reduces per input partition first, then across the
+  * per-partition winners.
+  */
+object VectorSim {
+
+  /** Cast a float vector column to double for exact, engine-portable math. */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential (left-to-right) dot product — IEEE-identical everywhere. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k per query without funneling a query's whole candidate set
+    * into one task: rank within (query, input-partition) first — a shuffle
+    * spread over queries × partitions — keep k, then rank the ≤ k·P
+    * survivors per query. Identical output to a single global window
+    * (per-partition rank is a lower bound on global rank); scales to a
+    * corpus of any size. */
+  def topKPerQuery(scored: DataFrame, queryCol: String, scoreCol: String,
+                   idCol: String, k: Int): DataFrame = {
+    val local = Window.partitionBy(col(queryCol), spark_partition_id())
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val global = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    scored
+      .withColumn("__local_rn", row_number().over(local))
+      .filter(col("__local_rn") <= k)
+      .withColumn("rnk", row_number().over(global))
+      .filter(col("rnk") <= k)
+      .drop("__local_rn")
+  }
+
+  /** Brute-force cosine top-k: broadcast the (small) query set against the
+    * corpus — a BroadcastNestedLoopJoin, zero corpus shuffle — then
+    * two-phase top-k. Output: (queryIdOut, rnk, nn id cols…, cos). */
+  def bruteForceCosineTopK(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("__qv"))
+    val c = corpus.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    topKPerQuery(scored, "q_id", "cos", "nn_id", k)
+      .select(col("q_id"), col("rnk"), col("nn_id"), col("cos"))
+  }
+
+  /** IVF-style ANN: the corpus is pre-partitioned into cells (here the
+    * `cellCol`, in a real pipeline the nearest-centroid id) and each query
+    * probes only its own cell — an equi-join on the cell key that
+    * co-partitions queries with their cell (nprobe=1). Exact within the
+    * probed cell; the IVF approximation is the cell restriction itself. */
+  def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, cellCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(cellCol).as("__qcell"),
+      asDouble(col(vecCol)).as("__qv"))
+    val c = corpus.select(col(idCol).as("nn_id"), col(cellCol).as("__ccell"),
+      asDouble(col(vecCol)).as("__cv"))
+    val scored = c.join(q, col("__qcell") === col("__ccell") &&
+        col("nn_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    topKPerQuery(scored, "q_id", "cos", "nn_id", k)
+      .select(col("q_id"), col("rnk"), col("nn_id"), col("cos"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.TextDedup
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate / exact dedup catalog over the `documents` table — the
+  * training-data-pipeline operators (builder brief; VERDICT r1 §LLM).
+  *
+  * Oracle strategy: the LSH/SimHash stages are candidate *generators*; the
+  * query output is defined by the exact-Jaccard threshold, which DuckDB
+  * computes all-pairs via a shingle inverted-index join. A green row
+  * therefore proves both semantics AND recall of the bucketing stage.
+  */
+object DedupQueries {
+
+  /** Shared DuckDB CTE: distinct word-3-gram shingles per doc. */
+  private val wordShingleCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(generate_series(1, len(ws) - 2),
+      |                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+      |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private def wordJaccardOracle(threshold: Double): String =
+    s"""WITH $wordShingleCte
+       |SELECT a, b,
+       |  CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = a
+       |JOIN cnt cb ON cb.doc_id = b
+       |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= $threshold
+       |ORDER BY a, b""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // MinHash + banded LSH near-dup pairs, exact-verified (shingle →
+    // 128 minhashes → 32 bands × 4 rows → bucket join → Jaccard ≥ 0.7).
+    "d_minhash_lsh" -> { (s, dir) =>
+      TextDedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, threshold = 0.7, k = 128, bands = 32)
+        .orderBy("a", "b")
+    },
+
+    // SimHash near-dup pairs: 64-bit signature, 16×4-bit bands (guaranteed
+    // recall to Hamming 15), exact Jaccard ≥ 0.5 as the output contract.
+    "d_simhash" -> { (s, dir) =>
+      TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, maxHamming = 12, threshold = 0.5)
+        .orderBy("a", "b")
+    },
+
+    // Blocked exact char-4-gram Jaccard: length-band bucketing (pairs
+    // within 10 chars share a bucket — near-dup docs have near-equal
+    // length, and a tight band keeps candidate counts linear), Jaccard ≥ 0.6.
+    "d_ngram_jaccard" -> { (s, dir) =>
+      TextDedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          lenCol = col("n_chars"), n = 4, threshold = 0.6, blockWidth = 20)
+        .orderBy("a", "b")
+    },
+
+    // Exact dedup by normalized-text hash (lower + whitespace-collapse +
+    // md5), the hash-groupBy reconciliation form: per lang, total vs
+    // distinct normalized docs.
+    "d_exact_dedup" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("__norm_h",
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("__norm_h")).as("n_unique"))
+        .orderBy(col("lang"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d_minhash_lsh" -> wordJaccardOracle(0.7),
+    "d_simhash" -> wordJaccardOracle(0.5),
+
+    "d_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(text) - 3),
+        |                            i -> substr(text, i, 4))) AS s
+        |    FROM documents)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |lens AS (SELECT doc_id, n_chars FROM documents),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b,
+        |  CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN cnt ca ON ca.doc_id = a
+        |JOIN cnt cb ON cb.doc_id = b
+        |JOIN lens la ON la.doc_id = a
+        |JOIN lens lb ON lb.doc_id = b
+        |WHERE abs(la.n_chars - lb.n_chars) <= 10
+        |  AND CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.6
+        |ORDER BY a, b""".stripMargin,
+
+    "d_exact_dedup" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_unique
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

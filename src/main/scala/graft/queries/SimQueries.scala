@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.VectorSim
+import org.apache.spark.sql.functions._
+
+/** Similarity-search catalog over the `embeddings` table (vec_id,
+  * embedding array<float>, label).
+  *
+  * The cosine itself is compared as `floor(cos * 1e6)` — both engines
+  * compute the identical IEEE double (sequential dot product), so the
+  * floored micro value matches exactly; ranks are additionally safe
+  * because adjacent top-k cosines in this data differ by ~2e-4 ≫ any
+  * float-association noise.
+  */
+object SimQueries {
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force exact cosine top-10 for 5 query vectors over the whole
+    // corpus (broadcast queries, zero corpus shuffle, two-phase top-k).
+    "s_cosine_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+      VectorSim.bruteForceCosineTopK(emb, queries, "vec_id", "embedding", k = 10)
+        .select(col("q_id"), col("rnk"),
+          col("nn_id"), floor(col("cos") * 1e6).cast("long").as("cos_micro"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // IVF-style ANN: `label` plays the cluster-cell role; 20 query vectors
+    // probe their own cell only (nprobe=1), exact top-3 within the cell.
+    "s_cosine_ann_ivf" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 20)
+      VectorSim.ivfCosineTopK(emb, queries, "vec_id", "embedding", "label", k = 3)
+        .select(col("q_id"), col("rnk"),
+          col("nn_id"), floor(col("cos") * 1e6).cast("long").as("cos_micro"))
+        .orderBy(col("q_id"), col("rnk"))
+    }
+  )
+
+  private val cosSql =
+    "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+
+  val oracle: Map[String, String] = Map(
+    "s_cosine_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 5),
+         |c AS (
+         |  SELECT q_id, v.vec_id AS nn_id, $cosSql AS cos
+         |  FROM q, (SELECT vec_id, e AS cv FROM v) v
+         |  WHERE v.vec_id <> q_id),
+         |r AS (
+         |  SELECT q_id, nn_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rnk
+         |  FROM c)
+         |SELECT q_id, rnk, nn_id, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
+         |FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+
+    "s_cosine_ann_ivf" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS qlabel, e AS qv FROM v WHERE vec_id < 20),
+         |c AS (
+         |  SELECT q_id, v.vec_id AS nn_id, $cosSql AS cos
+         |  FROM q JOIN (SELECT vec_id, label AS clabel, e AS cv FROM v) v
+         |    ON qlabel = clabel AND v.vec_id <> q_id),
+         |r AS (
+         |  SELECT q_id, nn_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rnk
+         |  FROM c)
+         |SELECT q_id, rnk, nn_id, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
+         |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  )
+}

@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Text-analysis catalog over `documents` — language-ID heuristic, quality
+  * scoring, token counting, document fingerprinting (builder brief).
+  *
+  * Determinism rules: every ratio that feeds a group key or an aggregate is
+  * either exact integer arithmetic or `floor(ratio * 1e6)` (exact IEEE
+  * division then exact floor), never a rounded double — so Spark and DuckDB
+  * agree bit-for-bit.
+  */
+object TextQueries {
+
+  val queries: Map[String, Q] = Map(
+    // Token counting: whitespace tokens + a word-regex token count per
+    // doc, aggregated per lang (integer stats only).
+    "t_token_stats" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("n_tok", size(split(col("text"), " ")))
+        .withColumn("n_word_tok", size(expr("regexp_extract_all(text, '[a-z]+', 0)")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tok")).as("tok_sum"),
+             sum(col("n_word_tok")).as("word_tok_sum"),
+             max(col("n_tok")).as("max_tok"),
+             sum(col("n_chars")).as("char_sum"))
+        .orderBy(col("lang"))
+    },
+
+    // Quality scoring: type-token ratio + stopword ratio + mean word
+    // length, bucketed; per (source, bucket) counts.
+    "t_quality_score" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("__w", split(col("text"), " "))
+        .withColumn("n_tok", size(col("__w")))
+        .withColumn("ttr_micro",
+          floor(size(array_distinct(col("__w"))).cast("double") /
+                col("n_tok").cast("double") * 1e6).cast("long"))
+        .withColumn("stop_micro",
+          floor(size(expr("filter(__w, w -> w IN ('the', 'a', 'of', 'and', 'in', 'to', 'is'))"))
+              .cast("double") / col("n_tok").cast("double") * 1e6).cast("long"))
+        .withColumn("quality_bucket",
+          when(col("ttr_micro") >= 600000L, "high")
+            .when(col("ttr_micro") >= 350000L, "mid")
+            .otherwise("low"))
+        .groupBy(col("source"), col("quality_bucket"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("ttr_micro")).as("ttr_micro_sum"),
+             sum(col("stop_micro")).as("stop_micro_sum"))
+        .orderBy(col("source"), col("quality_bucket"))
+    },
+
+    // Language-ID n-gram/marker heuristic: occurrence counts of per-lang
+    // marker words, argmax with a fixed priority tie-break; confusion
+    // matrix (true lang × predicted) as the output.
+    "t_langid" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("__w", split(col("text"), " "))
+        .withColumn("c_en", size(expr("filter(__w, w -> w IN ('the', 'and', 'is'))")))
+        .withColumn("c_fr", size(expr("filter(__w, w -> w IN ('le', 'la', 'et'))")))
+        .withColumn("c_es", size(expr("filter(__w, w -> w IN ('el', 'los', 'y'))")))
+        .withColumn("c_de", size(expr("filter(__w, w -> w IN ('der', 'und', 'die'))")))
+        .withColumn("predicted",
+          when(col("c_en") >= col("c_fr") && col("c_en") >= col("c_es") &&
+               col("c_en") >= col("c_de"), "en")
+            .when(col("c_fr") >= col("c_es") && col("c_fr") >= col("c_de"), "fr")
+            .when(col("c_es") >= col("c_de"), "es")
+            .otherwise("de"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    },
+
+    // Document fingerprinting: bag-of-words-normalized md5 (order
+    // independent — reordered near-dups collide; appended text does not).
+    "t_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+            .as("fp"),
+          size(array_distinct(split(col("text"), " "))).as("n_distinct_tok"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t_token_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  SUM(len(string_split(text, ' '))) AS tok_sum,
+        |  SUM(len(regexp_extract_all(text, '[a-z]+'))) AS word_tok_sum,
+        |  MAX(len(string_split(text, ' '))) AS max_tok,
+        |  SUM(n_chars) AS char_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t_quality_score" ->
+      """WITH q AS (
+        |  SELECT source,
+        |    CAST(floor(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |         / CAST(len(string_split(text, ' ')) AS DOUBLE) * 1e6) AS BIGINT) AS ttr_micro,
+        |    CAST(floor(CAST(len(list_filter(string_split(text, ' '),
+        |           w -> w IN ('the', 'a', 'of', 'and', 'in', 'to', 'is'))) AS DOUBLE)
+        |         / CAST(len(string_split(text, ' ')) AS DOUBLE) * 1e6) AS BIGINT) AS stop_micro
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN ttr_micro >= 600000 THEN 'high'
+        |       WHEN ttr_micro >= 350000 THEN 'mid'
+        |       ELSE 'low' END AS quality_bucket,
+        |  COUNT(*) AS n, SUM(ttr_micro) AS ttr_micro_sum,
+        |  SUM(stop_micro) AS stop_micro_sum
+        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t_langid" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('the', 'and', 'is'))) AS c_en,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('le', 'la', 'et'))) AS c_fr,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('el', 'los', 'y'))) AS c_es,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('der', 'und', 'die'))) AS c_de
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN c_en >= c_fr AND c_en >= c_es AND c_en >= c_de THEN 'en'
+        |       WHEN c_fr >= c_es AND c_fr >= c_de THEN 'fr'
+        |       WHEN c_es >= c_de THEN 'es'
+        |       ELSE 'de' END AS predicted,
+        |  COUNT(*) AS n
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tok
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
