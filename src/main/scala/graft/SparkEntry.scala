@@ -24,6 +24,7 @@ object SparkEntry {
     (DedupQueries.queries, DedupQueries.oracle),
     (TextQueries.queries, TextQueries.oracle),
     (SimQueries.queries, SimQueries.oracle),
+    (IoQueries.queries, IoQueries.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,224 @@
+package graft.queries
+
+import graft.core.{SchemaDsl, Tables}
+import graft.sources.{FileIO, JdbcIO, Synthetic}
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink catalog (SURVEY.md §2.1) — every query is a write-then-read
+  * round trip through a real format/sink under java.io.tmpdir, with the
+  * oracle running against the ORIGINAL parquet table: a green row proves
+  * the round trip is lossless, not just that the query ran.
+  */
+object IoQueries {
+
+  /** Per-sf scratch dir so sf0.01 verify and sf0.1 bench don't collide. */
+  private def scratch(dir: String, leaf: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_io_${new java.io.File(dir).getName}/$leaf"
+
+  private def rmrf(path: String): Unit = {
+    val root = new java.io.File(path)
+    if (root.exists()) {
+      root.listFiles() match {
+        case null => ()
+        case fs => fs.foreach(f => rmrf(f.getPath))
+      }
+      root.delete()
+    }
+  }
+
+  private val ordersSpec =
+    "o_orderkey:l;o_custkey:l;o_orderstatus:c;o_totalprice:d;o_orderpriority:c"
+
+  val queries: Map[String, Q] = Map(
+    // S1+S2+S3 + schema DSL: gzip pipe-delim CSV with header, read back
+    // with an explicit spec-built schema.
+    "io_csv_roundtrip" -> { (s, dir) =>
+      val path = scratch(dir, "csv_rt")
+      FileIO.writeCsv(
+        Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderpriority"),
+        path, header = true, delimiter = "|", codec = Some("gzip"))
+      FileIO.readCsv(s, path, SchemaDsl.fromSpec(ordersSpec),
+          header = true, delimiter = "|")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // S20+S21: single-file tab-delimited report sink, read back.
+    "io_tab_single_file" -> { (s, dir) =>
+      val path = scratch(dir, "tab_report")
+      val report = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      FileIO.writeCsv(report, path, header = true, delimiter = "\t",
+        singleFile = true)
+      FileIO.readCsv(s, path,
+          SchemaDsl.fromSpec("o_orderpriority:c;n:l;total:d"),
+          header = true, delimiter = "\t")
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // S5: JSON round trip with explicit schema.
+    "io_json_roundtrip" -> { (s, dir) =>
+      val path = scratch(dir, "json_rt")
+      FileIO.writeJson(
+        Tables.events(s, dir).select("event_id", "event_type", "user_id", "value"),
+        path)
+      FileIO.readJson(s, path,
+          SchemaDsl.fromSpec("event_id:l;event_type:c;user_id:l;value:d"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"),
+             max(col("user_id")).as("max_user"))
+        .orderBy(col("event_type"))
+    },
+
+    // S6: text sink → text scan + regex capture groups → typed columns.
+    "io_text_regex" -> { (s, dir) =>
+      val path = scratch(dir, "text_rt")
+      Tables.events(s, dir)
+        .select(concat(lit("evt type="), col("event_type"),
+          lit(" user="), col("user_id"), lit(" value="), col("value")).as("value"))
+        .write.mode(SaveMode.Overwrite).text(path)
+      FileIO.readTextRegex(s, path,
+          "evt type=(\\w+) user=(\\d+) value=(.*)",
+          Seq("event_type" -> "string", "user_id" -> "long", "value" -> "double"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        .orderBy(col("event_type"))
+    },
+
+    // S16: Hive-style partitioned parquet sink; the read-back filter hits
+    // only the o_orderstatus=F partition (partition pruning, no full scan).
+    "io_partitioned_sink" -> { (s, dir) =>
+      val path = scratch(dir, "part_sink")
+      FileIO.writePartitioned(Tables.orders(s, dir), path, Seq("o_orderstatus"))
+      s.read.parquet(path)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // S17/S18: INSERT OVERWRITE PARTITION — rewrite only the F partition
+    // (halved prices); other partitions must remain untouched.
+    "io_overwrite_partition" -> { (s, dir) =>
+      val path = scratch(dir, "part_overwrite")
+      val o = Tables.orders(s, dir)
+      FileIO.writePartitioned(o, path, Seq("o_orderstatus"))
+      FileIO.overwritePartitions(
+        o.filter(col("o_orderstatus") === "F")
+          .withColumn("o_totalprice", col("o_totalprice") * 0.5),
+        path, Seq("o_orderstatus"))
+      s.read.parquet(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // S4: COPY INTO analogue — two source loads plus a repeated load that
+    // must be a no-op (file-ledger idempotence).
+    "io_copy_into" -> { (s, dir) =>
+      val src1 = scratch(dir, "copy_src1"); val src2 = scratch(dir, "copy_src2")
+      val target = scratch(dir, "copy_target"); val ledger = scratch(dir, "copy_ledger")
+      Seq(target, ledger).foreach(rmrf)
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey",
+        "o_orderstatus", "o_totalprice", "o_orderpriority")
+      FileIO.writeCsv(o.filter(col("o_orderkey") % 2 === 0), src1)
+      FileIO.writeCsv(o.filter(col("o_orderkey") % 2 =!= 0), src2)
+      val schema = SchemaDsl.fromSpec(ordersSpec)
+      FileIO.copyInto(s, src1, schema, target, ledger)
+      FileIO.copyInto(s, src1, schema, target, ledger) // repeat: must load 0
+      FileIO.copyInto(s, src2, schema, target, ledger)
+      s.read.parquet(target)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // S23+S24: temp-view staging + CREATE VIEW over it + SQL consumption.
+    "io_view_staging" -> { (s, dir) =>
+      FileIO.stageTempView(Tables.orders(s, dir), "stg_orders")
+      FileIO.stageTempView(Tables.customer(s, dir), "stg_customer")
+      FileIO.createViewSql(s, "v_cust_spend",
+        """SELECT c.c_mktsegment, o.o_orderstatus, o.o_totalprice
+          |FROM stg_orders o JOIN stg_customer c ON o.o_custkey = c.c_custkey""".stripMargin)
+      s.sql(
+        s"""SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+           |  ${sqlDsum("o_totalprice")} AS total
+           |FROM v_cust_spend GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    },
+
+    // S10+S19: JDBC sink + partitioned parallel JDBC scan (Derby
+    // in-memory), predicate pushed to the source.
+    "io_jdbc_roundtrip" -> { (s, dir) =>
+      val url = s"jdbc:derby:memory:graft_${new java.io.File(dir).getName.replace('.', '_')};create=true"
+      JdbcIO.write(Tables.customer(s, dir), url, "customers")
+      JdbcIO.read(s, url, "customers",
+          partitionColumn = Some(("c_custkey", 0L, 200000L, 4)))
+        .filter(col("c_acctbal") > 0.0)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // S14: deterministic synthetic generator (arithmetic-only, so the
+    // oracle regenerates it from generate_series).
+    "io_synthetic" -> { (s, dir) =>
+      Synthetic.table(s, 10000L, buckets = 7)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("val")).as("val_sum"))
+        .orderBy(col("bucket"))
+    }
+  )
+
+  private def ordersAggOracle(where: String = ""): String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+       |FROM orders $where GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "io_csv_roundtrip" -> ordersAggOracle(),
+    "io_copy_into" -> ordersAggOracle(),
+
+    "io_tab_single_file" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "io_json_roundtrip" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS value_sum,
+         |  MAX(user_id) AS max_user
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "io_text_regex" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS value_sum
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "io_partitioned_sink" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+         |FROM orders WHERE o_orderstatus = 'F'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "io_overwrite_partition" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${sqlDsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 0.5 ELSE o_totalprice END")} AS total
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "io_view_staging" ->
+      s"""SELECT c.c_mktsegment, o.o_orderstatus, COUNT(*) AS n,
+         |  ${sqlDsum("o.o_totalprice")} AS total
+         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "io_jdbc_roundtrip" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n, ${sqlDsum("c_acctbal")} AS bal
+         |FROM customer WHERE c_acctbal > 0.0
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "io_synthetic" ->
+      """WITH t AS (SELECT i AS id FROM generate_series(0, 9999) AS g(i))
+        |SELECT id % 7 AS bucket, COUNT(*) AS n,
+        |  SUM((id * 2654435761) % 997) AS val_sum
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

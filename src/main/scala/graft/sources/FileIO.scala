@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** File sources and sinks (SURVEY.md §2.1 S1-S6, S16-S18, S20-S21, S23-S24).
+  *
+  * Readers always take an explicit schema — the reference's inferSchema
+  * uses are re-expressed with explicit schemas because schema inference
+  * costs a full extra pass over the data at scale and can silently drift
+  * between runs.
+  */
+object FileIO {
+
+  /** S1/S2/S3: CSV scan with explicit schema, header and delimiter
+    * options; gzip is transparent via the file extension
+    * (ref: usage_analysis.py:62-67 header+escape; sap_bw_api.scala:130-136
+    * tab-delim; gcp_test.py:64 csv.gz). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true, delimiter: String = ",",
+              escape: String = "\""): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .option("escape", escape)
+      .schema(schema)
+      .csv(path)
+
+  /** S20/S21: CSV sink; `singleFile` coalesces to one part file (the
+    * reference's report pattern, usage_analysis.py:597-607) — only for
+    * small frames, a single-file write of a big frame funnels to one task.
+    * `codec` e.g. Some("gzip"). */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+               delimiter: String = ",", codec: Option[String] = None,
+               singleFile: Boolean = false,
+               mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    val w = out.write.mode(mode)
+      .option("header", header.toString)
+      .option("sep", delimiter)
+    codec.fold(w)(c => w.option("codec", c)).csv(path)
+  }
+
+  /** S5: JSON scan with explicit schema (ref: cloudtrail_etl.scala:95-98
+    * reads JSON with a declared schema). */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeJson(df: DataFrame, path: String,
+                mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  /** S6: text scan + regex groups → named typed columns
+    * (ref: logparsing.scala:42-77). Each `(name, type)` pair is bound to
+    * the corresponding regex capture group, 1-based. */
+  def readTextRegex(spark: SparkSession, path: String, pattern: String,
+                    fields: Seq[(String, String)]): DataFrame = {
+    val text = spark.read.text(path)
+    val cols = fields.zipWithIndex.map { case ((name, tpe), i) =>
+      regexp_extract(col("value"), pattern, i + 1).cast(tpe).as(name)
+    }
+    text.select(cols: _*)
+  }
+
+  /** S16: Hive-style partitioned parquet sink
+    * (ref: windowed_lagN_awskms_postgres_date_partition.py:176-186). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** S17/S18: INSERT OVERWRITE of only the partitions present in `df`
+    * (dynamic partition overwrite — the replaceWhere / `INSERT OVERWRITE
+    * … PARTITION` analogue, ref: hive_to_hive_cte.py:162-175). Untouched
+    * partitions keep their data. */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** S4: COPY INTO analogue — idempotent bulk append with a file-name
+    * ledger (ref: copy_into_command_gzip_splittable.sql:47-63; COPY INTO
+    * is a Delta feature, re-expressed as anti-join against the ledger of
+    * already-loaded files + append). Returns the number of rows loaded. */
+  def copyInto(spark: SparkSession, sourcePath: String, schema: StructType,
+               targetPath: String, ledgerPath: String,
+               header: Boolean = true, delimiter: String = ","): Long = {
+    val src = readCsv(spark, sourcePath, schema, header, delimiter)
+      .withColumn("__src_file", input_file_name())
+    val ledger: DataFrame =
+      try spark.read.parquet(ledgerPath)
+      catch { case _: Exception =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(org.apache.spark.sql.types.StructField("__src_file",
+            org.apache.spark.sql.types.StringType))))
+      }
+    val fresh = src.join(broadcast(ledger), Seq("__src_file"), "left_anti").cache()
+    val n = fresh.count()
+    if (n > 0) {
+      fresh.drop("__src_file").write.mode(SaveMode.Append).parquet(targetPath)
+      fresh.select("__src_file").distinct()
+        .write.mode(SaveMode.Append).parquet(ledgerPath)
+    }
+    fresh.unpersist()
+    n
+  }
+
+  /** S23/S24: temp-view staging + view-over-view
+    * (ref: from_api_call_to_columnar_db.py:586-589; hive_to_hive_cte.py
+    * CTE-to-view chain). Returns the staged view name. */
+  def stageTempView(df: DataFrame, name: String): String = {
+    df.createOrReplaceTempView(name)
+    name
+  }
+
+  def createViewSql(spark: SparkSession, name: String, sql: String): Unit =
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS $sql")
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.core.SchemaDsl
+import graft.sources.{FileIO, Synthetic}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink unit tests beyond what the oracle round-trip queries cover:
+  * ledger idempotence counts, partition pruning in the physical plan, and
+  * the schema DSL's code table. */
+class SourcesSpec extends SparkSpec {
+
+  private def tmp(leaf: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_test_io/$leaf"
+
+  test("SchemaDsl.fromSpec maps reference-style codes") {
+    val st = SchemaDsl.fromSpec("memnum:c;begindt:date;qty:d;n:i;big:l;ok:b")
+    assert(st.map(_.dataType) == Seq(StringType, DateType, DoubleType,
+      IntegerType, LongType, BooleanType))
+    assert(st.map(_.name) == Seq("memnum", "begindt", "qty", "n", "big", "ok"))
+    intercept[IllegalArgumentException](SchemaDsl.fromSpec("x:nope"))
+  }
+
+  test("copyInto loads each source file exactly once") {
+    import spark.implicits._
+    val src = tmp("ci_src"); val target = tmp("ci_target"); val ledger = tmp("ci_ledger")
+    Seq(src, target, ledger).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    FileIO.writeCsv(df, src)
+    val schema = SchemaDsl.fromSpec("id:l;v:c")
+    assert(FileIO.copyInto(spark, src, schema, target, ledger) == 3L)
+    assert(FileIO.copyInto(spark, src, schema, target, ledger) == 0L)
+    assert(spark.read.parquet(target).count() == 3L)
+  }
+
+  test("partitioned sink read-back prunes to the filtered partition") {
+    val path = tmp("prune")
+    FileIO.writePartitioned(
+      graft.core.Tables.orders(spark, sf001), path, Seq("o_orderstatus"))
+    val q = spark.read.parquet(path).filter(col("o_orderstatus") === "F")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    // the parquet scan itself must carry the partition filter
+    assert(scan.contains("PartitionFilters") && scan.contains("o_orderstatus"),
+      s"no partition filter in scan:\n$scan")
+    assert(q.count() > 0)
+  }
+
+  test("synthetic generator is deterministic and distributed") {
+    val a = Synthetic.table(spark, 1000L).collect().sortBy(_.getLong(0))
+    val b = Synthetic.table(spark, 1000L).collect().sortBy(_.getLong(0))
+    assert(a.toSeq == b.toSeq)
+    assert(Synthetic.table(spark, 1000L).rdd.getNumPartitions > 1)
+  }
+}
