@@ -25,6 +25,7 @@ object SparkEntry {
     (TextQueries.queries, TextQueries.oracle),
     (SimQueries.queries, SimQueries.oracle),
     (IoQueries.queries, IoQueries.oracle),
+    (StreamQueries.queries, StreamQueries.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

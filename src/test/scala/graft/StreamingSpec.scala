@@ -1,0 +1,109 @@
+package graft
+
+import graft.core.{SchemaDsl, Tables}
+import graft.streaming.FileStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming correctness by batch equivalence (ST1-ST4, ST7, custom
+  * state): streaming is not DuckDB-oracleable, so each test drains a
+  * bounded file stream with Trigger.AvailableNow and asserts the result
+  * equals the same transform run as a plain batch query on the same
+  * input. */
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(leaf: String) = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_test_stream/$leaf"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    p
+  }
+
+  private val eventsSpec = "event_id:l;ts:timestamp;user_id:l;event_type:c;value:d"
+
+  /** events testdata serialized as 3 JSON chunk files (the stream input). */
+  private def writeChunks(dir: String): Unit = {
+    val ev = Tables.events(spark, sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    (0 until 3).foreach { i =>
+      ev.filter(col("event_id") % 3 === i).coalesce(1)
+        .write.mode("append").json(dir)
+    }
+  }
+
+  test("ST1-ST4: json file stream -> transform -> partitioned parquet sink == batch") {
+    val src = tmp("etl_src"); val out = tmp("etl_out"); val ckpt = tmp("etl_ckpt")
+    writeChunks(src)
+    val schema = SchemaDsl.fromSpec(eventsSpec)
+    val stream = FileStreams.jsonFileStream(spark, src, schema, maxFilesPerTrigger = 1)
+      .filter(col("event_type") =!= "error")
+      .withColumn("event_date", to_date(col("ts")))
+    val q = FileStreams.startPartitionedParquetSink(stream, out, ckpt, Seq("event_date"))
+    q.awaitTermination()
+
+    val got = spark.read.parquet(out)
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum(col("user_id")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = spark.read.schema(schema).json(src)
+      .filter(col("event_type") =!= "error")
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum(col("user_id")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+    // ST4: the streaming output is a normal queryable partitioned table
+    assert(spark.read.parquet(out).filter(col("event_date") === "2024-01-05").count() > 0)
+  }
+
+  test("ST7: watermarked tumbling-window counts == batch windowed agg") {
+    val src = tmp("win_src")
+    writeChunks(src)
+    val schema = SchemaDsl.fromSpec(eventsSpec)
+    val stream = FileStreams.tumblingCounts(
+      FileStreams.jsonFileStream(spark, src, schema),
+      "ts", "event_type", "1 day", "2 hours")
+    val q = stream.writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Complete()).trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("win_counts")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = spark.read.schema(schema).json(src)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("custom state: mapGroupsWithState per-user aggregate == batch groupBy") {
+    import spark.implicits._
+    val src = tmp("state_src")
+    writeChunks(src)
+    val schema = SchemaDsl.fromSpec(eventsSpec)
+    val typed = FileStreams.jsonFileStream(spark, src, schema)
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)]
+    val counted = typed.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0; var s = s0
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          (user, n, s)
+      }.toDF("user_id", "n", "id_sum")
+    val q = counted.writeStream.format("memory").queryName("user_state")
+      .outputMode(OutputMode.Update()).trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // update-mode memory sink keeps every emitted version; counts are
+    // monotone so the final state per user is the max
+    val got = spark.table("user_state")
+      .groupBy("user_id").agg(max(col("n")).as("n"), max(col("id_sum")).as("id_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = spark.read.schema(schema).json(src)
+      .groupBy("user_id").agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+}
