@@ -26,6 +26,8 @@ object SparkEntry {
     (SimQueries.queries, SimQueries.oracle),
     (IoQueries.queries, IoQueries.oracle),
     (StreamQueries.queries, StreamQueries.oracle),
+    (DqQueries.queries, DqQueries.oracle),
+    (MultimodalQueries.queries, MultimodalQueries.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality rule engine (SURVEY.md §2 A9; ref:
+  * dags/dataswm/utils/dq_utils.py:45-236).
+  *
+  * The reference's three DQ shapes, re-expressed over DataFrames:
+  * violation audit rows (rule filter → MAP(col → value) + rule metadata),
+  * per-column distinct profiles (the day-over-day reconciliation feed),
+  * and new-values-since-yesterday EXCEPT checks. Everything is a plain
+  * DataFrame program — filters and projections push into the scan, the
+  * profile is one aggregate pass, no driver-side row handling.
+  */
+object DataQuality {
+
+  /** Fluent builder mirroring the reference's DQBusinessCheckBuilder
+    * (dq_utils.py:136-236): rows matching `filterExpr` become audit rows
+    * carrying MAP(col name → value AS STRING) plus rule metadata. */
+  final case class DqCheckBuilder(
+      df: Option[DataFrame] = None,
+      ruleName: String = "test",
+      filterExpr: String = "true",
+      cols: Seq[String] = Nil) {
+
+    def setTable(d: DataFrame): DqCheckBuilder = copy(df = Some(d))
+    def setRuleName(n: String): DqCheckBuilder = copy(ruleName = n)
+    def setFilterExpr(e: String): DqCheckBuilder = copy(filterExpr = e)
+    def setInsertCols(c: Seq[String]): DqCheckBuilder = copy(cols = c)
+
+    /** The audit-log DataFrame: (data MAP<string,string>, rule_name). */
+    def build(): DataFrame = {
+      val base = df.getOrElse(throw new IllegalStateException("setTable first"))
+      val kvs = cols.flatMap(c => Seq(lit(c), col(c).cast("string")))
+      base.filter(expr(filterExpr))
+        .select(map(kvs: _*).as("data"), lit(ruleName).as("rule_name"))
+    }
+  }
+
+  def check: DqCheckBuilder = DqCheckBuilder()
+
+  /** Violation audit rows in exploded (row-per-column) form — the
+    * deterministic, engine-portable image of the MAP audit row. */
+  def auditViolations(df: DataFrame, ruleName: String, filterExpr: String,
+                      idCol: String, cols: Seq[String]): DataFrame = {
+    val flagged = df.filter(expr(filterExpr))
+    val arms = cols.map(c => flagged.select(
+      lit(ruleName).as("rule_name"),
+      col(idCol).cast("long").as("row_id"),
+      lit(c).as("col_name"),
+      col(c).cast("string").as("col_value")))
+    arms.reduce(_.unionAll(_))
+  }
+
+  /** Per-column distinct-count profile, one row per column — the
+    * reference's aggregate audit log (dq_utils.py:76-114; exact counts
+    * rather than APPROX_DISTINCT so reconciliation is yes/no, not fuzzy;
+    * swap in approx_count_distinct at trillion-row scale). */
+  def distinctProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val agg = df.agg(
+      countDistinct(col(cols.head)).as(cols.head),
+      cols.tail.map(c => countDistinct(col(c)).as(c)): _*)
+    val stacked = cols.map(c => s"'$c', `$c`").mkString(", ")
+    agg.selectExpr(s"stack(${cols.size}, $stacked) AS (col_name, n_distinct)")
+  }
+
+  /** New distinct values of `valueCol` present in `today` but not in
+    * `yesterday` (dq_utils.py USER_QUERY EXCEPT shape). */
+  def newValues(today: DataFrame, yesterday: DataFrame, valueCol: String): DataFrame =
+    today.select(valueCol).distinct()
+      .except(yesterday.select(valueCol).distinct())
+
+  /** Key reconciliation between two tables: rows only-in-left,
+    * only-in-right, and common — the A9 count validator
+    * (ref: from_api_call_to_columnar_db.py:686-703). One full-outer join
+    * on the key, counted in a single pass. */
+  def reconcileKeys(left: DataFrame, right: DataFrame,
+                    leftKey: String, rightKey: String): DataFrame = {
+    val l = left.select(col(leftKey).as("__k")).distinct()
+      .withColumn("__in_l", lit(1))
+    val r = right.select(col(rightKey).as("__k")).distinct()
+      .withColumn("__in_r", lit(1))
+    l.join(r, Seq("__k"), "outer")
+      .agg(
+        sum(when(col("__in_l").isNotNull && col("__in_r").isNull, 1).otherwise(0))
+          .as("only_left"),
+        sum(when(col("__in_l").isNull && col("__in_r").isNotNull, 1).otherwise(0))
+          .as("only_right"),
+        sum(when(col("__in_l").isNotNull && col("__in_r").isNotNull, 1).otherwise(0))
+          .as("common"))
+  }
+}

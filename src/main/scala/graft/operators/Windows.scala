@@ -51,6 +51,49 @@ object Windows {
     lags.foldLeft(df)((d, n) => d.withColumn(s"$prefix$n", lag(value, n).over(base)))
   }
 
+  /** Global row_number WITHOUT a single-task sort: range-partition on the
+    * order keys (order-contiguous partitions), rank locally per partition,
+    * then add the cumulative row count of earlier partitions — a tiny
+    * P-row frame, broadcast back. Exact when `orderBy` is a strict total
+    * order (pin a tiebreak column). This is the 100 TB replacement for
+    * `Window.orderBy(...)` global ranks, which funnel the whole relation
+    * into one task. */
+  def globalRowNumber(df: DataFrame, orderBy: Seq[Column],
+                      rankCol: String, numParts: Int = 0): DataFrame = {
+    val parts = if (numParts > 0) numParts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(parts, orderBy: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = Window.partitionBy(col("__pid")).orderBy(orderBy: _*)
+    val withLocal = ranged.withColumn("__lrn", row_number().over(local))
+    val counts = withLocal.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    val cum = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts // P rows — the global window here is tiny by design
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(cum), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    withLocal.join(broadcast(offsets), "__pid")
+      .withColumn(rankCol, col("__lrn") + col("__off"))
+      .drop("__pid", "__lrn")
+  }
+
+  /** Exact NTILE(k) built on [[globalRowNumber]] — same tile assignment as
+    * `ntile(k).over(Window.orderBy(...))` (first n%k tiles are one row
+    * larger), with no single-task global sort. */
+  def scalableNtile(df: DataFrame, orderBy: Seq[Column], k: Int,
+                    tileCol: String): DataFrame = {
+    val ranked = globalRowNumber(df, orderBy, "__grn")
+    val total = ranked.agg(count(lit(1)).as("__n"))
+    val size = (col("__n") / k).cast("long")
+    val rem = col("__n") % k
+    val big = size + 1
+    val tile = when(lit(true) && size === 0, col("__grn"))
+      .when(col("__grn") <= big * rem, ((col("__grn") - 1) / big).cast("long") + 1)
+      .otherwise(rem + ((col("__grn") - 1 - big * rem) / size).cast("long") + 1)
+    ranked.crossJoin(broadcast(total))
+      .withColumn(tileCol, tile.cast("int"))
+      .drop("__grn", "__n")
+  }
+
   /** Gaps-and-islands run-group id (W8): a new group starts where
     * `newGroupFlag` is 1; returns df + `groupCol` id assigned per partition
     * key in `orderBy` order (ref: `automl…py:327-375` streaks;

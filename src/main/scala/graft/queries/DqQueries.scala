@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.DataQuality
+import org.apache.spark.sql.functions._
+
+/** Data-quality catalog (A9 + the dq_utils.py rule corpus). */
+object DqQueries {
+
+  val queries: Map[String, Q] = Map(
+    // Violation audit rows: price-bounds rule over orders, exploded
+    // row-per-column like the reference's MAP audit entries.
+    "dq_audit_violations" -> { (s, dir) =>
+      DataQuality.auditViolations(Tables.orders(s, dir),
+          ruleName = "price_bounds",
+          filterExpr = "o_totalprice > 400000.0 OR o_totalprice < 1000.0",
+          idCol = "o_orderkey", cols = Seq("o_orderstatus", "o_totalprice"))
+        .orderBy("row_id", "col_name")
+    },
+
+    // Per-column distinct profile of orders (the aggregate audit feed).
+    "dq_distinct_profile" -> { (s, dir) =>
+      DataQuality.distinctProfile(Tables.orders(s, dir),
+          Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("col_name")
+    },
+
+    // New customer keys in the last order-week vs all time before.
+    "dq_new_values" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val split = "2001-06-01"
+      DataQuality.newValues(
+          o.filter(col("o_orderdate") >= split),
+          o.filter(col("o_orderdate") < split), "o_custkey")
+        .orderBy("o_custkey")
+    },
+
+    // Key reconciliation validator: lineitem orderkeys vs orders.
+    "dq_reconcile_keys" -> { (s, dir) =>
+      DataQuality.reconcileKeys(
+        Tables.lineitem(s, dir), Tables.orders(s, dir),
+        "l_orderkey", "o_orderkey")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dq_audit_violations" ->
+      """WITH flagged AS (
+        |  SELECT * FROM orders
+        |  WHERE o_totalprice > 400000.0 OR o_totalprice < 1000.0)
+        |SELECT * FROM (
+        |  SELECT 'price_bounds' AS rule_name, o_orderkey AS row_id,
+        |    'o_orderstatus' AS col_name, CAST(o_orderstatus AS VARCHAR) AS col_value
+        |  FROM flagged
+        |  UNION ALL
+        |  SELECT 'price_bounds', o_orderkey, 'o_totalprice',
+        |    CAST(o_totalprice AS VARCHAR)
+        |  FROM flagged)
+        |ORDER BY row_id, col_name""".stripMargin,
+
+    "dq_distinct_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_custkey' AS col_name, COUNT(DISTINCT o_custkey) AS n_distinct FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(DISTINCT o_orderstatus) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(DISTINCT o_orderpriority) FROM orders)
+        |ORDER BY col_name""".stripMargin,
+
+    "dq_new_values" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= '2001-06-01'
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < '2001-06-01'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "dq_reconcile_keys" ->
+      """WITH l AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+        |r AS (SELECT DISTINCT o_orderkey AS k FROM orders)
+        |SELECT
+        |  SUM(CASE WHEN r.k IS NULL THEN 1 ELSE 0 END) AS only_left,
+        |  SUM(CASE WHEN l.k IS NULL THEN 1 ELSE 0 END) AS only_right,
+        |  SUM(CASE WHEN l.k IS NOT NULL AND r.k IS NOT NULL THEN 1 ELSE 0 END) AS common
+        |FROM l FULL OUTER JOIN r ON l.k = r.k""".stripMargin
+  )
+}

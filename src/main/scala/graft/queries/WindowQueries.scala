@@ -69,10 +69,12 @@ object WindowQueries {
 
     // W7 NTILE quartiles (ref: mlflow_pymatch_single_node.py:113-114).
     // Total order (acctbal, custkey) pinned so tile assignment is stable.
+    // Computed via the range-partitioned global rank (Windows.scalableNtile)
+    // — the oracle is plain NTILE(4), so a green row proves exact
+    // equivalence without the single-task global-sort window.
     "w7_ntile_quartiles" -> { (s, dir) =>
-      Tables.customer(s, dir)
-        .withColumn("quartile",
-          ntile(4).over(Window.orderBy(col("c_acctbal"), col("c_custkey"))))
+      Windows.scalableNtile(Tables.customer(s, dir),
+          Seq(col("c_acctbal"), col("c_custkey")), 4, "quartile")
         .groupBy("quartile")
         .agg(count(lit(1)).as("n"),
              dsum(col("c_acctbal")).as("total_bal"))
