@@ -57,6 +57,27 @@ object MiscQueries {
         .orderBy(col("event_type"))
     },
 
+    // §2.8 math family: round/floor/ceil/abs/sign/pow/mod in one pass
+    // (exact semantics shared by both engines; round is half-up on
+    // positive doubles in both).
+    "f_math_ops" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(
+          round(col("l_extendedprice") / 7.0, 2).as("r1"),
+          floor(col("l_extendedprice")).as("fl"),
+          ceil(col("l_extendedprice")).as("ce"),
+          abs(col("l_quantity") - 25.0).as("ab"),
+          signum(col("l_quantity") - 25.0).cast("int").as("sg"),
+          pow(col("l_quantity"), 2.0).as("p2"),
+          (col("l_orderkey") % 97).as("md"))
+        .groupBy(col("sg"))
+        .agg(count(lit(1)).as("n"), sum(col("fl")).as("fl_sum"),
+             sum(col("ce")).as("ce_sum"), dsum(col("ab")).as("ab_sum"),
+             dsum(col("p2")).as("p2_sum"), sum(col("md")).as("md_sum"),
+             dsum(col("r1")).as("r1_sum"))
+        .orderBy(col("sg"))
+    },
+
     // inline_outer over a conditionally-empty struct array — empty rows
     // survive with null fields (ref: windowed_lagN…py:119 inline_outer).
     "f_inline_outer" -> { (s, dir) =>
@@ -96,6 +117,22 @@ object MiscQueries {
       """SELECT event_type, COUNT(*) AS n,
         |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "f_math_ops" ->
+      s"""WITH m AS (
+         |  SELECT round(l_extendedprice / 7.0, 2) AS r1,
+         |    CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+         |    CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+         |    abs(l_quantity - 25.0) AS ab,
+         |    CAST(sign(l_quantity - 25.0) AS INT) AS sg,
+         |    pow(l_quantity, 2.0) AS p2,
+         |    l_orderkey % 97 AS md
+         |  FROM lineitem)
+         |SELECT sg, COUNT(*) AS n,
+         |  CAST(SUM(fl) AS BIGINT) AS fl_sum, CAST(SUM(ce) AS BIGINT) AS ce_sum,
+         |  ${sqlDsum("ab")} AS ab_sum, ${sqlDsum("p2")} AS p2_sum,
+         |  CAST(SUM(md) AS BIGINT) AS md_sum, ${sqlDsum("r1")} AS r1_sum
+         |FROM m GROUP BY sg ORDER BY sg""".stripMargin,
 
     "f_inline_outer" ->
       s"""WITH exploded AS (

