@@ -36,10 +36,11 @@ object TextDedup {
     GraftSql.column(graft.functions.MinHashBands(GraftSql.expression(shingles), k, bands))
 
   /** Exact Jaccard similarity of two shingle-array columns (ints divided
-    * in IEEE double — bit-identical across engines). */
+    * in IEEE double — bit-identical across engines). Native one-pass
+    * set-probe — see [[graft.functions.ArrayJaccard]]. */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+    GraftSql.column(graft.functions.ArrayJaccard(
+      GraftSql.expression(a), GraftSql.expression(b)))
 
   /** Candidate pairs (idA < idB) of docs sharing at least one bucket.
     * `buckets` is (id, bucketKey…) with one row per (doc, bucket).
@@ -152,6 +153,10 @@ object TextDedup {
     val sa = shingled.select(col(idCol).as("a"), col("__sh").as("__sha"))
     val sb = shingled.select(col(idCol).as("b"), col("__sh").as("__shb"))
     cand.join(sa, "a").join(sb, "b")
+      // Jaccard ≥ t implies min(|a|,|b|)/max(|a|,|b|) ≥ t — prune with a
+      // scalar compare before paying for the set probe
+      .filter(least(size(col("__sha")), size(col("__shb"))) >=
+        lit(threshold) * greatest(size(col("__sha")), size(col("__shb"))))
       .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
