@@ -62,10 +62,18 @@ object Windows {
                       rankCol: String, numParts: Int = 0): DataFrame = {
     val parts = if (numParts > 0) numParts
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(parts, orderBy: _*)
-      .withColumn("__pid", spark_partition_id())
-    val local = Window.partitionBy(col("__pid")).orderBy(orderBy: _*)
-    val withLocal = ranged.withColumn("__lrn", row_number().over(local))
+    // ONE shuffle: range partition + in-partition sort. The local rank
+    // comes from monotonically_increasing_id's documented layout
+    // (partition index << 33 | in-partition record offset) instead of a
+    // Window.partitionBy(pid), which would re-shuffle the whole relation
+    // a second time on pid.
+    val mask = (1L << 33) - 1
+    val withLocal = df.repartitionByRange(parts, orderBy: _*)
+      .sortWithinPartitions(orderBy: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", call_function("shiftright", col("__mid"), lit(33)))
+      .withColumn("__lrn", col("__mid").bitwiseAND(lit(mask)) + 1)
+      .drop("__mid")
     val counts = withLocal.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
     val cum = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts // P rows — the global window here is tiny by design

@@ -1,0 +1,57 @@
+package graft
+
+/** Physical-plan audits: the scale properties the engine promises are
+  * asserted on the actual executedPlan strings, so a regression that
+  * un-broadcasts a dim, drops a pushed filter, or reintroduces an
+  * all-pairs join fails CI — not just a benchmark eyeball. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("a1: filters push into the parquet scan and unused columns are pruned") {
+    val p = plan("a1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(!p.contains("l_partkey"), "scan reads columns the query never uses")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+  }
+
+  test("j1: dims broadcast — no shuffle of the fact side for nation/region") {
+    val p = plan("j1_star_revenue")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("near-dup pipelines never plan an all-pairs join") {
+    for (q <- Seq("d_minhash_lsh", "d_simhash", "d_ngram_jaccard")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans an NLJ")
+    }
+  }
+
+  test("s_cosine_topk: query side broadcast, corpus not shuffled by a join") {
+    val p = plan("s_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "query vectors should broadcast against the corpus")
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the join")
+  }
+
+  test("w7: global ntile runs without a whole-relation Window sort") {
+    val p = plan("w7_ntile_quartiles")
+    assert(!p.contains("row_number() windowspecdefinition"),
+      "scalableNtile must not fall back to a row_number window")
+    assert(p.contains("rangepartitioning"), "expected a range repartition")
+    // the relation is exchanged only by the range repartition (repeated
+    // subtrees in the static plan are one reused exchange at runtime); a
+    // hash exchange on relation columns would mean a second full shuffle
+    assert(!p.contains("Exchange hashpartitioning(c_"),
+      s"unexpected second full-relation shuffle, plan:\n$p")
+  }
+
+  test("j13: salted join replicates only the dim side, fact scans once") {
+    val p = plan("j13_salted_join")
+    assert("FileScan parquet".r.findAllIn(p).size == 2,
+      "fact or dim scanned more than once")
+  }
+}
