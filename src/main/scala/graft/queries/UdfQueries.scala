@@ -8,6 +8,9 @@ import org.apache.spark.sql.functions._
   * into a case class via an implicit product Encoder). */
 case class EventLine(event_type: String, user_id: Long, value: Double)
 
+/** Struct payload for the F4 struct-returning udf. */
+case class PrioParts(num: Int, label: String)
+
 /** UDF-surface catalog (SURVEY.md §2.10 F1-F4, F8).
   *
   * Everything here is deliberately ALSO expressible with native functions —
@@ -51,6 +54,21 @@ object UdfQueries {
         .orderBy(col("prio_num"))
     },
 
+    // F4 struct-returning udf (the schema-evolution shim shape:
+    // one udf emits several derived fields at once).
+    "f_udf_struct" -> { (s, dir) =>
+      val parsePrio = udf((p: String) => {
+        val parts = p.split("-", 2)
+        PrioParts(parts(0).toInt, if (parts.length > 1) parts(1) else "")
+      })
+      Tables.orders(s, dir)
+        .withColumn("pp", parsePrio(col("o_orderpriority")))
+        .select(col("pp.num").as("prio_num"), col("pp.label").as("prio_label"))
+        .groupBy(col("prio_num"), col("prio_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prio_num"))
+    },
+
     // F8 typed Dataset.map with a case-class Encoder: serialize each event
     // to a delimited log line, then parse it back (logparsing.scala port).
     "f_typed_map_logparse" -> { (s, dir) =>
@@ -84,6 +102,12 @@ object UdfQueries {
       s"""SELECT CAST(string_split(o_orderpriority, '-')[1] AS INT) AS prio_num,
          |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f_udf_struct" ->
+      """SELECT CAST(string_split(o_orderpriority, '-')[1] AS INT) AS prio_num,
+        |  COALESCE(string_split(o_orderpriority, '-')[2], '') AS prio_label,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "f_typed_map_logparse" ->
       s"""SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,

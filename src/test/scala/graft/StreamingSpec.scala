@@ -18,34 +18,42 @@ class StreamingSpec extends SparkSpec {
     p
   }
 
-  private val eventsSpec = "event_id:l;ts:timestamp;user_id:l;event_type:c;value:d"
+  private val eventsSpec = "event_id:l;ts:timestamp;user_id:l;event_type:c;value:d;props:c"
 
   /** events testdata serialized as 3 JSON chunk files (the stream input). */
   private def writeChunks(dir: String): Unit = {
     val ev = Tables.events(spark, sf001)
-      .select("event_id", "ts", "user_id", "event_type", "value")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
     (0 until 3).foreach { i =>
       ev.filter(col("event_id") % 3 === i).coalesce(1)
         .write.mode("append").json(dir)
     }
   }
 
+  /** ST2 transform shape: nested-payload parse + explode + flatten. */
+  private def st2Transform(df: org.apache.spark.sql.DataFrame) =
+    df.filter(col("event_type") =!= "error")
+      .withColumn("event_date", to_date(col("ts")))
+      .select(col("*"), explode(from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType))).as(Seq("prop_key", "prop_val")))
+      .drop("props")
+
   test("ST1-ST4: json file stream -> transform -> partitioned parquet sink == batch") {
     val src = tmp("etl_src"); val out = tmp("etl_out"); val ckpt = tmp("etl_ckpt")
     writeChunks(src)
     val schema = SchemaDsl.fromSpec(eventsSpec)
-    val stream = FileStreams.jsonFileStream(spark, src, schema, maxFilesPerTrigger = 1)
-      .filter(col("event_type") =!= "error")
-      .withColumn("event_date", to_date(col("ts")))
+    val stream = st2Transform(
+      FileStreams.jsonFileStream(spark, src, schema, maxFilesPerTrigger = 1))
     val q = FileStreams.startPartitionedParquetSink(stream, out, ckpt, Seq("event_date"))
     q.awaitTermination()
 
     val got = spark.read.parquet(out)
-      .groupBy("event_type").agg(count(lit(1)).as("n"), sum(col("user_id")).as("us"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum(col("prop_val")).as("pv"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    val want = spark.read.schema(schema).json(src)
-      .filter(col("event_type") =!= "error")
-      .groupBy("event_type").agg(count(lit(1)).as("n"), sum(col("user_id")).as("us"))
+    val want = st2Transform(spark.read.schema(schema).json(src))
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum(col("prop_val")).as("pv"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want && got.nonEmpty)
     // ST4: the streaming output is a normal queryable partitioned table
