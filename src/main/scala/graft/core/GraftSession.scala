@@ -19,6 +19,8 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       // graft's native expressions (minhash/simhash) for SQL-string callers
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

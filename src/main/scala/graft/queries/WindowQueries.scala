@@ -106,6 +106,20 @@ object WindowQueries {
         .groupBy("event_type")
         .agg(max(col("users_10m")).as("peak_users_10m"), count(lit(1)).as("n"))
         .orderBy("event_type")
+    },
+
+    // W6 exact twin: RANGE BETWEEN INTERVAL time frame with a
+    // decimal-exact sliding sum — same frame as w6 but fully oracleable
+    // (DuckDB runs the identical RANGE frame over the same timestamps).
+    "w6b_sliding_range_sum" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("sliding_sum", expr(
+          """CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+            |  PARTITION BY event_type ORDER BY ts
+            |  RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW
+            |) AS DOUBLE)""".stripMargin))
+        .select("event_id", "event_type", "sliding_sum")
+        .orderBy("event_id")
     }
   )
 
@@ -165,6 +179,14 @@ object WindowQueries {
          |  FROM customer)
          |SELECT quartile, COUNT(*) AS n, ${sqlDsum("c_acctbal")} AS total_bal
          |FROM t GROUP BY quartile ORDER BY quartile""".stripMargin,
+
+    "w6b_sliding_range_sum" ->
+      """SELECT event_id, event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY event_type ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW
+        |  ) AS DOUBLE) AS sliding_sum
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "w8_interval_collapse" ->
       """WITH iv AS (

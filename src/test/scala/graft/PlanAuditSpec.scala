@@ -49,6 +49,35 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected second full-relation shuffle, plan:\n$p")
   }
 
+  test("bucketed tables co-locate: join plans with zero exchanges") {
+    import org.apache.spark.sql.functions._
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1") // force a non-broadcast join
+    try {
+      graft.core.Tables.orders(spark, sf001).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_orders_bkt")
+      graft.core.Tables.customer(spark, sf001).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_cust_bkt")
+      val j = spark.table("graft_orders_bkt")
+        .join(spark.table("graft_cust_bkt"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).count()
+      val p = j.queryExecution.executedPlan.toString
+      val joinIdx = p.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected a sort-merge join over buckets:\n$p")
+      assert(!p.substring(joinIdx).contains("Exchange"),
+        s"bucketed join should not shuffle either side:\n$p")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set(thresholdKey, prev)
+      spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS graft_cust_bkt")
+    }
+  }
+
   test("j13: salted join replicates only the dim side, fact scans once") {
     val p = plan("j13_salted_join")
     assert("FileScan parquet".r.findAllIn(p).size == 2,
