@@ -28,6 +28,7 @@ object SparkEntry {
     (StreamQueries.queries, StreamQueries.oracle),
     (DqQueries.queries, DqQueries.oracle),
     (MultimodalQueries.queries, MultimodalQueries.oracle),
+    (PipelineQueries.queries, PipelineQueries.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,53 @@
+package graft.pipelines
+
+import graft.operators.{DedupMerge, RuleJoins, Windows}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.{dec, dsum}
+
+/** Composable re-expressions of the reference's flagship programs
+  * (SURVEY.md §7.0 `pipelines/`) — each a pure DataFrame → DataFrame
+  * stage chain over the testdata star schema, exercised end-to-end by an
+  * oracled query in [[graft.queries.PipelineQueries]].
+  */
+object Pipelines {
+
+  /** usage_analysis.py:179-191 shape: date-window filter → broadcast rate
+    * dim → spend derivation → daily rollup → cumulative spend. The
+    * cumulative window is global-but-small: it runs over the
+    * post-aggregation daily frame (one row per day), never the fact
+    * table. */
+  def usageAnalysis(orders: DataFrame, rates: DataFrame,
+                    from: String, to: String): DataFrame = {
+    val daily = orders
+      .filter(col("o_orderdate").between(from, to))
+      .join(broadcast(rates), Seq("o_orderpriority"))
+      .withColumn("spend", col("o_totalprice") * col("rate"))
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(dsum(col("spend")).as("daily_spend"))
+    val w = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, 0)
+    daily.withColumn("cumulative_spend",
+      sum(dec(col("daily_spend"))).over(w).cast("double"))
+  }
+
+  /** servicenow_api_extract.py:2328-2368 shape: previous snapshot ∪
+    * today's staging → newest version per business key wins. Version
+    * order is pinned (ts, event_id) — the reference leaves equal-ts ties
+    * nondeterministic (SURVEY §7.4-3). */
+  def snapshotIngest(prev: DataFrame, staging: DataFrame): DataFrame =
+    DedupMerge.snapshotMerge(prev, staging, Seq("user_id"),
+      Seq(col("ts"), col("event_id")))
+
+  /** bof_30_migrate.scala:64-110 + 1098-1103 shape: wildcard rule join
+    * with rank-1 tie-keeping priority selection, then a band join on the
+    * measure — both rule tables broadcast. */
+  def ruleMigrate(fact: DataFrame, rules: DataFrame, bands: DataFrame): DataFrame = {
+    val ruled = RuleJoins.wildcardRuleJoin(fact, rules,
+      RuleJoins.wildcardMatch(rules("rp"), fact("o_orderpriority")) &&
+        RuleJoins.wildcardMatch(rules("rs"), fact("o_orderstatus")),
+      Seq("o_orderkey"), col("prio"))
+    RuleJoins.rangeJoin(ruled, bands, col("o_totalprice"),
+      col("lo"), col("hi") - lit(0.000001))
+  }
+}

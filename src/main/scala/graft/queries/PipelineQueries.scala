@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.pipelines.Pipelines
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline catalog — each row proves a whole reference
+  * program's re-expression, not a single operator. */
+object PipelineQueries {
+
+  val queries: Map[String, Q] = Map(
+    // usage_analysis port: windowed spend rollup + cumulative spend.
+    "pl_usage_analysis" -> { (s, dir) =>
+      import s.implicits._
+      val rates = Seq(
+        ("1-URGENT", 1.5), ("2-HIGH", 1.2), ("3-MEDIUM", 1.0),
+        ("4-NOT SPECIFIED", 0.8), ("5-LOW", 0.5)
+      ).toDF("o_orderpriority", "rate")
+      Pipelines.usageAnalysis(Tables.orders(s, dir), rates,
+          from = "1996-01-01", to = "1996-12-31")
+        .orderBy("d")
+    },
+
+    // servicenow snapshot-ingest port: prev ∪ staging, latest per user.
+    "pl_snapshot_ingest" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val cutoff = "2024-01-25"
+      val prevSnapshot = Pipelines.snapshotIngest(
+        ev.filter(col("ts") < cutoff), ev.limit(0)) // day-1 full build
+      Pipelines.snapshotIngest(prevSnapshot, ev.filter(col("ts") >= cutoff))
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    },
+
+    // bof_30 rule-migration port: wildcard rules + price bands composed.
+    "pl_rule_migrate" -> { (s, dir) =>
+      import s.implicits._
+      val rules = Seq(
+        ("1-URGENT", "*", "expedite", 1),
+        ("*",        "F", "archive",  1),
+        ("2-HIGH",   "O", "fast",     2),
+        ("*",        "*", "default",  9)
+      ).toDF("rp", "rs", "label", "prio")
+      val bands = Seq(
+        ("low", 0.0, 100000.0), ("mid", 100000.0, 300000.0),
+        ("high", 300000.0, 1e9)
+      ).toDF("price_band", "lo", "hi")
+      Pipelines.ruleMigrate(Tables.orders(s, dir), rules, bands)
+        .groupBy(col("label"), col("price_band"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("label"), col("price_band"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "pl_usage_analysis" ->
+      s"""WITH rates(o_orderpriority, rate) AS (VALUES
+         |  ('1-URGENT', 1.5), ('2-HIGH', 1.2), ('3-MEDIUM', 1.0),
+         |  ('4-NOT SPECIFIED', 0.8), ('5-LOW', 0.5)),
+         |daily AS (
+         |  SELECT o.o_orderdate AS d,
+         |    ${sqlDsum("o.o_totalprice * r.rate")} AS daily_spend
+         |  FROM orders o JOIN rates r USING (o_orderpriority)
+         |  WHERE o.o_orderdate BETWEEN '1996-01-01' AND '1996-12-31'
+         |  GROUP BY o.o_orderdate)
+         |SELECT d, daily_spend,
+         |  CAST(SUM(CAST(daily_spend AS DECIMAL(18,6))) OVER (
+         |    ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         |  ) AS DOUBLE) AS cumulative_spend
+         |FROM daily ORDER BY d""".stripMargin,
+
+    "pl_snapshot_ingest" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, value
+        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "pl_rule_migrate" ->
+      s"""WITH rules(rp, rs, label, prio) AS (VALUES
+         |  ('1-URGENT', '*', 'expedite', 1),
+         |  ('*',        'F', 'archive',  1),
+         |  ('2-HIGH',   'O', 'fast',     2),
+         |  ('*',        '*', 'default',  9)),
+         |bands(price_band, lo, hi) AS (VALUES
+         |  ('low', 0.0, 100000.0), ('mid', 100000.0, 300000.0),
+         |  ('high', 300000.0, 1e9)),
+         |j AS (
+         |  SELECT o.o_orderkey, o.o_totalprice, r.label, r.prio
+         |  FROM orders o LEFT JOIN rules r
+         |    ON (r.rp = '*' OR r.rp = o.o_orderpriority)
+         |   AND (r.rs = '*' OR r.rs = o.o_orderstatus)),
+         |rk AS (
+         |  SELECT *, RANK() OVER (PARTITION BY o_orderkey ORDER BY prio) AS rnk
+         |  FROM j),
+         |banded AS (
+         |  SELECT rk.label, b.price_band, rk.o_totalprice
+         |  FROM rk LEFT JOIN bands b
+         |    ON rk.o_totalprice >= b.lo AND rk.o_totalprice <= b.hi - 0.000001
+         |  WHERE rk.rnk = 1)
+         |SELECT label, price_band, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+         |FROM banded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

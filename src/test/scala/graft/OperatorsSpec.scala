@@ -96,4 +96,19 @@ class OperatorsSpec extends SparkSpec {
       ("US", "gold", "any-gold"), ("US", "gold", "us-any"), // tie kept
       ("US", "silver", "us-any")))
   }
+
+  test("Normalize: nullIfBlank / blankIfNull / isBlank") {
+    import graft.operators.Normalize
+    val df = Seq(("a"), (""), ("  "), (null: String)).toDF("v")
+      .select(
+        Normalize.nullIfBlank(col("v")).as("nb"),
+        Normalize.blankIfNull(col("v")).as("bn"),
+        Normalize.isBlank(col("v")).as("ib"))
+    val rows = df.collect().map(r => (Option(r.getString(0)), r.getString(1), r.getBoolean(2)))
+    assert(rows.toSeq == Seq(
+      (Some("a"), "a", false),
+      (None, "", true),
+      (None, "  ", true),
+      (None, "", true)))
+  }
 }
