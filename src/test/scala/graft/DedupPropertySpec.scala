@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{TextDedup, Windows}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Property tests: the bucketed operators must equal their brute-force /
+  * single-task definitions on randomized corpora (fixed seeds — the
+  * corpus is deterministic, so these are stable). */
+class DedupPropertySpec extends SparkSpec {
+
+  /** 200 random docs + 20 planted near-dup pairs (1-word edits of 60-120
+    * word docs → Jaccard ≳ 0.9). Docs are deliberately NOT shorter:
+    * simhash's Hamming ≤ 12 recall guarantee erodes below ~0.85 Jaccard
+    * (a 1-word edit of a 30-word doc can land at Hamming 13+), which is
+    * exactly why d_simhash ships with the widest banded tolerance. */
+  private lazy val corpus: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector.tabulate(60)(i => s"w$i")
+    def doc(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0L until 200L).map(i => i -> doc(60 + rnd.nextInt(60)))
+    val dups = (0 until 20).map { i =>
+      val (_, text) = base(rnd.nextInt(base.size))
+      val words = text.split(" ").toBuffer
+      words(rnd.nextInt(words.size)) = vocab(rnd.nextInt(vocab.size)) // 1-word edit
+      (200L + i) -> words.mkString(" ")
+    }
+    base ++ dups
+  }
+
+  private def exactPairs(threshold: Double): Set[(Long, Long)] = {
+    def shingles(t: String): Set[Seq[String]] =
+      t.split(" ").sliding(3).map(_.toSeq).toSet
+    val sh = corpus.map { case (id, t) => id -> shingles(t) }
+    (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      inter = (sa & sb).size
+      if inter > 0 && inter.toDouble / (sa | sb).size >= threshold
+    } yield (a, b)).toSet
+  }
+
+  test("minhashLshPairs == driver-side brute-force exact Jaccard") {
+    import spark.implicits._
+    val docs = corpus.toDF("doc_id", "text")
+    val got = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exactPairs(0.7) && got.nonEmpty)
+  }
+
+  test("simhashPairs == { pairs with Hamming <= maxHamming AND Jaccard >= t }") {
+    import spark.implicits._
+    val docs = corpus.toDF("doc_id", "text")
+    val got = TextDedup.simhashPairs(docs, "doc_id", "text",
+        shingleN = 3, maxHamming = 12, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the operator's exact contract: banded recall is guaranteed for
+    // Hamming <= maxHamming (pigeonhole), then the exact-Jaccard filter
+    val sims = docs
+      .select(col("doc_id"),
+        TextDedup.simhash64(TextDedup.wordShingles(col("text"), 3)).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = exactPairs(0.5).filter { case (a, b) =>
+      java.lang.Long.bitCount(sims(a) ^ sims(b)) <= 12
+    }
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("globalRowNumber / scalableNtile == single-task window equivalents") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = Seq.fill(5000)((rnd.nextInt(1000), rnd.nextLong())).zipWithIndex
+      .map { case ((v, salt), i) => (i.toLong, v, salt) }
+      .toDF("id", "v", "salt")
+    val order = Seq(col("v"), col("id"))
+
+    val gotRank = Windows.globalRowNumber(df, order, "rn")
+      .select("id", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val wantRank = df.withColumn("rn",
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+      .select("id", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotRank == wantRank)
+
+    for (k <- Seq(3, 4, 7, 16)) {
+      val got = Windows.scalableNtile(df, order, k, "tile")
+        .select("id", "tile").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      val want = df.withColumn("tile", ntile(k).over(Window.orderBy(order: _*)))
+        .select("id", "tile").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(got == want, s"ntile($k) mismatch")
+    }
+  }
+}
