@@ -126,6 +126,23 @@ object JoinQueries {
         .orderBy(col("label"))
     },
 
+    // J17 second star shape over the supply side: lineitem ⋈ part ⋈
+    // supplier ⋈ nation (TPC-H Q9-ish). part/supplier shuffle-join on
+    // their keys (they grow with the catalog at scale); nation broadcasts.
+    "j18_part_supplier_star" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir).select("p_partkey", "p_brand")
+      val su = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"), col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+             dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("n_name"), col("p_brand"))
+    },
+
     // J4 right outer join (ref: sap_bw_api.scala:318).
     "j4_right_outer" -> { (s, dir) =>
       val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "P")
@@ -234,6 +251,16 @@ object JoinQueries {
          |  SELECT *, RANK() OVER (PARTITION BY o_orderkey ORDER BY prio) AS rnk FROM j)
          |SELECT label, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
          |FROM rk WHERE rnk = 1 GROUP BY label ORDER BY label""".stripMargin,
+
+    "j18_part_supplier_star" ->
+      s"""SELECT n.n_name, p.p_brand, COUNT(*) AS n_lines,
+         |  ${sqlDsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+         |FROM lineitem l
+         |JOIN part p ON l.l_partkey = p.p_partkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |GROUP BY n.n_name, p.p_brand
+         |ORDER BY n.n_name, p.p_brand""".stripMargin,
 
     "j4_right_outer" ->
       """SELECT c.c_mktsegment, COUNT(o.o_orderkey) AS n_p_orders, COUNT(*) AS n_rows
