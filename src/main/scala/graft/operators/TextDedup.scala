@@ -101,19 +101,33 @@ object TextDedup {
                    threshold: Double = 0.5, numBands: Int = 16): DataFrame = {
     require(64 % numBands == 0, "numBands must divide 64")
     require(maxHamming < numBands, s"banded recall only guaranteed to Hamming ${numBands - 1}")
+    require(threshold >= 0.5, "length-block recall requires threshold >= 0.5")
     val width = 64 / numBands
     val mask = (1L << width) - 1
     val sh = docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
-    val sims = sh.select(col(idCol), simhash64(col("__sh")).as("__sim"))
-    val banded = sims.select(col(idCol), col("__sim"), posexplode(
-        transform(sequence(lit(0), lit(numBands - 1)),
+    val sims = sh.select(col(idCol), size(col("__sh")).as("__n"),
+      simhash64(col("__sh")).as("__sim"))
+    // Narrow bands have few distinct values (a 4-bit band: 16), so a band
+    // key alone buckets O(N) docs. Compose a log2(shingle-count) block
+    // into the key: Jaccard ≥ t ≥ 0.5 forces a size ratio ≥ t, i.e. the
+    // two docs' log2 sizes differ by < 1 — emitting each doc under
+    // floor(log2 n) and floor(log2 n)+1 guarantees every output pair
+    // still shares a bucket while bucket sizes drop by the number of
+    // distinct size classes.
+    val banded = sims
+      .select(col(idCol), col("__sim"),
+        explode(array(floor(log(2.0, col("__n"))),
+                      floor(log(2.0, col("__n"))) + 1)).as("__lblk"))
+      .select(col(idCol), col("__sim"), col("__lblk"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
           j => call_function("shiftright", col("__sim"), j * width).bitwiseAND(lit(mask)))))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bval")
     val x = banded.alias("__sim_x"); val y = banded.alias("__sim_y")
     val cand = x.join(y,
         col("__sim_x.__band") === col("__sim_y.__band") &&
         col("__sim_x.__bval") === col("__sim_y.__bval") &&
+        col("__sim_x.__lblk") === col("__sim_y.__lblk") &&
         col(s"__sim_x.$idCol") < col(s"__sim_y.$idCol"))
       .filter(bit_count(col("__sim_x.__sim").bitwiseXOR(col("__sim_y.__sim"))) <= maxHamming)
       .select(col(s"__sim_x.$idCol").as("a"), col(s"__sim_y.$idCol").as("b"))
