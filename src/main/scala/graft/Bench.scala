@@ -7,7 +7,8 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = graft.core.GraftSession.local(cpus, "graft-bench")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // untimed warm-up: session init + codegen/JIT otherwise lands on the

@@ -5,7 +5,8 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
     // Must use the engine session factory: it sets nanosAsLong (events.ts
     // is TIMESTAMP(NANOS) parquet — unreadable without it) and ANSI off
     // (Spark 4 defaults ANSI on; reference semantics are null-on-error).
