@@ -78,6 +78,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("whole catalog: no query ever plans a non-broadcast cartesian product") {
+    // io_/st_ queries run real writes when constructed — their plans are
+    // simple scans/aggs over their own output; skip the side effects here
+    val pure = SparkEntry.queries.keys.filterNot(n =>
+      n.startsWith("io_") || n.startsWith("st_"))
+    for (name <- pure) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — an all-pairs shuffle at scale")
+    }
+  }
+
   test("j13: salted join replicates only the dim side, fact scans once") {
     val p = plan("j13_salted_join")
     assert("FileScan parquet".r.findAllIn(p).size == 2,
