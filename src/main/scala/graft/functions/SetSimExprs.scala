@@ -6,13 +6,13 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Exact Jaccard similarity of two duplicate-free `array<string>` columns
-  * in one pass: hash-set of the smaller side, probe with the larger,
-  * |∩| / (|a|+|b|-|∩|). The composed
-  * `size(array_intersect)/size(array_union)` form allocates two
-  * intermediate arrays per row — on millions of candidate pairs the
-  * allocation dominates; this runs set-build + probe only.
-  * Inputs MUST be duplicate-free (graft's shingle expressions are).
+/** Exact Jaccard similarity of two `array<string>` columns in one pass:
+  * hash-set build + probe, |∩| / |∪| over DISTINCT elements — the same
+  * value as `size(array_intersect(a,b))/size(array_union(a,b))` (both
+  * built-ins dedup), without allocating the two intermediate arrays per
+  * row, which dominates on millions of candidate pairs. The
+  * [[graft.plans.GraftExtensions]] optimizer rule rewrites the composed
+  * form into this expression.
   */
 case class ArrayJaccard(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -21,21 +21,21 @@ case class ArrayJaccard(left: Expression, right: Expression)
   override def prettyName: String = "graft_array_jaccard"
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
-    var a = l.asInstanceOf[ArrayData]
-    var b = r.asInstanceOf[ArrayData]
-    if (a.numElements() > b.numElements()) { val t = a; a = b; b = t }
-    val na = a.numElements(); val nb = b.numElements()
-    if (na == 0) return if (nb == 0) 1.0 else 0.0
-    val set = new java.util.HashSet[UTF8String](na * 2)
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val setA = new java.util.HashSet[UTF8String](a.numElements() * 2)
     var i = 0
-    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    while (i < a.numElements()) { setA.add(a.getUTF8String(i)); i += 1 }
+    val setB = new java.util.HashSet[UTF8String](b.numElements() * 2)
     var inter = 0
     var j = 0
-    while (j < nb) {
-      if (set.contains(b.getUTF8String(j))) inter += 1
+    while (j < b.numElements()) {
+      val s = b.getUTF8String(j)
+      if (setB.add(s) && setA.contains(s)) inter += 1
       j += 1
     }
-    inter.toDouble / (na + nb - inter).toDouble
+    val union = setA.size + setB.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union.toDouble
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,

@@ -1,10 +1,37 @@
 package graft.plans
 
-import graft.functions.{MinHashBands, SimHash64}
+import graft.functions.{ArrayJaccard, MinHashBands, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, ArrayUnion, Cast, Divide, Expression, ExpressionInfo, Literal, Size}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType, ArrayType}
+
+/** Optimizer rule: fuse the hand-written Jaccard pattern
+  * `size(array_intersect(a,b)) / size(array_union(a,b))` (any cast
+  * arrangement producing a double) into the one-pass native
+  * [[ArrayJaccard]] — same value (both built-ins dedup), no intermediate
+  * array allocations. String arrays only. */
+object JaccardFusionRule extends Rule[LogicalPlan] {
+  private def isStringArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+  private object SizeOf {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case Cast(Size(c, _), DoubleType, _, _) => Some(c)
+      case Size(c, _) => Some(c)
+      case _ => None
+    }
+  }
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case Divide(SizeOf(ArrayIntersect(a, b)), SizeOf(ArrayUnion(a2, b2)), _)
+        if a.semanticEquals(a2) && b.semanticEquals(b2) &&
+          isStringArray(a) && isStringArray(b) =>
+      ArrayJaccard(a, b)
+  }
+}
 
 /** SparkSessionExtensions entry point — makes graft's native expressions
   * callable from SQL strings on sessions built with
@@ -21,6 +48,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => JaccardFusionRule)
+
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),

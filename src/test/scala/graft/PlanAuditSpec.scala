@@ -78,6 +78,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("optimizer rule fuses size(intersect)/size(union) into graft_array_jaccard") {
+    import org.apache.spark.sql.functions._
+    // parquet-backed input so constant folding can't pre-evaluate the rows
+    val docs = graft.core.Tables.documents(spark, sf001).limit(50)
+      .select(col("doc_id"),
+        split(col("text"), " ").as("l"),
+        reverse(split(col("text"), " ")).as("r"))
+      .withColumn("j", size(array_intersect(col("l"), col("r"))).cast("double") /
+        size(array_union(col("l"), col("r"))).cast("double"))
+    assert(docs.queryExecution.optimizedPlan.toString.contains("graft_array_jaccard"),
+      "fusion rule did not fire")
+    // same word multiset reversed → identical distinct sets → Jaccard 1
+    assert(docs.select("j").collect().forall(_.getDouble(0) == 1.0))
+  }
+
   test("whole catalog: no query ever plans a non-broadcast cartesian product") {
     // io_/st_ queries run real writes when constructed — their plans are
     // simple scans/aggs over their own output; skip the side effects here
