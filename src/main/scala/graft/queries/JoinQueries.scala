@@ -164,6 +164,27 @@ object JoinQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // As-of (point-in-time) join: each purchase event picks up the
+    // latest prior-or-simultaneous view by the same user — the
+    // training-data feature-lookup shape, composed as union+window (one
+    // shuffle, no range join). Oracle is DuckDB's native ASOF JOIN.
+    "j19_asof_events" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      val viewsUnique = graft.operators.Windows.dedupLatest(
+        views, Seq("user_id", "ts"), Seq(col("view_id")))
+      graft.operators.AsOf.asofJoin(purchases, viewsUnique,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightVals = Seq("view_id", "view_value"))
+        .select("event_id", "user_id", "view_id", "view_value")
+        .orderBy("event_id")
+    },
+
     // J10 interval-overlap self join (ref: overlap_query_no_recursive_cte_
     // needed.sql:7-17): pairs of orders by the same customer within 7 days.
     "j10_interval_overlap_self" -> { (s, dir) =>
@@ -276,6 +297,20 @@ object JoinQueries {
         |FROM orders o JOIN mx ON o.o_custkey = mx.o_custkey
         |                     AND o.o_orderdate = mx.o_orderdate
         |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin,
+
+    "j19_asof_events" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id AS view_id, value AS view_value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'view'),
+        |vd AS (SELECT user_id, ts, view_id, view_value FROM v WHERE rn = 1),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, vd.view_id, vd.view_value
+        |FROM p ASOF LEFT JOIN vd
+        |  ON p.user_id = vd.user_id AND p.ts >= vd.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "j10_interval_overlap_self" ->
       """SELECT a.o_custkey AS custkey, a.o_orderkey AS k1, b.o_orderkey AS k2

@@ -97,6 +97,22 @@ class OperatorsSpec extends SparkSpec {
       ("US", "silver", "us-any")))
   }
 
+  test("asofJoin: latest right at-or-before left ts; null when none; inclusive ties") {
+    import graft.operators.AsOf
+    val left = Seq((1, 10, "p1"), (1, 5, "p0"), (1, 20, "p2"), (2, 7, "q0"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1, 10, "r10"), (1, 15, "r15"), (3, 1, "zzz"))
+      .toDF("k", "rt", "rv")
+    val got = AsOf.asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv"))
+      .select("k", "t", "tag", "rv").orderBy("k", "t").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), Option(r.getString(3)))).toSeq
+    assert(got == Seq(
+      (1, 5, "p0", None),          // no right row yet
+      (1, 10, "p1", Some("r10")),  // equal ts is inclusive
+      (1, 20, "p2", Some("r15")),  // latest prior wins
+      (2, 7, "q0", None)))         // key with no right side
+  }
+
   test("Normalize: nullIfBlank / blankIfNull / isBlank") {
     import graft.operators.Normalize
     val df = Seq(("a"), (""), ("  "), (null: String)).toDF("v")
