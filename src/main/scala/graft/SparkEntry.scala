@@ -29,6 +29,7 @@ object SparkEntry {
     (DqQueries.queries, DqQueries.oracle),
     (MultimodalQueries.queries, MultimodalQueries.oracle),
     (PipelineQueries.queries, PipelineQueries.oracle),
+    (DataPrepQueries.queries, DataPrepQueries.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.Windows
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation catalog: sessionization, deterministic
+  * stratified sampling, and sequence packing — the event/document-shaping
+  * ops a large-scale data pipeline runs between dedup and training.
+  */
+object DataPrepQueries {
+
+  private val Knuth = 2654435761L
+
+  val queries: Map[String, Q] = Map(
+    // Sessionization: per-user sessions split on >30 min inactivity
+    // (gaps-and-islands over event time, one shuffle on user_id).
+    "e_sessionize" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts", "event_id")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // exact integer microseconds on both engines (cast-to-seconds would
+      // truncate differently than DuckDB's fractional epoch())
+      val flagged = ev.withColumn("__new_session",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >
+            1800L * 1000000L, 1)
+          .otherwise(0))
+      Windows.runGroups(flagged, col("__new_session"), "session_id",
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts")).as("session_start"),
+             max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // Deterministic stratified sampling: arithmetic hash on the id (both
+    // engines reproduce it exactly — no rand()), per-lang rates. The
+    // sampling decision is a pure per-row expression: fully distributed,
+    // restartable, and stable across runs — the property a training-data
+    // pipeline needs for reproducible corpus cuts.
+    "t_stratified_sample" -> { (s, dir) =>
+      val rate = when(col("lang") === "en", 10).otherwise(50)
+      Tables.documents(s, dir)
+        .filter((col("doc_id") * Knuth) % 100 < rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    },
+
+    // Sequence packing: greedy token-budget binning per lang — docs in
+    // doc_id order accumulate whitespace-token counts; a doc starts in
+    // bin floor(exclusive-cumsum / budget). One window per lang
+    // partition; bins then roll up.
+    "t_pack_sequences" -> { (s, dir) =>
+      val budget = 512
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("n_tok"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs
+        .withColumn("bin",
+          (coalesce(sum(col("n_tok")).over(w), lit(0L)) / budget).cast("long"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+        .orderBy(col("lang"), col("bin"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, event_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "t_stratified_sample" ->
+      """SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS chars
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 100 <
+        |      CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |binned AS (
+        |  SELECT lang, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS bin
+        |  FROM toks)
+        |SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tok) AS tok_sum
+        |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
+  )
+}
