@@ -30,6 +30,7 @@ object SparkEntry {
     (MultimodalQueries.queries, MultimodalQueries.oracle),
     (PipelineQueries.queries, PipelineQueries.oracle),
     (DataPrepQueries.queries, DataPrepQueries.oracle),
+    (OlapQueries.queries, OlapQueries.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
