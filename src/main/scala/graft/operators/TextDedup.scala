@@ -97,7 +97,7 @@ object TextDedup {
     * 4×16-bit bands for far fewer candidates.
     * Output: (a, b, jaccard), a < b. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int = 3, maxHamming: Int = 12,
+                   shingleN: Int = 3, maxHamming: Int = 15,
                    threshold: Double = 0.5, numBands: Int = 16): DataFrame = {
     require(64 % numBands == 0, "numBands must divide 64")
     require(maxHamming < numBands, s"banded recall only guaranteed to Hamming ${numBands - 1}")

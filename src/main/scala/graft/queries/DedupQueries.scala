@@ -47,11 +47,14 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
-    // SimHash near-dup pairs: 64-bit signature, 16×4-bit bands (guaranteed
-    // recall to Hamming 15), exact Jaccard ≥ 0.5 as the output contract.
+    // SimHash near-dup pairs: 64-bit signature, 16×4-bit bands with the
+    // full Hamming ≤ 15 tolerance the banding guarantees, exact Jaccard
+    // ≥ 0.5 as the output contract. Very short near-dup docs can exceed
+    // Hamming 15 at Jaccard ~0.89 — simhash's inherent boundary (see
+    // DedupPropertySpec); MinHash-LSH is the full-recall operator.
     "d_simhash" -> { (s, dir) =>
       TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
-          shingleN = 3, maxHamming = 12, threshold = 0.5)
+          shingleN = 3, maxHamming = 15, threshold = 0.5)
         .orderBy("a", "b")
     },
 
