@@ -24,8 +24,16 @@ object JdbcIO {
         spark.read.jdbc(url, table, props)
     }
 
+  /** `maxConnections` caps sink parallelism (each partition opens one
+    * connection; the reference caps at 10 —
+    * fmaps_from_hive_insert_mysql.py:143-144). */
   def write(df: DataFrame, url: String, table: String,
             mode: SaveMode = SaveMode.Overwrite,
-            props: java.util.Properties = new java.util.Properties()): Unit =
-    df.write.mode(mode).jdbc(url, table, props)
+            maxConnections: Int = 10,
+            props: java.util.Properties = new java.util.Properties()): Unit = {
+    val capped =
+      if (df.rdd.getNumPartitions > maxConnections) df.coalesce(maxConnections)
+      else df
+    capped.write.mode(mode).jdbc(url, table, props)
+  }
 }
