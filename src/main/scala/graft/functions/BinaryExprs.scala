@@ -1,8 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
 /** Byte-level feature extraction over `binary` columns — the multimodal
@@ -14,22 +13,16 @@ import org.apache.spark.sql.types._
 
 /** 16-bin histogram of a binary payload by high nibble (byte >> 4):
   * array<long> of length 16. Null payload → null. */
-case class ByteBinCounts(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class ByteBinCounts(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_byte_bin_counts"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
-    val bins = new Array[Long](16)
-    var i = 0
-    while (i < bytes.length) {
-      bins((bytes(i) & 0xff) >>> 4) += 1
-      i += 1
-    }
-    new GenericArrayData(bins)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    NativeEval.byteBinCounts(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeEval.byteBinCounts($c)")
 
   override protected def withNewChildInternal(newChild: Expression): ByteBinCounts =
     copy(child = newChild)
@@ -37,23 +30,17 @@ case class ByteBinCounts(child: Expression)
 
 /** Every `stride`-th byte of a binary payload — the frame-sampling /
   * thumbnail analogue for opaque media payloads. */
-case class ByteSample(child: Expression, stride: Int)
-    extends UnaryExpression with CodegenFallback {
+case class ByteSample(child: Expression, stride: Int) extends UnaryExpression {
   require(stride > 0)
 
   override def dataType: DataType = BinaryType
   override def prettyName: String = "graft_byte_sample"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
-    val out = new Array[Byte]((bytes.length + stride - 1) / stride)
-    var i = 0
-    while (i < out.length) {
-      out(i) = bytes(i * stride)
-      i += 1
-    }
-    out
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    NativeEval.byteSample(input.asInstanceOf[Array[Byte]], stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeEval.byteSample($c, $stride)")
 
   override protected def withNewChildInternal(newChild: Expression): ByteSample =
     copy(child = newChild)

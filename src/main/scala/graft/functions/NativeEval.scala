@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static eval kernels for graft's native expressions. A plain object
+  * (no companion class) gets JVM static forwarders, so generated code can
+  * call `graft.functions.NativeEval.simhash64(x)` directly — which lets
+  * every expression implement real `doGenCode` instead of
+  * CodegenFallback, keeping the enclosing projection inside whole-stage
+  * codegen with zero per-row boxing beyond the kernel call.
+  */
+object NativeEval {
+
+  private val space = UTF8String.fromString(" ")
+
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val words = text.split(space, -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= words.length - n) {
+      seen.add(UTF8String.concatWs(space, java.util.Arrays.copyOfRange(words, i, i + n): _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  def charShingles(s: UTF8String, n: Int): ArrayData = {
+    val len = s.numChars()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= len - n) {
+      seen.add(s.substring(i, i + n))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  def minhashBands(arr: ArrayData, k: Int, bands: Int): ArrayData = {
+    val n = arr.numElements()
+    val h1 = new Array[Long](n)
+    val h2 = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      h1(i) = XXH64.hashUTF8String(s, DedupExprs.DefaultSeed)
+      h2(i) = XXH64.hashUTF8String(s, DedupExprs.AltSeed)
+      i += 1
+    }
+    val sig = new Array[Long](k)
+    var t = 0
+    while (t < k) {
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = h1(j) + t * h2(j)
+        if (v < mn) mn = v
+        j += 1
+      }
+      sig(t) = mn
+      t += 1
+    }
+    val r = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = DedupExprs.DefaultSeed
+      var j = 0
+      while (j < r) {
+        acc = XXH64.hashLong(sig(b * r + j), acc)
+        j += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def simhash64(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(arr.getUTF8String(i), DedupExprs.DefaultSeed)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counts(bit) >= 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  def arrayJaccard(a: ArrayData, b: ArrayData): Double = {
+    val setA = new java.util.HashSet[UTF8String](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) { setA.add(a.getUTF8String(i)); i += 1 }
+    val setB = new java.util.HashSet[UTF8String](b.numElements() * 2)
+    var inter = 0
+    var j = 0
+    while (j < b.numElements()) {
+      val s = b.getUTF8String(j)
+      if (setB.add(s) && setA.contains(s)) inter += 1
+      j += 1
+    }
+    val union = setA.size + setB.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union.toDouble
+  }
+
+  def byteBinCounts(bytes: Array[Byte]): ArrayData = {
+    val bins = new Array[Long](16)
+    var i = 0
+    while (i < bytes.length) {
+      bins((bytes(i) & 0xff) >>> 4) += 1
+      i += 1
+    }
+    new GenericArrayData(bins)
+  }
+
+  def byteSample(bytes: Array[Byte], stride: Int): Array[Byte] = {
+    val out = new Array[Byte]((bytes.length + stride - 1) / stride)
+    var i = 0
+    while (i < out.length) {
+      out(i) = bytes(i * stride)
+      i += 1
+    }
+    out
+  }
+}
