@@ -46,6 +46,26 @@ class SourcesSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("S16: external partitioned table registers partitions via MSCK REPAIR") {
+    val path = tmp("reg")
+    FileIO.writePartitioned(
+      graft.core.Tables.orders(spark, sf001), path, Seq("o_orderstatus"))
+    spark.sql("DROP TABLE IF EXISTS graft_orders_ext")
+    spark.sql(
+      s"""CREATE TABLE graft_orders_ext (
+         |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+         |  o_orderdate TIMESTAMP, o_orderpriority STRING, o_orderstatus STRING)
+         |USING parquet PARTITIONED BY (o_orderstatus)
+         |LOCATION '$path'""".stripMargin)
+    // external tables see no partitions until they are registered
+    spark.sql("MSCK REPAIR TABLE graft_orders_ext")
+    val parts = spark.sql("SHOW PARTITIONS graft_orders_ext").count()
+    assert(parts >= 2, s"expected discovered partitions, got $parts")
+    val n = spark.table("graft_orders_ext").count()
+    assert(n == graft.core.Tables.orders(spark, sf001).count())
+    spark.sql("DROP TABLE graft_orders_ext")
+  }
+
   test("synthetic generator is deterministic and distributed") {
     val a = Synthetic.table(spark, 1000L).collect().sortBy(_.getLong(0))
     val b = Synthetic.table(spark, 1000L).collect().sortBy(_.getLong(0))
