@@ -11,6 +11,47 @@ import org.apache.spark.sql.SparkSession
   * time zone for deterministic date semantics.
   */
 object GraftSession {
+
+  /** Cluster-profile conf set for the 100 TB target (applied on top of a
+    * user-provided builder; local() uses the laptop-profile values).
+    * Rationale per key:
+    *   - shuffle.partitions 2000: ~50 GB/partition at 100 TB input after
+    *     pruning; AQE coalesces small stages back down, so oversizing is
+    *     cheap and undersizing spills.
+    *   - maxPartitionBytes 256m: scan tasks sized so a row-group decode +
+    *     codegen buffers fit comfortably in a 4-8 GB executor heap.
+    *   - advisoryPartitionSizeInBytes 128m: AQE's post-shuffle target.
+    *   - autoBroadcastJoinThreshold 50m: the reference's production value
+    *     (sas_conversion…sql:3-27); dims to ~50 MB broadcast instead of
+    *     shuffling the fact side.
+    *   - skewJoin thresholds: split any post-filter partition >512 MB or
+    *     >5× median — supersedes manual salting for most skew.
+    */
+  val clusterProfile: Map[String, String] = Map(
+    "spark.sql.shuffle.partitions" -> "2000",
+    "spark.sql.files.maxPartitionBytes" -> "268435456",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "134217728",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "536870912",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "5",
+    "spark.sql.autoBroadcastJoinThreshold" -> "52428800",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.ansi.enabled" -> "false")
+
+  /** Apply the cluster profile to a caller-supplied builder (the caller
+    * sets master/deploy specifics; this pins the engine's semantics and
+    * scale confs). */
+  def cluster(builder: SparkSession.Builder): SparkSession = {
+    val b = clusterProfile.foldLeft(builder) { case (bb, (k, v)) => bb.config(k, v) }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
             appName: String = "graft"): SparkSession = {
     val s = SparkSession.builder()

@@ -39,6 +39,17 @@ object Pipelines {
     DedupMerge.snapshotMerge(prev, staging, Seq("user_id"),
       Seq(col("ts"), col("event_id")))
 
+  /** pbi_airport_rls_example.py shape: row-level security — a
+    * (principal, user) mapping table restricts the fact to the rows a
+    * user may see, as a broadcast semi join (the fact is filtered in
+    * place, never shuffled; the security table is tiny by nature). */
+  def rlsRestrict(fact: DataFrame, security: DataFrame, principalCol: String,
+                  user: String): DataFrame = {
+    val allowed = security.filter(col("user") === user).select("principal")
+    fact.join(broadcast(allowed),
+      fact(principalCol) === allowed("principal"), "left_semi")
+  }
+
   /** bof_30_migrate.scala:64-110 + 1098-1103 shape: wildcard rule join
     * with rank-1 tie-keeping priority selection, then a band join on the
     * measure — both rule tables broadcast. */

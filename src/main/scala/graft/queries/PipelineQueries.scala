@@ -33,6 +33,22 @@ object PipelineQueries {
         .orderBy("user_id")
     },
 
+    // Row-level-security port: per-user nation visibility via a security
+    // mapping table, broadcast semi join, then the user's revenue view.
+    "pl_rls_filter" -> { (s, dir) =>
+      import s.implicits._
+      val security = Seq(
+        (1, "analyst@example.com"), (4, "analyst@example.com"),
+        (9, "analyst@example.com"), (2, "admin@example.com")
+      ).toDF("principal", "user")
+      val visible = Pipelines.rlsRestrict(
+        Tables.customer(s, dir), security, "c_nationkey", "analyst@example.com")
+      visible.join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_nationkey"))
+    },
+
     // bof_30 rule-migration port: wildcard rules + price bands composed.
     "pl_rule_migrate" -> { (s, dir) =>
       import s.implicits._
@@ -78,6 +94,13 @@ object PipelineQueries {
         |  FROM events)
         |SELECT user_id, event_id, event_type, value
         |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "pl_rls_filter" ->
+      s"""SELECT c.c_nationkey, COUNT(*) AS n_orders,
+         |  ${sqlDsum("o.o_totalprice")} AS revenue
+         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         |WHERE c.c_nationkey IN (1, 4, 9)
+         |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin,
 
     "pl_rule_migrate" ->
       s"""WITH rules(rp, rs, label, prio) AS (VALUES
