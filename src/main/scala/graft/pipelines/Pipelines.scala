@@ -50,6 +50,42 @@ object Pipelines {
       fact(principalCol) === allowed("principal"), "left_semi")
   }
 
+  /** mlflow_pymatch_single_node.py shape: propensity-score matching —
+    * each treated unit matches its nearest control by score within a
+    * stratum. The reference's single-node matcher takes 13.3 minutes on
+    * 129k rows (BASELINE.md); here it is two as-of joins over the
+    * score-sorted union (nearest-below and nearest-above, then pick the
+    * closer) — one shuffle per direction, linear in-partition work.
+    * Strata partition the match space; controls are deduped to one id per
+    * (stratum, score) so the choice is total-order deterministic. */
+  def nearestScoreMatch(treated: DataFrame, controls: DataFrame,
+                        stratumCol: String, scoreCol: String,
+                        idCol: String): DataFrame = {
+    import graft.operators.{AsOf, Windows}
+    val ctl = Windows.dedupLatest(
+        controls.select(col(stratumCol), col(scoreCol),
+          col(idCol).as("ctl_id"), col(scoreCol).as("ctl_score")),
+        Seq(stratumCol, scoreCol), Seq(col("ctl_id") * -1))
+    val t = treated.select(col(stratumCol), col(scoreCol), col(idCol).as("t_id"))
+    val below = AsOf.asofJoin(t, ctl, Seq(stratumCol), scoreCol, scoreCol,
+        Seq("ctl_id", "ctl_score"))
+      .withColumnRenamed("ctl_id", "below_id")
+      .withColumnRenamed("ctl_score", "below_score")
+    val withNeg = below.withColumn("__neg", -col(scoreCol))
+    val ctlNeg = ctl.withColumn("__neg", -col(scoreCol))
+      .select(col(stratumCol), col("__neg"),
+        col("ctl_id").as("above_id"), col("ctl_score").as("above_score"))
+    val both = AsOf.asofJoin(withNeg, ctlNeg, Seq(stratumCol), "__neg", "__neg",
+        Seq("above_id", "above_score"))
+    both.withColumn("matched_id",
+        when(col("below_id").isNull, col("above_id"))
+          .when(col("above_id").isNull, col("below_id"))
+          .when(col(scoreCol) - col("below_score") <=
+                col("above_score") - col(scoreCol), col("below_id"))
+          .otherwise(col("above_id")))
+      .select(col("t_id"), col(stratumCol), col("matched_id"))
+  }
+
   /** bof_30_migrate.scala:64-110 + 1098-1103 shape: wildcard rule join
     * with rank-1 tie-keeping priority selection, then a band join on the
     * measure — both rule tables broadcast. */

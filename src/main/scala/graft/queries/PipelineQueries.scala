@@ -49,6 +49,20 @@ object PipelineQueries {
         .orderBy(col("c_nationkey"))
     },
 
+    // Propensity-match port: treated = high-balance customers, controls =
+    // the rest; deterministic arithmetic pseudo-score; nearest control by
+    // score within each market segment.
+    "pl_propensity_match" -> { (s, dir) =>
+      val scored = Tables.customer(s, dir)
+        .withColumn("score",
+          ((col("c_custkey") * 2654435761L) % 1000000L).cast("double") / 1000000.0)
+      val treated = scored.filter(col("c_acctbal") > 5000.0)
+      val controls = scored.filter(col("c_acctbal") <= 5000.0)
+      Pipelines.nearestScoreMatch(treated, controls,
+          "c_mktsegment", "score", "c_custkey")
+        .orderBy("t_id")
+    },
+
     // bof_30 rule-migration port: wildcard rules + price bands composed.
     "pl_rule_migrate" -> { (s, dir) =>
       import s.implicits._
@@ -101,6 +115,37 @@ object PipelineQueries {
          |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
          |WHERE c.c_nationkey IN (1, 4, 9)
          |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin,
+
+    "pl_propensity_match" ->
+      """WITH scored AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    CAST((c_custkey * 2654435761) % 1000000 AS DOUBLE) / 1000000.0 AS score
+        |  FROM customer),
+        |t AS (SELECT c_custkey AS t_id, c_mktsegment, score
+        |      FROM scored WHERE c_acctbal > 5000.0),
+        |ctl0 AS (
+        |  SELECT c_mktsegment, score, c_custkey AS ctl_id,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment, score
+        |                       ORDER BY c_custkey) AS rn
+        |  FROM scored WHERE c_acctbal <= 5000.0),
+        |ctl AS (SELECT c_mktsegment, score, ctl_id FROM ctl0 WHERE rn = 1),
+        |below AS (
+        |  SELECT t.t_id, t.c_mktsegment, t.score,
+        |    c.ctl_id AS below_id, c.score AS below_score
+        |  FROM t ASOF LEFT JOIN ctl c
+        |    ON t.c_mktsegment = c.c_mktsegment AND t.score >= c.score),
+        |above AS (
+        |  SELECT t.t_id, c.ctl_id AS above_id, c.score AS above_score
+        |  FROM t ASOF LEFT JOIN ctl c
+        |    ON t.c_mktsegment = c.c_mktsegment AND t.score <= c.score)
+        |SELECT b.t_id, b.c_mktsegment,
+        |  CASE WHEN b.below_id IS NULL THEN a.above_id
+        |       WHEN a.above_id IS NULL THEN b.below_id
+        |       WHEN b.score - b.below_score <= a.above_score - b.score
+        |         THEN b.below_id
+        |       ELSE a.above_id END AS matched_id
+        |FROM below b JOIN above a ON b.t_id = a.t_id
+        |ORDER BY b.t_id""".stripMargin,
 
     "pl_rule_migrate" ->
       s"""WITH rules(rp, rs, label, prio) AS (VALUES
