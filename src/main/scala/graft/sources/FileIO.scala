@@ -42,6 +42,26 @@ object FileIO {
     codec.fold(w)(c => w.option("codec", c)).csv(path)
   }
 
+  /** Defensive CSV scan: malformed lines survive as nulls with the raw
+    * line captured in `_corrupt_record` (PERMISSIVE mode — the
+    * servicenow-style lenient ingest; pair with DataQuality rules to
+    * quarantine them rather than failing the batch). Note Spark disallows
+    * queries referencing ONLY the corrupt column on the raw scan
+    * (SPARK-21610) — cache or write out before splitting good/bad. */
+  def readCsvPermissive(spark: SparkSession, path: String, schema: StructType,
+                        header: Boolean = true, delimiter: String = ","): DataFrame = {
+    val withCorrupt = schema.add(
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+    spark.read
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+  }
+
   /** S5: JSON scan with explicit schema (ref: cloudtrail_etl.scala:95-98
     * reads JSON with a declared schema). */
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =

@@ -66,6 +66,39 @@ class SourcesSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_orders_ext")
   }
 
+  test("permissive CSV scan quarantines malformed rows instead of failing") {
+    val dir = new java.io.File(tmp("corrupt")); dir.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(dir.getPath, "data.csv"),
+      "id,qty\n1,10\nnot_a_number,20\n3,thirty\n4,40\n")
+    // Spark disallows querying only _corrupt_record off the raw scan
+    // (SPARK-21610) — materialize first, as the scaladoc instructs
+    val df = FileIO.readCsvPermissive(spark, dir.getPath,
+      SchemaDsl.fromSpec("id:l;qty:i")).cache()
+    df.count()
+    val good = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() == 2 && bad.count() == 2)
+    assert(good.agg(sum(col("qty"))).head().getLong(0) == 50L)
+  }
+
+  test("api-to-columnar composition: REST pages -> staging view -> diff check -> parquet") {
+    import graft.sources.RestSource
+    import graft.operators.SetOps
+    val pages = Iterator(
+      """[{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]""",
+      """[{"id": 3, "v": "c"}]""")
+    val incoming = RestSource.fromJsonPages(spark, pages, SchemaDsl.fromSpec("id:l;v:c"))
+    FileIO.stageTempView(incoming, "stg_api")
+    val staged = spark.table("stg_api")
+    // count-reconciliation gate before the columnar write (A9 shape)
+    val (onlyIn, onlyOut) = SetOps.symmetricDiffCounts(incoming, staged)
+    assert(onlyIn == 0 && onlyOut == 0)
+    val out = tmp("api_columnar")
+    staged.write.mode("overwrite").parquet(out)
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
   test("synthetic generator is deterministic and distributed") {
     val a = Synthetic.table(spark, 1000L).collect().sortBy(_.getLong(0))
     val b = Synthetic.table(spark, 1000L).collect().sortBy(_.getLong(0))
