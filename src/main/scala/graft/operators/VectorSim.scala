@@ -61,6 +61,23 @@ object VectorSim {
       .select(col("q_id"), col("rnk"), col("nn_id"), col("cos"))
   }
 
+  /** Embedding near-duplicate pairs within IVF cells: all (a < b) pairs
+    * in the same cell with cosine ≥ threshold — the cell restriction is
+    * the blocking that keeps pairwise work quadratic only within a cell
+    * (cells are capacity-bounded in a real IVF index), never across the
+    * corpus. Output: (a, b, cos). */
+  def cellCosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
+                      cellCol: String, threshold: Double): DataFrame = {
+    val v = corpus.select(col(idCol).as("__id"), col(cellCol).as("__cell"),
+      asDouble(col(vecCol)).as("__v"))
+    val x = v.alias("__vx"); val y = v.alias("__vy")
+    x.join(y, col("__vx.__cell") === col("__vy.__cell") &&
+        col("__vx.__id") < col("__vy.__id"))
+      .withColumn("cos", cosine(col("__vx.__v"), col("__vy.__v")))
+      .filter(col("cos") >= threshold)
+      .select(col("__vx.__id").as("a"), col("__vy.__id").as("b"), col("cos"))
+  }
+
   /** IVF-style ANN: the corpus is pre-partitioned into cells (here the
     * `cellCol`, in a real pipeline the nearest-centroid id) and each query
     * probes only its own cell — an equi-join on the cell key that

@@ -27,6 +27,15 @@ object SimQueries {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    // Embedding near-dup pairs within IVF cells (label-blocked, cosine
+    // ≥ 0.4) — the dedup-by-embedding pattern from the builder brief.
+    "s_embed_neardup" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      VectorSim.cellCosinePairs(emb, "vec_id", "embedding", "label", 0.4)
+        .select(col("a"), col("b"), floor(col("cos") * 1e6).cast("long").as("cos_micro"))
+        .orderBy("a", "b")
+    },
+
     // IVF-style ANN: `label` plays the cluster-cell role; 20 query vectors
     // probe their own cell only (nprobe=1), exact top-3 within the cell.
     "s_cosine_ann_ivf" -> { (s, dir) =>
@@ -56,6 +65,17 @@ object SimQueries {
          |  FROM c)
          |SELECT q_id, rnk, nn_id, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
          |FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+
+    "s_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+        |SELECT x.vec_id AS a, y.vec_id AS b,
+        |  CAST(floor(list_dot_product(x.e, y.e) /
+        |    (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e)))
+        |    * 1e6) AS BIGINT) AS cos_micro
+        |FROM v x JOIN v y ON x.label = y.label AND x.vec_id < y.vec_id
+        |WHERE list_dot_product(x.e, y.e) /
+        |  (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) >= 0.4
+        |ORDER BY a, b""".stripMargin,
 
     "s_cosine_ann_ivf" ->
       s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
