@@ -31,6 +31,7 @@ object SparkEntry {
     (PipelineQueries.queries, PipelineQueries.oracle),
     (DataPrepQueries.queries, DataPrepQueries.oracle),
     (OlapQueries.queries, OlapQueries.oracle),
+    (AnalyticsQueries.queries, AnalyticsQueries.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
