@@ -82,6 +82,53 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("ST7: session windows (30 min gap) == batch session_window agg") {
+    val src = tmp("sess_src")
+    writeChunks(src)
+    val schema = SchemaDsl.fromSpec(eventsSpec)
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s"), col("user_id"), col("n"))
+    // one microbatch: the chunk files interleave event time, so a
+    // multi-batch drain would legitimately drop whole files as late —
+    // session semantics are what's under test here, not lateness
+    val q = agg(FileStreams.jsonFileStream(spark, src, schema, maxFilesPerTrigger = 10))
+      .writeStream.format("memory").queryName("sess_counts")
+      .outputMode(OutputMode.Complete()).trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sess_counts")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    val want = spark.read.schema(schema).json(src)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s"), col("user_id"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("ST7: dropDuplicatesWithinWatermark dedups replayed ids") {
+    val src = tmp("ddw_src")
+    // write the SAME chunk twice: every event is duplicated across files
+    val ev = Tables.events(spark, sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .filter(col("event_id") < 500)
+    ev.coalesce(1).write.mode("append").json(src)
+    ev.coalesce(1).write.mode("append").json(src)
+    val schema = SchemaDsl.fromSpec(eventsSpec)
+    val q = FileStreams.jsonFileStream(spark, src, schema, maxFilesPerTrigger = 1)
+      .withWatermark("ts", "100 days") // replay arrives within the watermark
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("ddw_out")
+      .outputMode(OutputMode.Append()).trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val n = spark.table("ddw_out").count()
+    assert(n == ev.count(), s"expected exactly-once ids, got $n")
+  }
+
   test("custom state: mapGroupsWithState per-user aggregate == batch groupBy") {
     import spark.implicits._
     val src = tmp("state_src")
