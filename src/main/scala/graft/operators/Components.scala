@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by iterative min-label propagation — turns
+  * near-duplicate PAIRS into dedup CLUSTERS (every doc gets its
+  * component's minimum id as the canonical representative; keep one row
+  * per component to dedup).
+  *
+  * Each iteration is one join + aggregate on the edge list (both
+  * shuffles on the node key); labels converge in O(component diameter)
+  * iterations — near-dup clusters are small chains, so 2-4 in practice,
+  * and the loop stops as soon as a pass changes nothing. The driver only
+  * orchestrates; all data work is distributed. For graphs with huge
+  * diameters use the large-star/small-star variant; dedup graphs are not
+  * that.
+  */
+object Components {
+
+  /** @param edges (a, b) undirected pairs
+    * @return (node, component) — component = min node id reachable */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // each node offers its current label to every neighbor
+      val offers = labels
+        .join(sym, col("node") === col("src"))
+        .select(col("dst").as("node"), col("component"))
+        .groupBy(col("node")).agg(min(col("component")).as("__offer"))
+      val next = labels.join(offers, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("__offer"), col("component")))
+            .as("component"))
+        .cache()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.node") === col("o.node"))
+        .filter(col("n.component") =!= col("o.component"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

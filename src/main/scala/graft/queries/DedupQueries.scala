@@ -67,6 +67,17 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
+    // Near-dup CLUSTERS: the MinHash-LSH pair graph collapsed to
+    // connected components — each doc labeled with its cluster's minimum
+    // id (the canonical survivor); the actual dedup is then "keep rows
+    // where doc_id == component".
+    "d_dedup_clusters" -> { (s, dir) =>
+      val pairs = TextDedup.minhashLshPairs(Tables.documents(s, dir),
+        "doc_id", "text", shingleN = 3, threshold = 0.7)
+      graft.operators.Components.connectedComponents(pairs.select("a", "b"))
+        .orderBy("node")
+    },
+
     // Exact dedup by normalized-text hash (lower + whitespace-collapse +
     // md5), the hash-groupBy reconciliation form: per lang, total vs
     // distinct normalized docs.
@@ -108,6 +119,22 @@ object DedupQueries {
         |WHERE abs(la.n_chars - lb.n_chars) <= 10
         |  AND CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.6
         |ORDER BY a, b""".stripMargin,
+
+    "d_dedup_clusters" ->
+      s"""WITH RECURSIVE $wordShingleCte,
+         |pairs AS (
+         |  SELECT a, b FROM inter
+         |  JOIN cnt ca ON ca.doc_id = a
+         |  JOIN cnt cb ON cb.doc_id = b
+         |  WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.7),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node)
+         |SELECT node, MIN(r) AS component
+         |FROM reach GROUP BY node ORDER BY node""".stripMargin,
 
     "d_exact_dedup" ->
       """SELECT lang, COUNT(*) AS n_docs,
