@@ -73,6 +73,40 @@ object TextQueries {
         .orderBy(col("lang"), col("predicted"))
     },
 
+    // Corpus n-gram profile: top-5 word bigrams per lang by frequency
+    // (explode → count → ranked window, total-order tie-break).
+    "t_top_ngrams" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, dir)
+        .select(col("lang"), explode(
+          graft.operators.TextDedup.wordShingles(col("text"), 2)).as("bigram"))
+        .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("bigram"))
+      counts.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .orderBy(col("lang"), col("rnk"))
+    },
+
+    // Per-doc salient terms: top-2 tokens by term frequency, rarity
+    // (document frequency ascending) as tie-break — integer-only TF-IDF
+    // stand-in, exact in both engines.
+    "t_doc_terms" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tokens = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tf = tokens.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = tokens.select("doc_id", "tok").distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("tok"))
+      tf.join(df, "tok")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .select(col("doc_id"), col("rnk"), col("tok"), col("tf"), col("df"))
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+
     // Document fingerprinting: bag-of-words-normalized md5 (order
     // independent — reordered near-dups collide; appended text does not).
     "t_fingerprint" -> { (s, dir) =>
@@ -126,6 +160,33 @@ object TextQueries {
         |       ELSE 'de' END AS predicted,
         |  COUNT(*) AS n
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t_top_ngrams" ->
+      """WITH bg AS (
+        |  SELECT lang,
+        |    unnest(list_distinct(list_transform(generate_series(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1]))) AS bigram
+        |  FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents)),
+        |counts AS (SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT lang, bigram, n,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rnk
+        |  FROM counts)
+        |SELECT lang, bigram, n, rnk FROM ranked WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin,
+
+    "t_doc_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |                       ORDER BY tf.tf DESC, df.df ASC, tf.tok) AS rnk
+        |  FROM tf JOIN df ON tf.tok = df.tok)
+        |SELECT doc_id, rnk, tok, tf, df FROM ranked WHERE rnk <= 2
+        |ORDER BY doc_id, rnk""".stripMargin,
 
     "t_fingerprint" ->
       """SELECT doc_id,
