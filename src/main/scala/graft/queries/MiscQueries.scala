@@ -78,6 +78,29 @@ object MiscQueries {
         .orderBy(col("sg"))
     },
 
+    // §2.8 statistics family: Pearson correlation assembled from
+    // decimal-exact component sums (n, Σx, Σy, Σxy, Σx², Σy²) — the
+    // assembly arithmetic is identical IEEE on identical inputs, unlike
+    // corr()'s engine-specific streaming update order.
+    "f_corr_stats" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .withColumn("x", col("o_totalprice"))
+        .withColumn("y", expr("CAST(split(o_orderpriority, '-')[0] AS DOUBLE)"))
+      val sums = o.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).cast("double").as("n"),
+             dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+             dsum(col("x") * col("y")).as("sxy"),
+             dsum(col("x") * col("x")).as("sxx"),
+             dsum(col("y") * col("y")).as("syy"))
+      sums.select(col("o_orderstatus"),
+          floor((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))) * 1e6)
+            .cast("long").as("corr_micro"),
+          col("n").cast("long").as("n_rows"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // inline_outer over a conditionally-empty struct array — empty rows
     // survive with null fields (ref: windowed_lagN…py:119 inline_outer).
     "f_inline_outer" -> { (s, dir) =>
@@ -117,6 +140,24 @@ object MiscQueries {
       """SELECT event_type, COUNT(*) AS n,
         |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "f_corr_stats" ->
+      s"""WITH v AS (
+         |  SELECT o_orderstatus, o_totalprice AS x,
+         |    CAST(string_split(o_orderpriority, '-')[1] AS DOUBLE) AS y
+         |  FROM orders),
+         |sums AS (
+         |  SELECT o_orderstatus, CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${sqlDsum("x")} AS sx, ${sqlDsum("y")} AS sy,
+         |    ${sqlDsum("x * y")} AS sxy, ${sqlDsum("x * x")} AS sxx,
+         |    ${sqlDsum("y * y")} AS syy
+         |  FROM v GROUP BY o_orderstatus)
+         |SELECT o_orderstatus,
+         |  CAST(floor((n * sxy - sx * sy) /
+         |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) * 1e6) AS BIGINT)
+         |    AS corr_micro,
+         |  CAST(n AS BIGINT) AS n_rows
+         |FROM sums ORDER BY o_orderstatus""".stripMargin,
 
     "f_math_ops" ->
       s"""WITH m AS (
