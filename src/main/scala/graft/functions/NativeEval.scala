@@ -117,6 +117,22 @@ object NativeEval {
     if (union == 0) 1.0 else inter.toDouble / union.toDouble
   }
 
+  /** Cosine similarity with sequential accumulation — identical IEEE
+    * result to the three separate left-to-right dot products (same
+    * per-index operation order), float inputs widened exactly. */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   def byteBinCounts(bytes: Array[Byte]): ArrayData = {
     val bins = new Array[Long](16)
     var i = 0

@@ -13,6 +13,39 @@ import org.apache.spark.sql.types._
   * [[graft.plans.GraftExtensions]] optimizer rule rewrites the composed
   * form into this expression. Real codegen via [[NativeEval]].
   */
+/** Cosine similarity of two numeric vector columns (`array<float>` or
+  * `array<double>` on either side — floats widen exactly), computed as a
+  * single native pass with left-to-right accumulation: bit-identical to
+  * sequential dot products in any engine. Replaces the interpreted
+  * `zip_with`+`aggregate` composition, which dominates pairwise
+  * similarity workloads. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(s"cosine over $t")
+  }
+  private lazy val lFloat = isFloat(left)
+  private lazy val rFloat = isFloat(right)
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    NativeEval.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      lFloat, rFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.NativeEval.cosine($a, $b, $lFloat, $rFloat)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
 case class ArrayJaccard(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -19,13 +19,13 @@ object VectorSim {
   /** Cast a float vector column to double for exact, engine-portable math. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Sequential (left-to-right) dot product — IEEE-identical everywhere. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  def l2norm(a: Column): Column = sqrt(dot(a, a))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine similarity — native single-pass expression (floats widen
+    * exactly; identical IEEE result to sequential dot products). See
+    * [[graft.functions.CosineSim]] for why not zip_with+aggregate. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftSql.column(graft.functions.CosineSim(
+      org.apache.spark.sql.graft.GraftSql.expression(a),
+      org.apache.spark.sql.graft.GraftSql.expression(b)))
 
   /** Exact top-k per query without funneling a query's whole candidate set
     * into one task: rank within (query, input-partition) first — a shuffle
@@ -52,8 +52,8 @@ object VectorSim {
     * two-phase top-k. Output: (queryIdOut, rnk, nn id cols…, cos). */
   def bruteForceCosineTopK(corpus: DataFrame, queries: DataFrame,
                            idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("__qv"))
-    val c = corpus.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("__cv"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("nn_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
@@ -69,7 +69,7 @@ object VectorSim {
   def cellCosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
                       cellCol: String, threshold: Double): DataFrame = {
     val v = corpus.select(col(idCol).as("__id"), col(cellCol).as("__cell"),
-      asDouble(col(vecCol)).as("__v"))
+      col(vecCol).as("__v"))
     val x = v.alias("__vx"); val y = v.alias("__vy")
     x.join(y, col("__vx.__cell") === col("__vy.__cell") &&
         col("__vx.__id") < col("__vy.__id"))
@@ -86,9 +86,9 @@ object VectorSim {
   def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, cellCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(cellCol).as("__qcell"),
-      asDouble(col(vecCol)).as("__qv"))
+      col(vecCol).as("__qv"))
     val c = corpus.select(col(idCol).as("nn_id"), col(cellCol).as("__ccell"),
-      asDouble(col(vecCol)).as("__cv"))
+      col(vecCol).as("__cv"))
     val scored = c.join(q, col("__qcell") === col("__ccell") &&
         col("nn_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
