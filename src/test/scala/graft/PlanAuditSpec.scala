@@ -78,6 +78,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("native expressions stay inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{TextDedup, VectorSim}
+    val docs = graft.core.Tables.documents(spark, sf001)
+      .select(TextDedup.simhash64(TextDedup.wordShingles(col("text"), 3)).as("sh"),
+        TextDedup.minhashBands(TextDedup.wordShingles(col("text"), 3), 128, 32).as("mb"))
+    val emb = graft.core.Tables.embeddings(spark, sf001)
+      .select(VectorSim.cosine(col("embedding"), col("embedding")).as("c"))
+    for (df <- Seq(docs, emb)) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("*("), s"projection fell out of whole-stage codegen:\n$p")
+      assert(df.count() > 0) // and the generated code actually compiles/runs
+    }
+    assert(emb.filter(col("c") < 0.999999).count() == 0) // self-cosine == 1
+  }
+
   test("optimizer rule fuses size(intersect)/size(union) into graft_array_jaccard") {
     import org.apache.spark.sql.functions._
     // parquet-backed input so constant folding can't pre-evaluate the rows
