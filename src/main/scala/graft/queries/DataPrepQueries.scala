@@ -80,8 +80,8 @@ object DataPrepQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sessions AS (
         |  SELECT user_id, ts, event_id,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
@@ -89,7 +89,7 @@ object DataPrepQueries {
         |ORDER BY user_id, session_id""".stripMargin,
 
     "t_stratified_sample" ->
-      """SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS chars
+      """SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents
         |WHERE (doc_id * 2654435761) % 100 <
         |      CASE WHEN lang = 'en' THEN 10 ELSE 50 END
@@ -101,10 +101,10 @@ object DataPrepQueries {
         |  FROM documents),
         |binned AS (
         |  SELECT lang, n_tok,
-        |    COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS bin
+        |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin
         |  FROM toks)
-        |SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tok) AS tok_sum
+        |SELECT lang, bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
         |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
   )
 }

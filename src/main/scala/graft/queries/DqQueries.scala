@@ -77,9 +77,10 @@ object DqQueries {
       """WITH l AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
         |r AS (SELECT DISTINCT o_orderkey AS k FROM orders)
         |SELECT
-        |  SUM(CASE WHEN r.k IS NULL THEN 1 ELSE 0 END) AS only_left,
-        |  SUM(CASE WHEN l.k IS NULL THEN 1 ELSE 0 END) AS only_right,
-        |  SUM(CASE WHEN l.k IS NOT NULL AND r.k IS NOT NULL THEN 1 ELSE 0 END) AS common
+        |  CAST(SUM(CASE WHEN r.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_left,
+        |  CAST(SUM(CASE WHEN l.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_right,
+        |  CAST(SUM(CASE WHEN l.k IS NOT NULL AND r.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS common
         |FROM l FULL OUTER JOIN r ON l.k = r.k""".stripMargin
   )
 }

@@ -218,7 +218,7 @@ object IoQueries {
     "io_synthetic" ->
       """WITH t AS (SELECT i AS id FROM generate_series(0, 9999) AS g(i))
         |SELECT id % 7 AS bucket, COUNT(*) AS n,
-        |  SUM((id * 2654435761) % 997) AS val_sum
+        |  CAST(SUM((id * 2654435761) % 997) AS BIGINT) AS val_sum
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

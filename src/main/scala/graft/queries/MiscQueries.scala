@@ -138,7 +138,7 @@ object MiscQueries {
 
     "f_from_json_map" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "f_corr_stats" ->

@@ -33,11 +33,11 @@ object MultimodalQueries {
     // ascii text: byte bins == char-class counts; sample = ceil(len/7)
     "m_binary_features" ->
       """SELECT source AS kind, COUNT(*) AS n_assets,
-        |  SUM(len(text)) AS bytes_sum,
-        |  SUM(len(text) - len(regexp_replace(text, '[\x20-\x2f]', '', 'g'))) AS bin2_sum,
-        |  SUM(len(text) - len(regexp_replace(text, '[\x60-\x6f]', '', 'g'))) AS bin6_sum,
-        |  SUM(len(text) - len(regexp_replace(text, '[\x70-\x7f]', '', 'g'))) AS bin7_sum,
-        |  SUM((len(text) + 6) // 7) AS sample_bytes_sum
+        |  CAST(SUM(len(text)) AS BIGINT) AS bytes_sum,
+        |  CAST(SUM(len(text) - len(regexp_replace(text, '[\x20-\x2f]', '', 'g'))) AS BIGINT) AS bin2_sum,
+        |  CAST(SUM(len(text) - len(regexp_replace(text, '[\x60-\x6f]', '', 'g'))) AS BIGINT) AS bin6_sum,
+        |  CAST(SUM(len(text) - len(regexp_replace(text, '[\x70-\x7f]', '', 'g'))) AS BIGINT) AS bin7_sum,
+        |  CAST(SUM((len(text) + 6) // 7) AS BIGINT) AS sample_bytes_sum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

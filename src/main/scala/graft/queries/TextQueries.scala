@@ -122,10 +122,10 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "t_token_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
-        |  SUM(len(string_split(text, ' '))) AS tok_sum,
-        |  SUM(len(regexp_extract_all(text, '[a-z]+'))) AS word_tok_sum,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_sum,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS word_tok_sum,
         |  MAX(len(string_split(text, ' '))) AS max_tok,
-        |  SUM(n_chars) AS char_sum
+        |  CAST(SUM(n_chars) AS BIGINT) AS char_sum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t_quality_score" ->
@@ -141,8 +141,8 @@ object TextQueries {
         |  CASE WHEN ttr_micro >= 600000 THEN 'high'
         |       WHEN ttr_micro >= 350000 THEN 'mid'
         |       ELSE 'low' END AS quality_bucket,
-        |  COUNT(*) AS n, SUM(ttr_micro) AS ttr_micro_sum,
-        |  SUM(stop_micro) AS stop_micro_sum
+        |  COUNT(*) AS n, CAST(SUM(ttr_micro) AS BIGINT) AS ttr_micro_sum,
+        |  CAST(SUM(stop_micro) AS BIGINT) AS stop_micro_sum
         |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "t_langid" ->

@@ -23,8 +23,11 @@ def canon(rows, cols):
         for i in order:
             v = r[i]
             if isinstance(v, float):
-                if math.isnan(v): vals.append("NaN")
-                else: vals.append(f"{v:.6g}")
+                # "f" prefix keeps float-typed values distinct from ints even
+                # when integral (42.0 vs 42) — matching the driver's type
+                # sensitivity — while .6g retains cross-engine float tolerance.
+                if math.isnan(v): vals.append("fNaN")
+                else: vals.append(f"f{v:.6g}")
             else:
                 vals.append(str(v))
         out.append("\x1f".join(vals))
@@ -43,12 +46,19 @@ def main(sf_dir, out_dir):
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
             print(f"MISS  {name}: no spark output"); n_fail += 1; continue
+        # Fetch via pandas like the driver does: DuckDB HUGEINT becomes
+        # float64 there, so an un-CAST integer SUM formats as "4.2e+01"-style
+        # float while Spark's BIGINT stays "42" — replicating the driver's
+        # hash sensitivity to HUGEINT/DOUBLE vs BIGINT (while INT32 vs INT64
+        # still compare equal, as the driver treats them).
         try:
-            sp = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchall()
-            sp_cols = [d[0] for d in con.description]
-            du = con.execute(oracles[name]).fetchall()
-            du_cols = [d[0] for d in con.description]
+            sp_df = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").df()
+            sp = list(sp_df.itertuples(index=False, name=None))
+            sp_cols = list(sp_df.columns)
+            du_df = con.execute(oracles[name]).df()
+            du = list(du_df.itertuples(index=False, name=None))
+            du_cols = list(du_df.columns)
         except Exception as e:
             print(f"ERR   {name}: {e}"); n_fail += 1; continue
         if sorted(sp_cols) != sorted(du_cols):
