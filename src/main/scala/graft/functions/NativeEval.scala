@@ -40,14 +40,22 @@ object NativeEval {
   }
 
   def minhashBands(arr: ArrayData, k: Int, bands: Int): ArrayData = {
-    val n = arr.numElements()
-    val h1 = new Array[Long](n)
-    val h2 = new Array[Long](n)
+    // null elements are skipped: the catalog's shingle arrays are
+    // containsNull=false, but the SQL-registered graft_minhash_bands
+    // accepts any array<string> and must not NPE (built-in xxhash64
+    // tolerates nulls too)
+    val total = arr.numElements()
+    val h1 = new Array[Long](total)
+    val h2 = new Array[Long](total)
+    var n = 0
     var i = 0
-    while (i < n) {
-      val s = arr.getUTF8String(i)
-      h1(i) = XXH64.hashUTF8String(s, DedupExprs.DefaultSeed)
-      h2(i) = XXH64.hashUTF8String(s, DedupExprs.AltSeed)
+    while (i < total) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        h1(n) = XXH64.hashUTF8String(s, DedupExprs.DefaultSeed)
+        h2(n) = XXH64.hashUTF8String(s, DedupExprs.AltSeed)
+        n += 1
+      }
       i += 1
     }
     val sig = new Array[Long](k)
@@ -84,11 +92,14 @@ object NativeEval {
     val counts = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = XXH64.hashUTF8String(arr.getUTF8String(i), DedupExprs.DefaultSeed)
-      var bit = 0
-      while (bit < 64) {
-        if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
-        bit += 1
+      // skip null elements (SQL-registered path accepts any array<string>)
+      if (!arr.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), DedupExprs.DefaultSeed)
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+          bit += 1
+        }
       }
       i += 1
     }

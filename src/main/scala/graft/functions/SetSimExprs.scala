@@ -52,11 +52,26 @@ case class ArrayJaccard(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_array_jaccard"
 
-  override protected def nullSafeEval(l: Any, r: Any): Any =
-    NativeEval.arrayJaccard(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  // Two empty arrays → null, matching the composed form this expression
+  // replaces: size(array_intersect)/size(array_union) is 0/0 = NULL with
+  // ANSI off. The fusion rule must not change results on edge inputs.
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (a.numElements() == 0 && b.numElements() == 0) null
+    else NativeEval.arrayJaccard(a, b)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeEval.arrayJaccard($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() == 0 && $b.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.NativeEval.arrayJaccard($a, $b);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): ArrayJaccard =

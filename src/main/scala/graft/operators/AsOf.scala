@@ -31,25 +31,36 @@ object AsOf {
                leftTs: String, rightTs: String,
                rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(rightVals.intersect(leftCols).isEmpty,
+      s"rightVals collide with left columns: ${rightVals.intersect(leftCols).mkString(", ")}" +
+        " — rename the right payload before joining")
+    // The right payload travels as ONE struct carried by a single
+    // last(ignoreNulls): the output row gets all payload columns from the
+    // SAME matched right row. Carrying columns independently would let a
+    // genuinely-null payload column backfill from an older right row,
+    // mixing two right rows in one output row.
+    val payType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c).copy(name = c)))
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .select((keys.map(col) :+ col("__ts") :+ col("__side")) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftCols.filterNot(keys.contains).map(col) :+
+        lit(null).cast(payType).as("__rpay"): _*)
     val r = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .select((keys.map(col) :+ col("__ts") :+ col("__side")) ++
         leftCols.filterNot(keys.contains)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(col): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightVals.map(col): _*).as("__rpay"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__ts", "__side")
+    l.unionByName(r)
+      .withColumn("__rpay", last(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightVals.map(c => col("__rpay")(c).as(c)): _*)
   }
 }

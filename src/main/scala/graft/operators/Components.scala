@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** @param edges (a, b) undirected pairs
-    * @return (node, component) — component = min node id reachable */
+    * @return (node, component) — component = min node id reachable.
+    *         The result is cached (the iterative lineage is expensive to
+    *         recompute); callers should `.unpersist()` it once consumed.
+    * @throws IllegalStateException if labels have not converged after
+    *         maxIter passes — unconverged labels are silently WRONG
+    *         (over-segmented components), never return them. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
@@ -36,21 +41,29 @@ object Components {
         .join(sym, col("node") === col("src"))
         .select(col("dst").as("node"), col("component"))
         .groupBy(col("node")).agg(min(col("component")).as("__offer"))
-      val next = labels.join(offers, Seq("node"), "left")
-        .select(col("node"),
+      // keep the previous label alongside the new one so convergence
+      // detection is a filter over this same cached frame — one action per
+      // iteration, no extra self-join against the old labels
+      val next = labels.select(col("node"), col("component"))
+        .join(offers, Seq("node"), "left")
+        .select(col("node"), col("component").as("__old"),
           least(col("component"), coalesce(col("__offer"), col("component")))
             .as("component"))
         .cache()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.node") === col("o.node"))
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
+      val changed = next.filter(col("component") =!= col("__old")).count()
       labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
     sym.unpersist()
-    labels
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations — " +
+          "graph diameter exceeds maxIter; raise it or use a " +
+          "large-star/small-star contraction for high-diameter graphs")
+    }
+    labels.select(col("node"), col("component"))
   }
 }

@@ -113,6 +113,38 @@ class OperatorsSpec extends SparkSpec {
       (2, 7, "q0", None)))         // key with no right side
   }
 
+  test("asofJoin: payload columns come atomically from the matched row") {
+    import graft.operators.AsOf
+    // the matched (latest ≤ t) right row has rv2 = NULL: that null must
+    // NOT be backfilled from the older right row's rv2
+    val left = Seq((1, 20)).toDF("k", "t")
+    val right = Seq((1, 5, Some("old1"), Some("old2")),
+                    (1, 10, Some("new1"), None))
+      .toDF("k", "rt", "rv1", "rv2")
+    val got = AsOf.asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv1", "rv2"))
+      .select("rv1", "rv2").collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)))).toSeq
+    assert(got == Seq((Some("new1"), None)))
+    // payload names colliding with left columns are rejected up front
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(left, right.withColumnRenamed("rv1", "t"),
+        Seq("k"), "t", "rt", Seq("t"))
+    }
+  }
+
+  test("connectedComponents: converges on chains; throws when maxIter too low") {
+    import graft.operators.Components
+    // a 5-node chain 0-1-2-3-4 → one component labeled 0
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val labels = Components.connectedComponents(edges)
+    assert(labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    labels.unpersist()
+    intercept[IllegalStateException] {
+      Components.connectedComponents(edges, maxIter = 1)
+    }
+  }
+
   test("Normalize: nullIfBlank / blankIfNull / isBlank") {
     import graft.operators.Normalize
     val df = Seq(("a"), (""), ("  "), (null: String)).toDF("v")

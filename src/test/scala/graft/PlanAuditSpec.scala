@@ -109,6 +109,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(docs.select("j").collect().forall(_.getDouble(0) == 1.0))
   }
 
+  test("fused jaccard matches the composed form on edge inputs (empty arrays)") {
+    import org.apache.spark.sql.functions._
+    // 0/0 is NULL with ANSI off — the fused expression must agree, and
+    // the SQL-registered hash functions must tolerate null elements
+    val df = spark.range(1).select(
+      expr("array()").cast("array<string>").as("e"),
+      expr("array('a', cast(null as string), 'b')").as("n"))
+    import org.apache.spark.sql.graft.GraftSql
+    val r = df.select(
+      GraftSql.column(graft.functions.ArrayJaccard(
+        GraftSql.expression(col("e")), GraftSql.expression(col("e")))).as("j"),
+      expr("size(array_intersect(e, e)) / size(array_union(e, e))").as("composed"),
+      expr("graft_simhash64(n)").as("sh"),
+      expr("graft_minhash_bands(n, 16, 4)").as("mb")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))     // both NULL: rule is value-preserving
+    assert(!r.isNullAt(2) && !r.isNullAt(3))   // null elements skipped, no NPE
+  }
+
   test("whole catalog: no query ever plans a non-broadcast cartesian product") {
     // io_/st_ queries run real writes when constructed — their plans are
     // simple scans/aggs over their own output; skip the side effects here
