@@ -97,4 +97,71 @@ object Pipelines {
     RuleJoins.rangeJoin(ruled, bands, col("o_totalprice"),
       col("lo"), col("hi") - lit(0.000001))
   }
+
+  /** cloudtrail_analytics_snapshots.scala:13 shape: the streaming sink's
+    * parquet output re-read as a direct-path SQL temp view
+    * (`` select * from parquet.`path` ``) for ad-hoc analytics. Handles
+    * the testdata's TIMESTAMP(NANOS) encoding the same way
+    * [[graft.core.Tables.events]] does (nanosAsLong → timestamp_micros).
+    * Returns the registered view name. */
+  def registerSnapshotView(spark: SparkSession, parquetPath: String,
+                           view: String): String = {
+    val raw = spark.sql(s"select * from parquet.`$parquetPath`")
+    val fixed =
+      if (raw.schema.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      else raw
+    fixed.createOrReplaceTempView(view)
+    view
+  }
+
+  /** cloudtrail_analytics_snapshots.scala:42-55 shape: per-user access
+    * rollup over the snapshot view — MAX/MIN event time, event count,
+    * lexical max/min event source. One hash aggregate, partial map-side
+    * combine; scales with distinct users, not events. */
+  def snapshotUserAccess(spark: SparkSession, view: String): DataFrame =
+    spark.sql(
+      s"""SELECT user_id,
+         |  MAX(ts) AS max_time, MIN(ts) AS min_time,
+         |  COUNT(*) AS row_count,
+         |  MAX(event_type) AS max_source, MIN(event_type) AS min_source
+         |FROM $view WHERE user_id IS NOT NULL
+         |GROUP BY user_id""".stripMargin)
+
+  /** cloudtrail_analytics_snapshots.scala:18-26 shape: event volume per
+    * (YEAR-MONTH string, event type). */
+  def snapshotMonthlyRollup(spark: SparkSession, view: String): DataFrame =
+    spark.sql(
+      s"""SELECT CAST(YEAR(ts) AS STRING) || '-' || CAST(MONTH(ts) AS STRING)
+         |    AS month,
+         |  event_type, COUNT(*) AS row_count
+         |FROM $view GROUP BY 1, 2""".stripMargin)
+
+  /** glue_catolog_copy_register_tables.py:10-108 shape: SHOW TABLES loop
+    * over a source database → copy each table to a shared filesystem
+    * location → `CREATE TABLE IF NOT EXISTS … USING parquet LOCATION` in
+    * the target database (names prepended `temp_`) → per-table row-count
+    * reconciliation. The loop is driver-side over table NAMES only
+    * (catalog metadata); each copy is a distributed write. Returns
+    * (table_name, n_rows) for the registered copies. */
+  def catalogCopyRegister(spark: SparkSession, sourceDb: String,
+                          targetDb: String, root: String,
+                          exclude: Set[String] = Set.empty): DataFrame = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $targetDb")
+    val names = spark.sql(s"SHOW TABLES IN $sourceDb")
+      .select("tableName").collect().map(_.getString(0))
+      .filterNot(exclude).sorted
+    val counts = names.map { t =>
+      val loc = s"$root/$t"
+      spark.table(s"$sourceDb.$t").write.mode("overwrite").parquet(loc)
+      spark.sql(s"DROP TABLE IF EXISTS $targetDb.temp_$t")
+      spark.sql(s"CREATE TABLE IF NOT EXISTS $targetDb.temp_$t " +
+        s"USING parquet LOCATION '$loc'")
+      t -> spark.table(s"$targetDb.temp_$t").count()
+    }
+    import spark.implicits._
+    counts.toSeq.toDF("table_name", "n_rows")
+  }
 }

@@ -80,6 +80,35 @@ object PipelineQueries {
         .groupBy(col("label"), col("price_band"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy(col("label"), col("price_band"))
+    },
+
+    // cloudtrail_analytics_snapshots port: direct-path SQL temp view over
+    // the (streaming-sink-shaped) events parquet, per-user access rollup.
+    "pl_ct_user_access" -> { (s, dir) =>
+      val v = Pipelines.registerSnapshotView(s, s"$dir/events.parquet",
+        "cloudtrail_raw")
+      Pipelines.snapshotUserAccess(s, v).orderBy("user_id")
+    },
+
+    // cloudtrail monthly event-volume rollup over the same view.
+    "pl_ct_monthly" -> { (s, dir) =>
+      val v = Pipelines.registerSnapshotView(s, s"$dir/events.parquet",
+        "cloudtrail_raw")
+      Pipelines.snapshotMonthlyRollup(s, v).orderBy("month", "event_type")
+    },
+
+    // glue catalog copy/register port: managed source db → parquet copy →
+    // external registration in a target db → row-count reconciliation.
+    "pl_catalog_copy" -> { (s, dir) =>
+      val sfTag = new java.io.File(dir).getName
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_cat_$sfTag"
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_src")
+      Seq("region", "nation", "supplier").foreach { t =>
+        Tables(s, dir, t).write.mode("overwrite")
+          .saveAsTable(s"graft_src.$t")
+      }
+      Pipelines.catalogCopyRegister(s, "graft_src", "graft_tmp", root)
+        .orderBy("table_name")
     }
   )
 
@@ -170,6 +199,25 @@ object PipelineQueries {
          |    ON rk.o_totalprice >= b.lo AND rk.o_totalprice <= b.hi - 0.000001
          |  WHERE rk.rnk = 1)
          |SELECT label, price_band, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
-         |FROM banded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |FROM banded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "pl_ct_user_access" ->
+      """SELECT user_id, MAX(ts) AS max_time, MIN(ts) AS min_time,
+        |  COUNT(*) AS row_count,
+        |  MAX(event_type) AS max_source, MIN(event_type) AS min_source
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "pl_ct_monthly" ->
+      """SELECT CAST(year(ts) AS VARCHAR) || '-' || CAST(month(ts) AS VARCHAR)
+        |    AS month,
+        |  event_type, COUNT(*) AS row_count
+        |FROM events GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin,
+
+    "pl_catalog_copy" ->
+      """SELECT 'nation' AS table_name, COUNT(*) AS n_rows FROM nation
+        |UNION ALL SELECT 'region', COUNT(*) FROM region
+        |UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+        |ORDER BY table_name""".stripMargin
   )
 }
