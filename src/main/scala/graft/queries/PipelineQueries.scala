@@ -8,6 +8,14 @@ import org.apache.spark.sql.functions._
   * program's re-expression, not a single operator. */
 object PipelineQueries {
 
+  private def rmrf(path: String): Unit = {
+    val root = new java.io.File(path)
+    if (root.exists()) {
+      Option(root.listFiles()).foreach(_.foreach(f => rmrf(f.getPath)))
+      root.delete()
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // usage_analysis port: windowed spend rollup + cumulative spend.
     "pl_usage_analysis" -> { (s, dir) =>
@@ -104,6 +112,13 @@ object PipelineQueries {
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_cat_$sfTag"
       s.sql("CREATE DATABASE IF NOT EXISTS graft_src")
       Seq("region", "nation", "supplier").foreach { t =>
+        // the in-memory catalog resets per JVM but the warehouse dir
+        // survives — drop any stale managed-table location before
+        // re-creating, or saveAsTable fails with LOCATION_ALREADY_EXISTS
+        s.sql(s"DROP TABLE IF EXISTS graft_src.$t")
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        rmrf(s"$wh/graft_src.db/$t")
         Tables(s, dir, t).write.mode("overwrite")
           .saveAsTable(s"graft_src.$t")
       }
