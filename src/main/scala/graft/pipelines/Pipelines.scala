@@ -150,7 +150,10 @@ object Pipelines {
                           targetDb: String, root: String,
                           exclude: Set[String] = Set.empty): DataFrame = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $targetDb")
+    // SHOW TABLES also lists the session's temp views — keep only real
+    // tables of the source database
     val names = spark.sql(s"SHOW TABLES IN $sourceDb")
+      .filter(!col("isTemporary"))
       .select("tableName").collect().map(_.getString(0))
       .filterNot(exclude).sorted
     val counts = names.map { t =>

@@ -78,6 +78,48 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("AQE skew-join mitigation fires on a skewed shuffle join") {
+    // The modern answer to the reference's 16-way manual salt (J13,
+    // sas_conversion…sql): AQE detects the hot key at runtime and splits
+    // its partition. Thresholds are lowered so the sf0.001 fixture
+    // triggers the same code path a hot key would at production scale.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64b",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64b",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // the split adds a shuffle ahead of the downstream agg, which the
+      // cost check would veto on this tiny fixture
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // skew the fact: ~99% of lineitem lands on ONE join key (the
+      // expression must not be foldable, or Catalyst rewrites the join
+      // into filter + cartesian and there is no shuffle to skew-split).
+      // repartition(8) first: the fixture is a single parquet file = one
+      // map task, and a skewed reduce partition is split by MAP BLOCK —
+      // one block is unsplittable no matter the thresholds.
+      val fact = graft.core.Tables.lineitem(spark, sf001)
+        .repartition(8)
+        .withColumn("k",
+          when(col("l_orderkey") % 100 < 99, lit(7L))
+            .otherwise(col("l_orderkey") % 100))
+      val dim = spark.range(100).select(col("id").as("k"),
+        (col("id") * 2).as("v"))
+      val j = fact.join(dim, "k").groupBy("v").count()
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("isSkew=true") || p.contains("skewed"),
+        s"AQE did not split the skewed partition:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.operators.{TextDedup, VectorSim}
