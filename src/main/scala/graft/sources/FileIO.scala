@@ -42,6 +42,37 @@ object FileIO {
     codec.fold(w)(c => w.option("codec", c)).csv(path)
   }
 
+  /** HTML report sink (ref: send_email_job_usage_report_html.py —
+    * aggregate frame → HTML table body saved for mailing; the SES email
+    * dispatch itself is external I/O, out of engine scope). Collects on
+    * the driver: report frames are small post-aggregation results by
+    * construction — cap enforced so a misrouted fact table fails loudly
+    * instead of OOMing the driver. */
+  def writeHtmlReport(df: DataFrame, path: String, title: String,
+                      maxRows: Int = 10000): Unit = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"report frame exceeds $maxRows rows — aggregate before reporting")
+    def esc(s: String): String = s.replace("&", "&amp;")
+      .replace("<", "&lt;").replace(">", "&gt;")
+    val header = df.columns.map(c => s"<th>${esc(c)}</th>")
+      .mkString("<tr>", "", "</tr>")
+    val body = rows.map(r =>
+      (0 until r.length).map(i =>
+          s"<td>${esc(if (r.isNullAt(i)) "" else String.valueOf(r.get(i)))}</td>")
+        .mkString("<tr>", "", "</tr>")).mkString("\n")
+    val html =
+      s"""<html><head><title>${esc(title)}</title></head><body>
+         |<h2>${esc(title)}</h2>
+         |<table border="1">$header
+         |$body
+         |</table></body></html>""".stripMargin
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/report.html"), html)
+  }
+
   /** Defensive CSV scan: malformed lines survive as nulls with the raw
     * line captured in `_corrupt_record` (PERMISSIVE mode — the
     * servicenow-style lenient ingest; pair with DataQuality rules to

@@ -31,6 +31,21 @@ class CapabilitiesSpec extends SparkSpec {
     assert(parsed.select(countDistinct(col("memnum"))).head().getLong(0) == 46)
   }
 
+  test("distributed external-script pipe (distributed_script_util shape)") {
+    // ref: dags/dataswm/utils/distributed_script_util.py — split a large
+    // input into partitions, each piped through an external script in
+    // parallel. Spark analogue: rdd.pipe — one process per partition,
+    // lines in/out; the partition count IS the task fan-out control.
+    import spark.implicits._
+    val lines = Tables.nation(spark, sf001)
+      .select(col("n_name")).as[String].rdd.repartition(4)
+    val piped = lines.pipe(Seq("tr", "[:upper:]", "[:lower:]")).toDF("n")
+    assert(piped.count() == 25)
+    assert(piped.filter(trim(col("n")) === lit("nation_0")).count() == 1)
+    // and nothing upper-case survived the script
+    assert(piped.filter(col("n").rlike("[A-Z]")).count() == 0)
+  }
+
   test("S25: catalog-registered table is queryable by name and listed") {
     Tables.nation(spark, sf001).write.mode("overwrite")
       .saveAsTable("graft_nation_reg")

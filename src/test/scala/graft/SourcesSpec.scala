@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.SchemaDsl
+import graft.core.{SchemaDsl, Tables}
 import graft.sources.{FileIO, Synthetic}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -97,6 +97,22 @@ class SourcesSpec extends SparkSpec {
     val out = tmp("api_columnar")
     staged.write.mode("overwrite").parquet(out)
     assert(spark.read.parquet(out).count() == 3)
+  }
+
+  test("HTML report sink renders the frame and caps misrouted big inputs") {
+    val report = Tables.region(spark, sf001)
+      .select(col("r_regionkey"), col("r_name")).orderBy("r_regionkey")
+    val out = tmp("html_report")
+    FileIO.writeHtmlReport(report, out, "Region <Report>")
+    val html = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/report.html"))
+    assert(html.contains("Region &lt;Report&gt;")) // title escaped
+    assert(html.contains("<th>r_name</th>"))
+    assert(html.contains("AFRICA"))
+    intercept[IllegalArgumentException] {
+      FileIO.writeHtmlReport(Tables.orders(spark, sf001), out, "too big",
+        maxRows = 100)
+    }
   }
 
   test("synthetic generator is deterministic and distributed") {
