@@ -66,6 +66,39 @@ class DedupPropertySpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("asofJoin == brute-force latest-at-or-before on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // ~40% of right payloads null to stress atomic struct carry; right
+    // rows unique per (key, ts) by construction
+    val left = Seq.fill(400)((rnd.nextInt(20).toLong, rnd.nextInt(1000)))
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      .toDF("lid", "k", "t")
+    val right = rnd.shuffle((0 until 1000).toList).take(300)
+      .map { t =>
+        (rnd.nextInt(20).toLong, t,
+          if (rnd.nextBoolean()) s"p$t" else null,
+          if (rnd.nextDouble() < 0.4) null else s"q$t")
+      }.distinct.toDF("k", "rt", "rv1", "rv2")
+        .dropDuplicates("k", "rt")
+    val got = graft.operators.AsOf
+      .asofJoin(left, right, Seq("k"), "t", "rt", Seq("rv1", "rv2"))
+      .select("lid", "rv1", "rv2").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2))))
+      .toSet
+    // brute force: for each left row take the max rt <= t, both payloads
+    // from THAT row (nulls stay null — no backfill)
+    val rightRows = right.collect()
+      .map(r => (r.getLong(0), r.getInt(1), Option(r.getString(2)), Option(r.getString(3))))
+    val want = left.collect().map { lr =>
+      val (lid, k, t) = (lr.getLong(0), lr.getLong(1), lr.getInt(2))
+      val m = rightRows.filter(rr => rr._1 == k && rr._2 <= t)
+        .sortBy(_._2).lastOption
+      (lid, m.flatMap(_._3), m.flatMap(_._4))
+    }.toSet
+    assert(got == want)
+  }
+
   test("globalRowNumber / scalableNtile == single-task window equivalents") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
