@@ -1,7 +1,7 @@
 package graft.pipelines
 
 import graft.operators.{DedupMerge, RuleJoins, Windows}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.{dec, dsum}
@@ -96,6 +96,45 @@ object Pipelines {
       Seq("o_orderkey"), col("prio"))
     RuleJoins.rangeJoin(ruled, bands, col("o_totalprice"),
       col("lo"), col("hi") - lit(0.000001))
+  }
+
+  /** One resource of the servicenow extractor's per-resource config
+    * (ref: dags/dataswm/servicenow_api_extract.py:185-216): typed
+    * projections out of a raw JSON-string column via lenient casts, plus
+    * the SCD dedup order for the nightly merge.
+    *
+    * @param name     resource selector in the shared raw table
+    * @param fields   (outputCol, jsonPath, sqlType) triples — each becomes
+    *                 `try_cast(get_json_object(json_value, path) AS type)`
+    * @param dedupKey business key for the snapshot merge
+    * @param orderBy  plain version columns — [[Windows.dedupLatest]]
+    *                 orders them DESCENDING (newest wins); ties must be
+    *                 pinned by adding tiebreak columns */
+  case class ResourceSpec(name: String, fields: Seq[(String, String, String)],
+                          dedupKey: String, orderBy: Seq[Column])
+
+  /** servicenow_api_extract.py staging insert (ref :2313-2321): filter the
+    * shared raw table to one resource, project typed columns from the raw
+    * JSON. The projection is all codegen'd built-ins (get_json_object +
+    * try_cast) — per-row parse cost only, no shuffle. */
+  def resourceStaging(raw: DataFrame, spec: ResourceSpec): DataFrame =
+    raw.filter(col("resource_name") === spec.name)
+      .select(spec.fields.map { case (out, path, t) =>
+        expr(s"try_cast(get_json_object(json_value, '$path') AS $t)").as(out)
+      }: _*)
+
+  /** servicenow_api_extract.py nightly merge (ref :2328-2368): previous
+    * destination partition ∪ today's staging, ROW_NUMBER()=1 per business
+    * key in version order. The whole 14-resource × N-instance DAG is this
+    * function in a loop over [[ResourceSpec]]s. */
+  def resourceIngest(raw: DataFrame, spec: ResourceSpec,
+                     prev: Option[DataFrame]): DataFrame = {
+    val staged = resourceStaging(raw, spec)
+    val merged = prev.fold(staged)(p =>
+      DedupMerge.snapshotMerge(p, staged, Seq(spec.dedupKey), spec.orderBy))
+    if (prev.isEmpty)
+      Windows.dedupLatest(merged, Seq(spec.dedupKey), spec.orderBy)
+    else merged
   }
 
   /** cloudtrail_analytics_snapshots.scala:13 shape: the streaming sink's

@@ -105,6 +105,45 @@ object PipelineQueries {
       Pipelines.snapshotMonthlyRollup(s, v).orderBy("month", "event_type")
     },
 
+    // servicenow resource-ingest port: shared raw JSON table → per-resource
+    // typed staging projections (try_cast + get_json_object) → two-day
+    // snapshot merge; output is the 'lines' resource snapshot (latest
+    // linenumber per order wins).
+    "pl_resource_ingest" -> { (s, dir) =>
+      import graft.pipelines.Pipelines.ResourceSpec
+      def rawLines(df: org.apache.spark.sql.DataFrame) = df.select(
+        to_json(struct(col("l_orderkey").as("id"), col("l_linenumber").as("ln"),
+          col("l_quantity").as("qty"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("sd"))).as("json_value"),
+        lit("lines").as("resource_name"))
+      val ordersRaw = Tables.orders(s, dir).select(
+        to_json(struct(col("o_orderkey").as("id"),
+          col("o_orderstatus").as("status"))).as("json_value"),
+        lit("orders").as("resource_name"))
+      val lineSpec = ResourceSpec("lines",
+        Seq(("id", "$.id", "bigint"), ("ln", "$.ln", "int"),
+          ("qty", "$.qty", "double"), ("sd", "$.sd", "string")),
+        // the synthetic lineitem has duplicate linenumbers per order —
+        // pin the tie (SURVEY §7.4-3: version order must be total)
+        "id", Seq(col("ln"), col("sd"), col("qty")))
+      val orderSpec = ResourceSpec("orders",
+        Seq(("id", "$.id", "bigint"), ("status", "$.status", "string")),
+        "id", Seq(col("status")))
+      val cutoff = "1995-01-01"
+      val li = Tables.lineitem(s, dir)
+      // day 1: full build from the pre-cutoff partition (both resources
+      // staged through the same shared raw table, as in the reference DAG)
+      val day1Raw = rawLines(li.filter(col("l_shipdate") < cutoff))
+        .unionByName(ordersRaw)
+      val prev = graft.pipelines.Pipelines.resourceIngest(day1Raw, lineSpec, None)
+      graft.pipelines.Pipelines.resourceIngest(ordersRaw, orderSpec, None)
+        .count() // run the loop's second resource too (orders snapshot)
+      // day 2: merge the post-cutoff staging against the day-1 snapshot
+      val day2Raw = rawLines(li.filter(col("l_shipdate") >= cutoff))
+      graft.pipelines.Pipelines.resourceIngest(day2Raw, lineSpec, Some(prev))
+        .orderBy("id")
+    },
+
     // glue catalog copy/register port: managed source db → parquet copy →
     // external registration in a target db → row-count reconciliation.
     "pl_catalog_copy" -> { (s, dir) =>
@@ -233,6 +272,17 @@ object PipelineQueries {
       """SELECT 'nation' AS table_name, COUNT(*) AS n_rows FROM nation
         |UNION ALL SELECT 'region', COUNT(*) FROM region
         |UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
-        |ORDER BY table_name""".stripMargin
+        |ORDER BY table_name""".stripMargin,
+
+    "pl_resource_ingest" ->
+      """WITH ranked AS (
+        |  SELECT l_orderkey AS id, l_linenumber AS ln, l_quantity AS qty,
+        |    strftime(l_shipdate, '%Y-%m-%d') AS sd,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |                       ORDER BY l_linenumber DESC,
+        |                                strftime(l_shipdate, '%Y-%m-%d') DESC,
+        |                                l_quantity DESC) AS rn
+        |  FROM lineitem)
+        |SELECT id, ln, qty, sd FROM ranked WHERE rn = 1 ORDER BY id""".stripMargin
   )
 }
