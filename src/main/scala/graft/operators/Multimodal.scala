@@ -47,4 +47,70 @@ object Multimodal {
   def decodeImageRgb(payload: Column): Column =
     throw new NotImplementedError(
       "image codecs unavailable here; use Multimodal.featurize's byte features")
+
+  /** One decoded (or frame-sampled) unit of media: fixed output schema
+    * regardless of codec, so downstream plans never depend on the decoder. */
+  case class Frame(asset_id: Long, frame_idx: Int,
+                   width: Int, height: Int, pixels: Array[Byte])
+
+  /** Deterministic stand-in for a media decoder (codecs unavailable in
+    * this environment — builder brief says stub the decode, keep the
+    * plumbing real): derives WxH from the payload length and cuts the
+    * payload into `nFrames` pixel buffers. Swap for a real codec with the
+    * same signature on a cluster with media libraries. */
+  def stubDecode(assetId: Long, payload: Array[Byte], nFrames: Int): Seq[Frame] = {
+    val side = math.max(1, math.sqrt(math.max(payload.length, 1).toDouble).toInt)
+    (0 until nFrames).map { f =>
+      val from = (payload.length.toLong * f / nFrames).toInt
+      val until = (payload.length.toLong * (f + 1) / nFrames).toInt
+      Frame(assetId, f, side, math.max(1, (until - from) / side),
+        java.util.Arrays.copyOfRange(payload, from, until))
+    }
+  }
+
+  /** Frame decode / frame-sample as a typed mapPartitions over the asset
+    * table — the Scala analogue of a batched decode UDF: the decoder is
+    * invoked inside the partition iterator (one JVM-local pass, no
+    * shuffle, payloads never leave the executor), emits 0..n frames per
+    * asset with a FIXED schema, and the payload column is gone from the
+    * output. `decoder` is injectable; defaults to [[stubDecode]]. */
+  def decodeFrames(assets: DataFrame, nFrames: Int,
+                   decoder: (Long, Array[Byte], Int) => Seq[Frame] = stubDecode)
+      : org.apache.spark.sql.Dataset[Frame] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decoder(id, payload, nFrames)
+      })
+  }
+
+  /** Thumbnail resize of a decoded frame by stride-sampling pixel rows
+    * and columns down to ≤ side×side — the shape of any box-filter
+    * resize: per-row arithmetic on the pixel buffer, no shuffle. */
+  def resizeFrames(frames: org.apache.spark.sql.Dataset[Frame], side: Int)
+      : org.apache.spark.sql.Dataset[Frame] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.map { fr =>
+      val sx = math.max(1, fr.width / side)
+      val sy = math.max(1, fr.height / side)
+      val w = math.max(1, fr.width / sx)
+      val h = math.max(1, fr.height / sy)
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val src = (y * sy) * fr.width + (x * sx)
+          out(y * w + x) =
+            if (src < fr.pixels.length) fr.pixels(src) else 0
+          x += 1
+        }
+        y += 1
+      }
+      Frame(fr.asset_id, fr.frame_idx, w, h, out)
+    }
+  }
 }

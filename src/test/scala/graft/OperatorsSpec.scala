@@ -145,6 +145,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Multimodal: typed frame decode + resize plumbing (stub codec)") {
+    import graft.operators.Multimodal
+    val docs = graft.core.Tables.documents(spark, sf001).limit(20)
+    val assets = Multimodal.assets(docs, "doc_id", "source", "text",
+      Seq("lang", "n_chars"))
+    val frames = Multimodal.decodeFrames(assets, nFrames = 4)
+    // fixed schema, nFrames per asset, payload projected away
+    assert(frames.columns.toSeq ==
+      Seq("asset_id", "frame_idx", "width", "height", "pixels"))
+    assert(frames.count() == 80)
+    assert(frames.groupBy("asset_id").count()
+      .filter(col("count") =!= 4).count() == 0)
+    // deterministic: same input → same total pixel bytes
+    val bytes1 = frames.select(sum(length(col("pixels")))).head().getLong(0)
+    val bytes2 = Multimodal.decodeFrames(assets, 4)
+      .select(sum(length(col("pixels")))).head().getLong(0)
+    assert(bytes1 == bytes2 && bytes1 > 0)
+    // resize caps both dims and shrinks the buffer
+    val thumbs = Multimodal.resizeFrames(frames, side = 8)
+    val t = thumbs.collect()
+    assert(t.forall(f => f.width <= 8 + 8 && f.pixels.length == f.width * f.height))
+    assert(t.map(_.pixels.length).sum < bytes1)
+  }
+
   test("Normalize: nullIfBlank / blankIfNull / isBlank") {
     import graft.operators.Normalize
     val df = Seq(("a"), (""), ("  "), (null: String)).toDF("v")
