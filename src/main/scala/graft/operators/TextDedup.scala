@@ -160,6 +160,45 @@ object TextDedup {
     verifyJaccard(cand, sh, idCol, threshold)
   }
 
+  /** Exact n-gram Jaccard dedup by PREFIX FILTERING (the ssjoin/PPJoin
+    * family; public literature, e.g. Bayardo et al. "Scaling Up All
+    * Pairs Similarity Search", WWW'07): order every doc's shingles by a
+    * global total order (ascending document frequency, tiebreak on the
+    * shingle), keep each doc's first |A| − ⌈t·|A|⌉ + 1 shingles — any
+    * pair with Jaccard ≥ t must share a shingle inside both prefixes —
+    * and bucket-join on those prefix shingles only. Because rare
+    * shingles sort first, buckets are tiny and candidate volume tracks
+    * the true pair count instead of the length-block population: this is
+    * the exact method that holds at corpus scale (the length-blocked
+    * [[ngramJaccardPairs]] stays as the reference-shaped variant).
+    * All stages are linear scans + two hash shuffles (by shingle for DF,
+    * by doc for the prefix window); no N² anywhere.
+    * Output: (a, b, jaccard), a < b — ALL pairs at or above threshold. */
+  def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                              n: Int = 4, threshold: Double = 0.6): DataFrame = {
+    val sh = docs.select(col(idCol), charShingles(col(textCol), n).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val tok = sh.select(col(idCol), size(col("__sh")).as("__n"),
+      explode(col("__sh")).as("__s"))
+    val dfreq = tok.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__df"), col("__s"))
+    val prefix = tok.join(dfreq, "__s")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+      .select(col(idCol), col("__n"), col("__s"))
+    val x = prefix.alias("__pf_x"); val y = prefix.alias("__pf_y")
+    val cand = x.join(y,
+        col("__pf_x.__s") === col("__pf_y.__s") &&
+        col(s"__pf_x.$idCol") < col(s"__pf_y.$idCol") &&
+        // J ≥ t forces a size ratio ≥ t — prune before the exact check
+        least(col("__pf_x.__n"), col("__pf_y.__n")) >=
+          lit(threshold) * greatest(col("__pf_x.__n"), col("__pf_y.__n")))
+      .select(col(s"__pf_x.$idCol").as("a"), col(s"__pf_y.$idCol").as("b"))
+      .distinct()
+    verifyJaccard(cand, sh, idCol, threshold)
+  }
+
   /** Join candidate (a, b) pairs back to shingle arrays and keep pairs at
     * or above the exact-Jaccard threshold. */
   private def verifyJaccard(cand: DataFrame, shingled: DataFrame,

@@ -67,6 +67,16 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
+    // NOTE: TextDedup.ngramJaccardPairsPrefix (PPJoin-style prefix
+    // filtering — the exact method of choice on natural-text corpora
+    // with Zipfian token spaces) is deliberately NOT a catalog query:
+    // the synthetic documents table has only ~1k distinct char-4-grams
+    // across 10k docs, so no token is rare and token-bucket candidates
+    // degenerate toward all-pairs (measured: 7.6M candidates at sf0.1 vs
+    // ~2.5k true pairs; the length-blocked variant above wins on this
+    // corpus). Recall and exactness are proven by DedupPropertySpec and
+    // by a green sf0.1 oracle run; see NOTES_r3.md.
+
     // Near-dup CLUSTERS: the MinHash-LSH pair graph collapsed to
     // connected components — each doc labeled with its cluster's minimum
     // id (the canonical survivor); the actual dedup is then "keep rows
@@ -119,6 +129,7 @@ object DedupQueries {
         |WHERE abs(la.n_chars - lb.n_chars) <= 10
         |  AND CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.6
         |ORDER BY a, b""".stripMargin,
+
 
     "d_dedup_clusters" ->
       s"""WITH RECURSIVE $wordShingleCte,

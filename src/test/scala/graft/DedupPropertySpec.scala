@@ -66,6 +66,23 @@ class DedupPropertySpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("prefix-filter ngram join == brute-force exact pairs (recall proof)") {
+    import spark.implicits._
+    // char-4-gram ground truth over the word corpus
+    def charShingles(t: String): Set[String] =
+      t.sliding(4).toSet
+    val want = (for {
+      (a, ta) <- corpus; (b, tb) <- corpus if a < b
+      sa = charShingles(ta); sb = charShingles(tb)
+      inter = (sa & sb).size
+      if inter > 0 && inter.toDouble / (sa ++ sb).size >= 0.6
+    } yield (a, b)).toSet
+    val got = TextDedup.ngramJaccardPairsPrefix(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", n = 4, threshold = 0.6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("asofJoin == brute-force latest-at-or-before on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
