@@ -63,6 +63,50 @@ object AnalyticsQueries {
           .as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    },
+
+    // Q2 shape: correlated scalar subquery — cheapest line per part;
+    // Catalyst decorrelates into an aggregate + join (no per-row
+    // subquery execution). Proves subquery decorrelation beyond the
+    // EXISTS form (J12).
+    "q2_min_price_line" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("q2_lineitem")
+      Tables.supplier(s, dir).createOrReplaceTempView("q2_supplier")
+      s.sql(
+        s"""SELECT l.l_partkey, s.s_name,
+           |  CAST(l.l_extendedprice AS DECIMAL(18,6)) AS min_price
+           |FROM q2_lineitem l JOIN q2_supplier s ON l.l_suppkey = s.s_suppkey
+           |WHERE l.l_partkey < 2000
+           |  AND l.l_extendedprice = (
+           |    SELECT MIN(l2.l_extendedprice) FROM q2_lineitem l2
+           |    WHERE l2.l_partkey = l.l_partkey)
+           |ORDER BY l.l_partkey, s.s_name""".stripMargin)
+    },
+
+    // Q7 shape: volume shipping between two nations — supplier nation ≠
+    // customer nation, both directions, yearly rollup.
+    "q7_nation_volume" -> { (s, dir) =>
+      val su = Tables.supplier(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1998-01-01")
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      l.join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), su("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+                (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }
   )
 
@@ -101,6 +145,30 @@ object AnalyticsQueries {
          |WHERE o.o_orderdate >= '1996-10-01' AND o.o_orderdate < '1997-01-01'
          |  AND l.l_returnflag = 'R'
          |GROUP BY c.c_custkey, c.c_name, n.n_name
-         |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin
+         |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+
+    "q2_min_price_line" ->
+      """SELECT l.l_partkey, s.s_name,
+        |  CAST(l.l_extendedprice AS DECIMAL(18,6)) AS min_price
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE l.l_partkey < 2000
+        |  AND l.l_extendedprice = (
+        |    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+        |    WHERE l2.l_partkey = l.l_partkey)
+        |ORDER BY l.l_partkey, s.s_name""".stripMargin,
+
+    "q7_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  year(l.l_shipdate) AS l_year, $rev AS revenue
+         |FROM lineitem l
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+         |WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1998-01-01'
+         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+         |       (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   )
 }
