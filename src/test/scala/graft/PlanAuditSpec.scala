@@ -78,6 +78,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q2: correlated scalar subquery decorrelates into an aggregate join") {
+    val p = plan("q2_min_price_line")
+    assert(!p.contains("Subquery"),
+      "correlated MIN must be rewritten, not executed per row")
+    assert(p.contains("partial_min"), "expected the decorrelated min aggregate")
+    // the outer filter must be pushed into BOTH the outer scan and the
+    // decorrelated subquery scan
+    assert("LessThan\\(l_partkey,2000\\)".r.findAllIn(p).size >= 2,
+      s"l_partkey filter not pushed into both scans:\n$p")
+  }
+
   test("AQE skew-join mitigation fires on a skewed shuffle join") {
     // The modern answer to the reference's 16-way manual salt (J13,
     // sas_conversion…sql): AQE detects the hot key at runtime and splits
