@@ -115,13 +115,35 @@ object Pipelines {
 
   /** servicenow_api_extract.py staging insert (ref :2313-2321): filter the
     * shared raw table to one resource, project typed columns from the raw
-    * JSON. The projection is all codegen'd built-ins (get_json_object +
-    * try_cast) — per-row parse cost only, no shuffle. */
-  def resourceStaging(raw: DataFrame, spec: ResourceSpec): DataFrame =
-    raw.filter(col("resource_name") === spec.name)
+    * JSON — per-row parse cost only, no shuffle.
+    *
+    * When every path is top-level the JSON is parsed ONCE per row via
+    * from_json into an all-string struct and then try_cast per field
+    * (the reference's per-field JSON_EXTRACT_SCALAR parses the document
+    * once per FIELD — 4 fields = 4 parses; at 100 TB the single-parse
+    * form is the difference). Nested paths fall back to
+    * get_json_object per field, which handles arbitrary paths. */
+  def resourceStaging(raw: DataFrame, spec: ResourceSpec): DataFrame = {
+    val filtered = raw.filter(col("resource_name") === spec.name)
+    val flat = spec.fields.forall { case (_, path, _) =>
+      path.startsWith("$.") && !path.stripPrefix("$.").contains(".")
+    }
+    if (flat) {
+      val schema = org.apache.spark.sql.types.StructType(
+        spec.fields.map { case (_, path, _) =>
+          org.apache.spark.sql.types.StructField(path.stripPrefix("$."),
+            org.apache.spark.sql.types.StringType)
+        })
+      filtered
+        .withColumn("__doc", from_json(col("json_value"), schema))
+        .select(spec.fields.map { case (out, path, t) =>
+          expr(s"try_cast(__doc.${path.stripPrefix("$.")} AS $t)").as(out)
+        }: _*)
+    } else filtered
       .select(spec.fields.map { case (out, path, t) =>
         expr(s"try_cast(get_json_object(json_value, '$path') AS $t)").as(out)
       }: _*)
+  }
 
   /** servicenow_api_extract.py nightly merge (ref :2328-2368): previous
     * destination partition ∪ today's staging, ROW_NUMBER()=1 per business
