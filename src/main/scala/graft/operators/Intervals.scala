@@ -45,21 +45,14 @@ object Intervals {
   def collapseFixedPoint(df0: DataFrame, keys: Seq[String], begin: String,
                          end: String, gapDays: Int = 1, maxIter: Int = 50,
                          tmpDir: Option[String] = None): DataFrame = {
-    val spark = df0.sparkSession
-    val dir = tmpDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-fixpoint").toString)
-    var cur   = df0.select((keys.map(col) :+ col(begin) :+ col(end)): _*)
-    var n     = cur.count()
-    var iter  = 0
-    var done  = false
-    while (!done && iter < maxIter) {
+    def step(cur: DataFrame): DataFrame = {
       val w = Window.partitionBy(keys.map(col): _*).orderBy(col(begin), col(end))
       // A row absorbs its successor only when the row itself survives this
       // pass (otherwise a chain A<B<C would drop B — whose extended end was
       // the only thing covering C — and lose coverage). One absorption per
       // chain per pass; convergence over O(chain) passes matches the
       // reference's deliberately iterative semantics.
-      val stepped = cur
+      cur
         .withColumn("__nxt_b", lead(col(begin), 1).over(w))
         .withColumn("__nxt_e", lead(col(end), 1).over(w))
         .withColumn("__merge", col("__nxt_b").isNotNull &&
@@ -71,14 +64,9 @@ object Intervals {
         .withColumn("__dropped", lag(col("__absorb"), 1, false).over(w))
         .filter(!col("__dropped"))
         .select((keys.map(col) :+ col(begin) :+ col(end)): _*)
-      val path = s"$dir/iter$iter"
-      stepped.write.mode(SaveMode.Overwrite).parquet(path)
-      cur = spark.read.parquet(path)
-      val n2 = cur.count()
-      done = n2 == n
-      n = n2
-      iter += 1
     }
-    cur
+    FixedPoint.iterate(
+      df0.select((keys.map(col) :+ col(begin) :+ col(end)): _*),
+      step, maxIter, tmpDir)
   }
 }

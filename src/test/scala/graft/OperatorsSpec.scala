@@ -132,6 +132,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("FixedPoint.iterate: converges on count, throws past maxIter") {
+    import graft.operators.FixedPoint
+    // transitive-closure-flavored step: keep rows whose parent survives;
+    // converges when the dangling chain has been fully trimmed
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 99L), (5L, 4L), (6L, 5L))
+      .toDF("id", "parent")
+    def step(cur: org.apache.spark.sql.DataFrame) = {
+      val ids = cur.select(col("id").as("parent"))
+      cur.join(ids, Seq("parent"), "left_semi")
+        .unionByName(cur.filter(col("id") === col("parent")))
+        .distinct()
+    }
+    val got = FixedPoint.iterate(df, step, maxIter = 10)
+    assert(got.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    intercept[IllegalStateException] {
+      FixedPoint.iterate(df, step, maxIter = 1)
+    }
+  }
+
   test("connectedComponents: converges on chains; throws when maxIter too low") {
     import graft.operators.Components
     // a 5-node chain 0-1-2-3-4 → one component labeled 0
