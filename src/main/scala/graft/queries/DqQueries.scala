@@ -40,6 +40,38 @@ object DqQueries {
       DataQuality.reconcileKeys(
         Tables.lineitem(s, dir), Tables.orders(s, dir),
         "l_orderkey", "o_orderkey")
+    },
+
+    // Multi-rule corpus into ONE audit log — the dq_check_for_target_
+    // table.py shape (7 parameterized business rules all insert into the
+    // shared audit table): rule instances differ only in table, filter,
+    // and carried columns; rolled up per rule for a stable oracle.
+    "dq_rule_corpus" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val log = DataQuality.auditViolations(o, "price_bounds",
+          "o_totalprice > 400000.0 OR o_totalprice < 1000.0",
+          "o_orderkey", Seq("o_totalprice"))
+        .unionByName(DataQuality.auditViolations(o, "stale_open_order",
+          "o_orderstatus = 'O' AND o_orderdate < '1993-01-01'",
+          "o_orderkey", Seq("o_orderdate")))
+        .unionByName(DataQuality.auditViolations(l, "qty_bounds",
+          "l_quantity < 1.0 OR l_quantity > 49.0",
+          "l_orderkey", Seq("l_quantity")))
+      // keep zero-violation rules visible (the oracle's COUNT(*) arms
+      // emit a 0 row; a bare groupBy would drop the absent group)
+      import s.implicits._
+      val rules = Seq("price_bounds", "stale_open_order", "qty_bounds")
+        .toDF("rule_name")
+      rules.join(
+          log.groupBy(col("rule_name"))
+            .agg(count(lit(1)).as("n_violations"),
+              countDistinct(col("row_id")).as("n_rows")),
+          Seq("rule_name"), "left")
+        .select(col("rule_name"),
+          coalesce(col("n_violations"), lit(0L)).as("n_violations"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+        .orderBy(col("rule_name"))
     }
   )
 
@@ -81,6 +113,19 @@ object DqQueries {
         |  CAST(SUM(CASE WHEN l.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_right,
         |  CAST(SUM(CASE WHEN l.k IS NOT NULL AND r.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS common
-        |FROM l FULL OUTER JOIN r ON l.k = r.k""".stripMargin
+        |FROM l FULL OUTER JOIN r ON l.k = r.k""".stripMargin,
+
+    "dq_rule_corpus" ->
+      """SELECT * FROM (
+        |  SELECT 'price_bounds' AS rule_name, COUNT(*) AS n_violations,
+        |    COUNT(DISTINCT o_orderkey) AS n_rows
+        |  FROM orders WHERE o_totalprice > 400000.0 OR o_totalprice < 1000.0
+        |  UNION ALL
+        |  SELECT 'stale_open_order', COUNT(*), COUNT(DISTINCT o_orderkey)
+        |  FROM orders WHERE o_orderstatus = 'O' AND o_orderdate < '1993-01-01'
+        |  UNION ALL
+        |  SELECT 'qty_bounds', COUNT(*), COUNT(DISTINCT l_orderkey)
+        |  FROM lineitem WHERE l_quantity < 1.0 OR l_quantity > 49.0)
+        |ORDER BY rule_name""".stripMargin
   )
 }
