@@ -98,14 +98,22 @@ object TextDedup {
     * Output: (a, b, jaccard), a < b. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, maxHamming: Int = 15,
-                   threshold: Double = 0.5, numBands: Int = 16): DataFrame = {
+                   threshold: Double = 0.5, numBands: Int = 16,
+                   minShingles: Int = 32): DataFrame = {
     require(64 % numBands == 0, "numBands must divide 64")
     require(maxHamming < numBands, s"banded recall only guaranteed to Hamming ${numBands - 1}")
     require(threshold >= 0.5, "length-block recall requires threshold >= 0.5")
+    // Domain bound, not a heuristic: with k shingles each single-shingle
+    // difference perturbs ~32/√k signature bits in expectation, so below
+    // ~2 shingles per band (k < 2·numBands) a near-dup pair can exceed
+    // any in-band Hamming tolerance (measured: an 8/9-shingle pair at
+    // Jaccard 0.53 lands at Hamming 16). Docs under minShingles are OUT
+    // OF DOMAIN for simhash — route them through minhashLshPairs, whose
+    // recall does not depend on signature concentration.
     val width = 64 / numBands
     val mask = (1L << width) - 1
     val sh = docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("__sh"))
-      .filter(size(col("__sh")) > 0)
+      .filter(size(col("__sh")) >= minShingles)
     val sims = sh.select(col(idCol), size(col("__sh")).as("__n"),
       simhash64(col("__sh")).as("__sim"))
     // Narrow bands have few distinct values (a 4-bit band: 16), so a band

