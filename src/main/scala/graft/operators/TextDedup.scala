@@ -152,12 +152,16 @@ object TextDedup {
                         lenCol: Column, n: Int = 4, threshold: Double = 0.6,
                         blockWidth: Int = 100): DataFrame = {
     val maxDiff = blockWidth / 2
-    val sh = docs.select(col(idCol), lenCol.as("__len"),
+    // char shingles are empty iff numChars < n — gate on length so the
+    // candidate path never materializes shingle arrays (they were being
+    // computed per doc just to evaluate a size()>0 filter)
+    val base = docs.filter(length(col(textCol)) >= n)
+    val sh = base.select(col(idCol),
       charShingles(col(textCol), n).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-    val blocked = sh.select(col(idCol), col("__len"),
-      explode(array((col("__len") / blockWidth).cast("long"),
-                    (col("__len") / blockWidth).cast("long") + 1)).as("__blk"))
+    val blocked = base.select(col(idCol), lenCol.as("__len"))
+      .select(col(idCol), col("__len"),
+        explode(array((col("__len") / blockWidth).cast("long"),
+                      (col("__len") / blockWidth).cast("long") + 1)).as("__blk"))
     val x = blocked.alias("__blk_x"); val y = blocked.alias("__blk_y")
     val cand = x.join(y,
         col("__blk_x.__blk") === col("__blk_y.__blk") &&
