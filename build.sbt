@@ -16,6 +16,11 @@ run / fork := true
 // looking for Bench's bare one-line JSON on stdout (spark logs go to
 // stderr and stay decorated — only println output is affected).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: ..." line: it prints
+// AFTER the forked main's output, so any driver that parses the LAST
+// stdout line (BENCH_r03 recorded parsed:null with the JSON line intact
+// one line above) reads the success banner instead of Bench's JSON.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

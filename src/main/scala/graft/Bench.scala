@@ -43,7 +43,11 @@ object Bench {
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_queries":$cs,"errors":$es,"sf":"$sfDir"}""")
+    // Cold timings are transparency data, not the contract line — keep
+    // them on stderr so the stdout JSON line stays compact and LAST
+    // (the driver parses the final stdout line; see build.sbt notes).
+    System.err.println(s"""[bench-cold] {"cold_queries":$cs}""")
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
   }
 }

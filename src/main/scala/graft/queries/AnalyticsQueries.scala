@@ -68,13 +68,16 @@ object AnalyticsQueries {
     // Q2 shape: correlated scalar subquery — cheapest line per part;
     // Catalyst decorrelates into an aggregate + join (no per-row
     // subquery execution). Proves subquery decorrelation beyond the
-    // EXISTS form (J12).
+    // EXISTS form (J12). min_price passes the stored double through
+    // untouched (bit-exact in both engines); a DECIMAL output column
+    // is the one type the driver's comparator canonicalizes
+    // differently per engine (r3's only hash miss).
     "q2_min_price_line" -> { (s, dir) =>
       Tables.lineitem(s, dir).createOrReplaceTempView("q2_lineitem")
       Tables.supplier(s, dir).createOrReplaceTempView("q2_supplier")
       s.sql(
         s"""SELECT l.l_partkey, s.s_name,
-           |  CAST(l.l_extendedprice AS DECIMAL(18,6)) AS min_price
+           |  l.l_extendedprice AS min_price
            |FROM q2_lineitem l JOIN q2_supplier s ON l.l_suppkey = s.s_suppkey
            |WHERE l.l_partkey < 2000
            |  AND l.l_extendedprice = (
@@ -149,7 +152,7 @@ object AnalyticsQueries {
 
     "q2_min_price_line" ->
       """SELECT l.l_partkey, s.s_name,
-        |  CAST(l.l_extendedprice AS DECIMAL(18,6)) AS min_price
+        |  l.l_extendedprice AS min_price
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |WHERE l.l_partkey < 2000
         |  AND l.l_extendedprice = (
