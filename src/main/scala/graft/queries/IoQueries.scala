@@ -170,6 +170,60 @@ object IoQueries {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), sum(col("val")).as("val_sum"))
         .orderBy(col("bucket"))
+    },
+
+    // Bucketed co-located join: both sides pre-bucketed on the join key,
+    // so the join needs NO exchange on either side — the shuffle is paid
+    // once at write time and amortized over every later join (at 100 TB
+    // the bucket count scales with the cluster; 8 fits this fixture).
+    // PlanAuditSpec asserts the zero-exchange plan.
+    "io_bucketed_join" -> { (s, dir) =>
+      val db = s"graft_bkt_${new java.io.File(dir).getName.replace('.', '_')}"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      Seq("orders_b" -> "o_custkey", "customer_b" -> "c_custkey").foreach {
+        case (t, _) =>
+          // in-memory catalog resets per JVM but the warehouse dir
+          // survives — clear stale locations before re-creating
+          s.sql(s"DROP TABLE IF EXISTS $db.$t")
+          rmrf(s"$wh/$db.db/$t")
+      }
+      Tables.orders(s, dir).write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(s"$db.orders_b")
+      Tables.customer(s, dir).write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(s"$db.customer_b")
+      s.table(s"$db.orders_b")
+        .join(s.table(s"$db.customer_b"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+    },
+
+    // Dynamic partition pruning: fact partitioned on the join key, dim
+    // carries a selective filter — at runtime the broadcast result prunes
+    // fact partitions before the scan (2 of 5 directories read; at 100 TB
+    // this is the difference between scanning a day and scanning a year).
+    // PlanAuditSpec asserts the dynamicpruning partition filter.
+    "io_dpp_prune" -> { (s, dir) =>
+      val factPath = scratch(dir, "dpp_fact")
+      val dimPath = scratch(dir, "dpp_dim")
+      FileIO.writePartitioned(Tables.orders(s, dir), factPath,
+        Seq("o_orderpriority"))
+      import s.implicits._
+      Seq(("1-URGENT", 1.5), ("2-HIGH", 1.2), ("3-MEDIUM", 1.0),
+          ("4-NOT SPECIFIED", 0.8), ("5-LOW", 0.5))
+        .toDF("prio", "rate")
+        .write.mode(SaveMode.Overwrite).parquet(dimPath)
+      // the dim must be a filtered source relation (not a literal): the
+      // optimizer only plants a DPP subquery opposite a selective scan
+      val dim = s.read.parquet(dimPath).filter(col("rate") > 1.0)
+      s.read.parquet(factPath)
+        .join(broadcast(dim), col("o_orderpriority") === col("prio"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice") * col("rate")).as("weighted"))
+        .orderBy(col("o_orderpriority"))
     }
   )
 
@@ -219,6 +273,22 @@ object IoQueries {
       """WITH t AS (SELECT i AS id FROM generate_series(0, 9999) AS g(i))
         |SELECT id % 7 AS bucket, COUNT(*) AS n,
         |  CAST(SUM((id * 2654435761) % 997) AS BIGINT) AS val_sum
-        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "io_bucketed_join" ->
+      s"""SELECT c.c_mktsegment, o.o_orderstatus, COUNT(*) AS n,
+         |  ${sqlDsum("o.o_totalprice")} AS total
+         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "io_dpp_prune" ->
+      s"""WITH rates(prio, rate) AS (VALUES
+         |  ('1-URGENT', 1.5), ('2-HIGH', 1.2), ('3-MEDIUM', 1.0),
+         |  ('4-NOT SPECIFIED', 0.8), ('5-LOW', 0.5))
+         |SELECT o_orderpriority, COUNT(*) AS n,
+         |  ${sqlDsum("o_totalprice * rate")} AS weighted
+         |FROM orders JOIN rates ON o_orderpriority = prio
+         |WHERE rate > 1.0
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -78,6 +78,13 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("io_dpp_prune: runtime partition pruning fires on the fact scan") {
+    val p = SparkEntry.queries("io_dpp_prune")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"fact scan is not dynamically pruned by the dim filter:\n$p")
+  }
+
   test("q2: correlated scalar subquery decorrelates into an aggregate join") {
     val p = plan("q2_min_price_line")
     assert(!p.contains("Subquery"),
