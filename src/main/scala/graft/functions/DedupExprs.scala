@@ -61,6 +61,25 @@ case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distinct character n-gram shingles hashed to a SORTED `array<long>`
+  * (XXH64, seed 42) — the compact form for candidate-pair verification;
+  * see [[NativeEval.charShingleHashes]]. Shorter than n chars → empty. */
+case class CharShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_char_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeEval.charShingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeEval.charShingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingleHashes =
+    copy(child = newChild)
+}
+
 /** MinHash band signatures of an `array<string>` shingle column in one
   * pass: per-shingle base hashes h1 (seed 42) and h2 (seed φ·2^64), k
   * derived functions h_t = h1 + t·h2 (the standard double-hashing MinHash

@@ -39,6 +39,46 @@ object NativeEval {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
+  /** Distinct character n-gram shingles as a SORTED array of 64-bit
+    * hashes (XXH64, seed 42). Sorted-distinct longs make the downstream
+    * pair verify a two-pointer merge with zero allocation, and shrink
+    * the candidate-join shuffle ~3× vs string shingle arrays. Exact up
+    * to hash collisions (~k²/2⁶⁴ per doc pair — negligible at any real
+    * shingle cardinality). */
+  def charShingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val len = s.numChars()
+    if (len < n) return new GenericArrayData(Array.empty[Long])
+    val raw = new Array[Long](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      raw(i) = XXH64.hashUTF8String(s.substring(i, i + n), DedupExprs.DefaultSeed)
+      i += 1
+    }
+    java.util.Arrays.sort(raw)
+    var w = 0
+    var j = 0
+    while (j < raw.length) {
+      if (j == 0 || raw(j) != raw(j - 1)) { raw(w) = raw(j); w += 1 }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(raw, w))
+  }
+
+  /** Jaccard of two SORTED distinct long arrays (see
+    * [[charShingleHashes]]): single merge pass, no hash set, no boxing. */
+  def arrayJaccardSortedLong(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 1.0 else inter.toDouble / union.toDouble
+  }
+
   def minhashBands(arr: ArrayData, k: Int, bands: Int): ArrayData = {
     // null elements are skipped: the catalog's shingle arrays are
     // containsNull=false, but the SQL-registered graft_minhash_bands

@@ -46,6 +46,37 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Jaccard of two SORTED distinct `array<long>` columns (the
+  * [[CharShingleHashes]] form): one merge pass, no per-row hash set.
+  * Same empty-empty → NULL edge semantics as [[ArrayJaccard]]. */
+case class ArrayJaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_array_jaccard_sorted"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (a.numElements() == 0 && b.numElements() == 0) null
+    else NativeEval.arrayJaccardSortedLong(a, b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() == 0 && $b.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.NativeEval.arrayJaccardSortedLong($a, $b);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): ArrayJaccardSorted =
+    copy(left = newLeft, right = newRight)
+}
+
 case class ArrayJaccard(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -28,6 +28,18 @@ object TextDedup {
   def charShingles(text: Column, n: Int): Column =
     GraftSql.column(graft.functions.CharShingles(GraftSql.expression(text), n))
 
+  /** Distinct character n-gram shingles as a sorted `array<long>` of
+    * 64-bit hashes — the compact verify-side form
+    * (native expression — [[graft.functions.CharShingleHashes]]). */
+  def charShingleHashes(text: Column, n: Int): Column =
+    GraftSql.column(graft.functions.CharShingleHashes(GraftSql.expression(text), n))
+
+  /** Jaccard of two sorted hashed-shingle arrays
+    * ([[graft.functions.ArrayJaccardSorted]]): merge pass, no hash set. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    GraftSql.column(graft.functions.ArrayJaccardSorted(
+      GraftSql.expression(a), GraftSql.expression(b)))
+
   /** LSH band signatures (shingles → k minhashes → b bands) as one native
     * expression — see [[graft.functions.MinHashBands]] for why this is not
     * a `transform`/`aggregate` composition (interpreted HOFs are ~1000×
@@ -147,6 +159,10 @@ object TextDedup {
     * floor(len/blockWidth) and its successor, so every pair within
     * `maxLenDiff ≤ blockWidth/2` shares a bucket; candidates are exactly
     * length-compatible pairs, then exact char-n-gram Jaccard filters.
+    * Shingles travel as sorted 64-bit hash arrays ([[charShingleHashes]]):
+    * ~3× fewer candidate-join shuffle bytes than string arrays and a
+    * zero-allocation merge probe per pair — exact up to xxhash64
+    * collisions (~k²/2⁶⁴ per pair, negligible).
     * Output: (a, b, jaccard), a < b. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         lenCol: Column, n: Int = 4, threshold: Double = 0.6,
@@ -157,7 +173,7 @@ object TextDedup {
     // computed per doc just to evaluate a size()>0 filter)
     val base = docs.filter(length(col(textCol)) >= n)
     val sh = base.select(col(idCol),
-      charShingles(col(textCol), n).as("__sh"))
+      charShingleHashes(col(textCol), n).as("__sh"))
     val blocked = base.select(col(idCol), lenCol.as("__len"))
       .select(col(idCol), col("__len"),
         explode(array((col("__len") / blockWidth).cast("long"),
@@ -166,10 +182,18 @@ object TextDedup {
     val cand = x.join(y,
         col("__blk_x.__blk") === col("__blk_y.__blk") &&
         col(s"__blk_x.$idCol") < col(s"__blk_y.$idCol") &&
-        abs(col("__blk_x.__len") - col("__blk_y.__len")) <= maxDiff)
+        abs(col("__blk_x.__len") - col("__blk_y.__len")) <= maxDiff &&
+        // each doc sits in blocks {own, own+1}, so a pair co-occurs twice
+        // iff both share the same own-block; keeping only the bucket equal
+        // to the LARGER doc's own block emits every pair exactly once —
+        // uniqueness by construction replaces a distinct() shuffle of the
+        // whole candidate set (the largest intermediate in the plan)
+        col("__blk_x.__blk") ===
+          greatest((col("__blk_x.__len") / blockWidth).cast("long"),
+                   (col("__blk_y.__len") / blockWidth).cast("long")))
       .select(col(s"__blk_x.$idCol").as("a"), col(s"__blk_y.$idCol").as("b"))
       .distinct()
-    verifyJaccard(cand, sh, idCol, threshold)
+    verifyJaccard(cand, sh, idCol, threshold, jaccardSorted)
   }
 
   /** Exact n-gram Jaccard dedup by PREFIX FILTERING (the ssjoin/PPJoin
@@ -212,9 +236,11 @@ object TextDedup {
   }
 
   /** Join candidate (a, b) pairs back to shingle arrays and keep pairs at
-    * or above the exact-Jaccard threshold. */
+    * or above the exact-Jaccard threshold. `jac` is the pairwise kernel —
+    * [[jaccard]] for string arrays, [[jaccardSorted]] for hashed ones. */
   private def verifyJaccard(cand: DataFrame, shingled: DataFrame,
-                            idCol: String, threshold: Double): DataFrame = {
+                            idCol: String, threshold: Double,
+                            jac: (Column, Column) => Column = jaccard): DataFrame = {
     val sa = shingled.select(col(idCol).as("a"), col("__sh").as("__sha"))
     val sb = shingled.select(col(idCol).as("b"), col("__sh").as("__shb"))
     cand.join(sa, "a").join(sb, "b")
@@ -222,7 +248,7 @@ object TextDedup {
       // scalar compare before paying for the set probe
       .filter(least(size(col("__sha")), size(col("__shb"))) >=
         lit(threshold) * greatest(size(col("__sha")), size(col("__shb"))))
-      .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
+      .withColumn("jaccard", jac(col("__sha"), col("__shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
