@@ -80,6 +80,23 @@ case class CharShingleHashes(child: Expression, n: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** An `array<string>` hashed element-wise (XXH64, seed 42) to a sorted
+  * distinct `array<long>` — see [[NativeEval.hashArraySorted]]. */
+case class ArrayHashesSorted(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_array_hashes_sorted"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeEval.hashArraySorted(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeEval.hashArraySorted($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayHashesSorted =
+    copy(child = newChild)
+}
+
 /** MinHash band signatures of an `array<string>` shingle column in one
   * pass: per-shingle base hashes h1 (seed 42) and h2 (seed φ·2^64), k
   * derived functions h_t = h1 + t·h2 (the standard double-hashing MinHash

@@ -64,6 +64,32 @@ object NativeEval {
     new GenericArrayData(java.util.Arrays.copyOf(raw, w))
   }
 
+  /** An `array<string>`'s elements hashed (XXH64, seed 42) to a SORTED
+    * distinct `array<long>` — the compact verify-side form for shingle
+    * arrays that are also consumed as strings elsewhere in the plan.
+    * Null elements are skipped (SQL-registered path accepts any input). */
+  def hashArraySorted(arr: ArrayData): ArrayData = {
+    val total = arr.numElements()
+    val raw = new Array[Long](total)
+    var n = 0
+    var i = 0
+    while (i < total) {
+      if (!arr.isNullAt(i)) {
+        raw(n) = XXH64.hashUTF8String(arr.getUTF8String(i), DedupExprs.DefaultSeed)
+        n += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(raw, 0, n)
+    var w = 0
+    var j = 0
+    while (j < n) {
+      if (j == 0 || raw(j) != raw(j - 1)) { raw(w) = raw(j); w += 1 }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(raw, w))
+  }
+
   /** Jaccard of two SORTED distinct long arrays (see
     * [[charShingleHashes]]): single merge pass, no hash set, no boxing. */
   def arrayJaccardSortedLong(a: ArrayData, b: ArrayData): Double = {

@@ -40,6 +40,12 @@ object TextDedup {
     GraftSql.column(graft.functions.ArrayJaccardSorted(
       GraftSql.expression(a), GraftSql.expression(b)))
 
+  /** An `array<string>` hashed element-wise to a sorted `array<long>`
+    * ([[graft.functions.ArrayHashesSorted]]) — compact verify-side form
+    * when the string shingles are also consumed elsewhere in the plan. */
+  def hashedShingles(arr: Column): Column =
+    GraftSql.column(graft.functions.ArrayHashesSorted(GraftSql.expression(arr)))
+
   /** LSH band signatures (shingles → k minhashes → b bands) as one native
     * expression — see [[graft.functions.MinHashBands]] for why this is not
     * a `transform`/`aggregate` composition (interpreted HOFs are ~1000×
@@ -87,7 +93,10 @@ object TextDedup {
       .select(col(idCol), posexplode(minhashBands(col("__sh"), k, bands)))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bsig")
     val cand = pairsFromBuckets(banded, idCol, Seq("__band", "__bsig"))
-    verifyJaccard(cand, sh, idCol, threshold)
+    // verify over hashed shingles: same Jaccard (collision-negligible),
+    // far fewer join-shuffle bytes than the string arrays
+    val shHashed = sh.select(col(idCol), hashedShingles(col("__sh")).as("__sh"))
+    verifyJaccard(cand, shHashed, idCol, threshold, jaccardSorted)
   }
 
   /** 64-bit SimHash of a shingle array (native expression; bit i set when
@@ -152,7 +161,8 @@ object TextDedup {
       .filter(bit_count(col("__sim_x.__sim").bitwiseXOR(col("__sim_y.__sim"))) <= maxHamming)
       .select(col(s"__sim_x.$idCol").as("a"), col(s"__sim_y.$idCol").as("b"))
       .distinct()
-    verifyJaccard(cand, sh, idCol, threshold)
+    val shHashed = sh.select(col(idCol), hashedShingles(col("__sh")).as("__sh"))
+    verifyJaccard(cand, shHashed, idCol, threshold, jaccardSorted)
   }
 
   /** Blocked exact n-gram Jaccard dedup: docs are bucketed by
