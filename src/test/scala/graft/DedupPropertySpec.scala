@@ -116,6 +116,32 @@ class DedupPropertySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("hashed-shingle jaccard == string-shingle jaccard on every pair") {
+    // the round-4 verify path carries sorted 64-bit hash arrays instead
+    // of string arrays; absent collisions (~k²/2⁶⁴) the Jaccard values
+    // must be IDENTICAL doubles on every candidate pair
+    import spark.implicits._
+    val docs = corpus.toDF("doc_id", "text")
+    val a = docs.alias("a"); val b = docs.alias("b")
+    val pairs = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(
+        TextDedup.jaccard(
+          TextDedup.charShingles(col("a.text"), 4),
+          TextDedup.charShingles(col("b.text"), 4)).as("js"),
+        TextDedup.jaccardSorted(
+          TextDedup.charShingleHashes(col("a.text"), 4),
+          TextDedup.charShingleHashes(col("b.text"), 4)).as("jh"),
+        TextDedup.jaccardSorted(
+          TextDedup.hashedShingles(TextDedup.wordShingles(col("a.text"), 3)),
+          TextDedup.hashedShingles(TextDedup.wordShingles(col("b.text"), 3))).as("jw"),
+        TextDedup.jaccard(
+          TextDedup.wordShingles(col("a.text"), 3),
+          TextDedup.wordShingles(col("b.text"), 3)).as("jws"))
+    assert(pairs.filter(col("js") =!= col("jh") ||
+      col("jw") =!= col("jws")).count() == 0)
+    assert(pairs.filter(col("js") > 0.1).count() > 0) // non-degenerate
+  }
+
   test("globalRowNumber / scalableNtile == single-task window equivalents") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
