@@ -7,9 +7,10 @@ package graft
   * Each query runs twice: the first (cold) run carries one-time
   * driver-side codegen + JIT cost (~5-9 s per query, independent of data
   * size — it would be amortized noise on any real cluster run), the
-  * second (warm) run measures steady-state throughput. `queries` reports
-  * warm times — the number that scales with data — and `cold_queries`
-  * keeps the first-run times for transparency.
+  * second (warm) run measures steady-state throughput. The stdout line
+  * reports warm times for the slowest queries (bounded so the whole
+  * line fits the driver's 2000-char stdout tail window); the complete
+  * warm+cold per-query detail lands in bench_detail.json.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,18 +37,31 @@ object Bench {
       (name, cold, warm)
     }
     val ok = results.filterNot { case (k, _, _) => errors.contains(k) }
-    val qs = ok.map { case (k, _, w) => "\"" + k + "\":" + f"$w%.3f" }
-      .mkString("{", ",", "}")
-    val cs = ok.map { case (k, c, _) => "\"" + k + "\":" + f"$c%.3f" }
-      .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._3).sum
-    // Cold timings are transparency data, not the contract line — keep
-    // them on stderr so the stdout JSON line stays compact and LAST
-    // (the driver parses the final stdout line; see build.sbt notes).
-    System.err.println(s"""[bench-cold] {"cold_queries":$cs}""")
+    // The driver keeps only the LAST ~2000 chars of stdout, so the
+    // contract line must fit inside that window AND be the final line
+    // (see build.sbt showSuccess notes): report the slowest queries up
+    // to a character budget on the line, and write the complete
+    // per-query detail (warm + cold + errors) to bench_detail.json.
+    def fmt(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
+    val bySlowest = ok.map { case (k, _, w) => (k, w) }.sortBy(-_._2)
+    var used = 0
+    val keep = bySlowest.takeWhile { case (k, v) =>
+      val c = k.length + 8 + f"$v%.2f".length
+      if (used + c <= 1600) { used += c; true } else false
+    }
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},
+         |"queries":${fmt(bySlowest)},
+         |"cold_queries":${fmt(results.map { case (k, c, _) => (k, c) })},
+         |"errors":$es,"sf":"$sfDir"}""".stripMargin.replace("\n", "")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_detail.json"), detail)
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${ok.size},"queries":${fmt(keep)},"errors":$es,"detail":"bench_detail.json","sf":"$sfDir"}""")
   }
 }
