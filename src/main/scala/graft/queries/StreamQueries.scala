@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.streaming.Incremental
+import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
 /** Streaming-adjacent catalog: the batch-incremental high-watermark load
@@ -73,6 +74,48 @@ object StreamQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"),
           min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
         .orderBy(col("event_type"))
+    },
+
+    // ST7 end to end, driver-checked: watermarked 6-hour tumbling-window
+    // aggregation in APPEND mode through a checkpointed partitioned
+    // parquet sink (the at-scale output mode — only finalized windows are
+    // ever written). Two drains over ONE checkpoint: drain 1 emits every
+    // window the watermark passed; a single far-future sentinel event
+    // then closes the horizon, and drain 2 — recovering window state
+    // from the checkpoint — flushes the remaining windows. The
+    // sentinel's own window never finalizes, so the sink holds exactly
+    // the real-event windows.
+    "st_tumbling_watermark" -> { (s, dir) =>
+      import graft.streaming.FileStreams
+      val in = scratch(dir, "wm_in"); val out = scratch(dir, "wm_out")
+      val ckpt = scratch(dir, "wm_ckpt")
+      Seq(in, out, ckpt).foreach(rmrf)
+      val schema = graft.core.SchemaDsl.fromSpec(
+        "event_id:l;ts:c;event_type:c;value:d")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts").cast("string").as("ts"),
+          col("event_type"), col("value"))
+        .repartition(4).write.json(in)
+      def windowed(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("ts", to_timestamp(col("ts")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n"), col("value_sum"))
+      def drain(): Unit = FileStreams.startPartitionedParquetSink(
+        windowed(FileStreams.jsonFileStream(s, in, schema,
+          maxFilesPerTrigger = 2)),
+        out, ckpt, Seq("event_type")).awaitTermination()
+      drain()
+      import s.implicits._
+      Seq((-1L, "2030-01-01 00:00:00", "zz_sentinel", 0.0))
+        .toDF("event_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode(SaveMode.Append).json(in)
+      drain()
+      s.read.parquet(out)
+        .select("win_start", "event_type", "n", "value_sum")
+        .orderBy("win_start", "event_type")
     }
   )
 
@@ -85,6 +128,13 @@ object StreamQueries {
     "st_stream_etl" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS value_sum,
          |  MIN(ts) AS first_ts, MAX(ts) AS last_ts
-         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // 6 h = 21600 s; epoch-aligned floor matches Spark's window() origin
+    "st_tumbling_watermark" ->
+      s"""SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 21600) * 21600) AS TIMESTAMP)
+         |    AS win_start,
+         |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS value_sum
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
