@@ -86,4 +86,28 @@ class CapabilitiesSpec extends SparkSpec {
     assert(a == b)
     assert(a.values.toSet.size == 5)
   }
+
+  test("ML pipeline wrapper: assembler -> PCA -> polyexpand -> GLR with summary") {
+    // the survey's literal §2.11 shape
+    // (ref: notebooks/databricks/python/automl_linearreg_process_stocks.py:460-545)
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.{PCA, PolynomialExpansion, VectorAssembler}
+    import org.apache.spark.ml.regression.{GeneralizedLinearRegression, GeneralizedLinearRegressionModel}
+    val df = Tables.orders(spark, sf001).select(
+      col("o_totalprice").as("y"),
+      (col("o_orderkey") % 97).cast("double").as("f1"),
+      (col("o_custkey") % 89).cast("double").as("f2"),
+      month(col("o_orderdate")).cast("double").as("f3"))
+    val pipe = new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(Array("f1", "f2", "f3")).setOutputCol("feat"),
+      new PCA().setInputCol("feat").setOutputCol("pca").setK(3),
+      new PolynomialExpansion().setInputCol("pca").setOutputCol("poly").setDegree(2),
+      new GeneralizedLinearRegression().setFamily("gaussian").setLink("identity")
+        .setFeaturesCol("poly").setLabelCol("y").setMaxIter(10)))
+    val model = pipe.fit(df)
+    val glr = model.stages.last.asInstanceOf[GeneralizedLinearRegressionModel]
+    // the reference reads the summary stats (aic/deviance) after fit
+    assert(!glr.summary.aic.isNaN && glr.summary.deviance > 0.0)
+    assert(model.transform(df).count() == df.count())
+  }
 }
