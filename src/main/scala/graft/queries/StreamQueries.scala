@@ -103,16 +103,27 @@ object StreamQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
         .select(col("w.start").as("win_start"), col("event_type"),
           col("n"), col("value_sum"))
+      // several-microbatch behavior is proven by st_stream_etl; here one
+      // batch per drain keeps the state-commit rounds minimal
       def drain(): Unit = FileStreams.startPartitionedParquetSink(
         windowed(FileStreams.jsonFileStream(s, in, schema,
-          maxFilesPerTrigger = 2)),
+          maxFilesPerTrigger = 4)),
         out, ckpt, Seq("event_type")).awaitTermination()
-      drain()
-      import s.implicits._
-      Seq((-1L, "2030-01-01 00:00:00", "zz_sentinel", 0.0))
-        .toDF("event_id", "ts", "event_type", "value")
-        .coalesce(1).write.mode(SaveMode.Append).json(in)
-      drain()
+      // streaming state partition count is fixed at checkpoint creation;
+      // ~3k window states don't need 32 stores × batches × drains of
+      // commit-file churn — at production volume this is sized to the
+      // state, not to the shuffle default
+      val partKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partKey)
+      s.conf.set(partKey, "4")
+      try {
+        drain()
+        import s.implicits._
+        Seq((-1L, "2030-01-01 00:00:00", "zz_sentinel", 0.0))
+          .toDF("event_id", "ts", "event_type", "value")
+          .coalesce(1).write.mode(SaveMode.Append).json(in)
+        drain()
+      } finally s.conf.set(partKey, prevParts)
       s.read.parquet(out)
         .select("win_start", "event_type", "n", "value_sum")
         .orderBy("win_start", "event_type")
