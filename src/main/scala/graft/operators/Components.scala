@@ -30,10 +30,14 @@ object Components {
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .cache()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node"))
+    // seed with the first propagation round folded into initialization:
+    // min(node, min neighbor) is exactly iteration 1 over identity labels,
+    // for the same single shuffle the identity init would have cost
+    var labels = sym.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("component"))
+      .select(col("src").as("node"), col("component"))
       .cache()
-    var iter = 0
+    var iter = 1
     var converged = false
     while (!converged && iter < maxIter) {
       // each node offers its current label to every neighbor
