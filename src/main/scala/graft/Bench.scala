@@ -4,13 +4,19 @@ package graft
   * SPARK_GRAFT_SF_DIR scale factor. Failed queries are reported in an
   * `errors` map (name → exception class) instead of being silently timed.
   *
-  * Each query runs twice: the first (cold) run carries one-time
+  * Each query runs at least twice: the first (cold) run carries one-time
   * driver-side codegen + JIT cost (~5-9 s per query, independent of data
-  * size — it would be amortized noise on any real cluster run), the
-  * second (warm) run measures steady-state throughput. The stdout line
-  * reports warm times for the slowest queries (bounded so the whole
-  * line fits the driver's 2000-char stdout tail window); the complete
-  * warm+cold per-query detail lands in bench_detail.json.
+  * size — it would be amortized noise on any real cluster run), then
+  * timed runs measure steady-state throughput. A single warm run is not
+  * enough: with ~100 queries churning through one JVM, C2 deopt/reopt can
+  * land a multi-second outlier on a steady sub-second query (round 5:
+  * io_text_regex reported 10.99 s warm vs 0.98 s steady in a BenchOne
+  * A/B), so a query whose first timed run still looks cold-like is
+  * re-run (bounded) and the MINIMUM timed run is reported — min is the
+  * right estimator for steady-state plan cost under one-sided JIT noise.
+  * The stdout line reports warm times for the slowest queries (bounded so
+  * the whole line fits the driver's 2000-char stdout tail window); the
+  * complete warm+cold per-query detail lands in bench_detail.json.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,7 +39,17 @@ object Bench {
       val cold = runOnce(name, fn)
       // stateful io_/st_ queries rebuild their scratch state each call, so
       // a second run is the same work minus the one-time JIT
-      val warm = if (errors.contains(name)) cold else runOnce(name, fn)
+      var warm = if (errors.contains(name)) cold else runOnce(name, fn)
+      // retry while the best timed run still looks JIT-contaminated
+      // (> 2 s AND still improving >25% per run), at most twice more —
+      // genuinely-slow queries stop after one non-improving retry
+      var retries = 0
+      while (!errors.contains(name) && retries < 2 && warm > 2.0) {
+        val t = runOnce(name, fn)
+        val improved = t < warm * 0.75
+        warm = math.min(warm, t)
+        retries = if (improved) retries + 1 else 2
+      }
       (name, cold, warm)
     }
     val ok = results.filterNot { case (k, _, _) => errors.contains(k) }

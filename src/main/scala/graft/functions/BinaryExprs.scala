@@ -5,10 +5,10 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types._
 
 /** Byte-level feature extraction over `binary` columns — the multimodal
-  * pipeline's deterministic featurizer (the real image/audio decode is
-  * stubbed, see [[graft.operators.Multimodal.decodeImageRgb]]; these byte
-  * features are the honest stand-in that keeps the schema, partitioning
-  * and batch shape of the pipeline real and testable).
+  * pipeline's codec-free featurizer (image decode itself is
+  * [[graft.operators.Multimodal.imageioDecode]]; these byte features
+  * apply to ANY payload — including audio/video formats the JDK cannot
+  * decode — keeping schema, partitioning and batch shape uniform).
   */
 
 /** 16-bin histogram of a binary payload by high nibble (byte >> 4):

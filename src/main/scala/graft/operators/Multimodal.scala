@@ -39,25 +39,62 @@ object Multimodal {
       length(GraftSql.column(ByteSample(GraftSql.expression(col("payload")), sampleStride)))
         .as("n_sample_bytes"))
 
-  /** REAL image decode — deliberately unimplemented: image/audio codecs
-    * are not available in this environment (builder brief). The
-    * deterministic byte-level featurizer above stands in so the pipeline
-    * shape (binary payload → per-row feature extraction → metadata-only
-    * downstream) is fully exercised. Wire a codec here on a real cluster. */
-  def decodeImageRgb(payload: Column): Column =
-    throw new NotImplementedError(
-      "image codecs unavailable here; use Multimodal.featurize's byte features")
-
   /** One decoded (or frame-sampled) unit of media: fixed output schema
-    * regardless of codec, so downstream plans never depend on the decoder. */
+    * regardless of codec, so downstream plans never depend on the decoder.
+    * `pixels` is an 8-bit luminance buffer, row-major, width×height. */
   case class Frame(asset_id: Long, frame_idx: Int,
                    width: Int, height: Int, pixels: Array[Byte])
 
-  /** Deterministic stand-in for a media decoder (codecs unavailable in
-    * this environment — builder brief says stub the decode, keep the
-    * plumbing real): derives WxH from the payload length and cuts the
-    * payload into `nFrames` pixel buffers. Swap for a real codec with the
-    * same signature on a cluster with media libraries. */
+  /** Real pure-JVM image decode (PNG/JPEG/BMP/GIF via `javax.imageio` —
+    * ships with the JDK, no native codec needed): each decodable image in
+    * the payload becomes one [[Frame]] of 8-bit luminance pixels
+    * (integer BT.601 luma, deterministic across platforms). Multi-frame
+    * containers (animated GIF) emit up to `nFrames` frames; still images
+    * emit one; an undecodable or truncated payload emits ZERO frames —
+    * at 100 TB a corrupt media file must skip, not kill the stage (count
+    * assets with no output frames downstream to quarantine them). */
+  def imageioDecode(assetId: Long, payload: Array[Byte], nFrames: Int): Seq[Frame] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) Seq.empty
+      else {
+        val reader = readers.next()
+        reader.setInput(in, false, true)
+        try {
+          val avail =
+            try math.max(reader.getNumImages(true), 1)
+            catch { case _: Exception => 1 }
+          (0 until math.min(avail, math.max(nFrames, 1))).flatMap { i =>
+            try {
+              val img = reader.read(i)
+              val w = img.getWidth; val h = img.getHeight
+              val px = new Array[Byte](w * h)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  px(y * w + x) = (((rgb >> 16 & 0xFF) * 299 +
+                    (rgb >> 8 & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              Some(Frame(assetId, i, w, h, px))
+            } catch { case _: Exception => None }
+          }
+        } finally reader.dispose()
+      }
+    } finally if (in != null) in.close()
+  }
+
+  /** Deterministic stand-in codec for payloads that are NOT real images
+    * (e.g. text assets reshaped into the multimodal schema): derives WxH
+    * from the payload length and cuts the payload into `nFrames` pixel
+    * buffers. Lets the frame-pipeline plumbing be exercised on any
+    * binary column; real media uses [[imageioDecode]] (the default). */
   def stubDecode(assetId: Long, payload: Array[Byte], nFrames: Int): Seq[Frame] = {
     val side = math.max(1, math.sqrt(math.max(payload.length, 1).toDouble).toInt)
     (0 until nFrames).map { f =>
@@ -73,9 +110,10 @@ object Multimodal {
     * invoked inside the partition iterator (one JVM-local pass, no
     * shuffle, payloads never leave the executor), emits 0..n frames per
     * asset with a FIXED schema, and the payload column is gone from the
-    * output. `decoder` is injectable; defaults to [[stubDecode]]. */
+    * output. `decoder` is injectable; defaults to the real
+    * [[imageioDecode]] (pass [[stubDecode]] for non-media payloads). */
   def decodeFrames(assets: DataFrame, nFrames: Int,
-                   decoder: (Long, Array[Byte], Int) => Seq[Frame] = stubDecode)
+                   decoder: (Long, Array[Byte], Int) => Seq[Frame] = imageioDecode)
       : org.apache.spark.sql.Dataset[Frame] = {
     val spark = assets.sparkSession
     import spark.implicits._

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{SchemaDsl, Tables}
-import graft.sources.{FileIO, JdbcIO, Synthetic}
+import graft.sources.{FileIO, JdbcIO, RestSource, Synthetic}
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -207,6 +207,55 @@ object IoQueries {
         .orderBy(col("c_mktsegment"), col("o_orderstatus"))
     },
 
+    // S12: REST-paged ingest → columnar landing (ref:
+    // from_api_call_to_columnar_db.py:500-590). The "endpoint" is the
+    // nation dim serialized as JSON-array pages — the exact driver-side
+    // shape a paged API yields (pages are inherently driver-bounded
+    // strings; parsing runs distributed in RestSource) — landed to
+    // parquet and aggregated from the landing table.
+    "io_rest_pages" -> { (s, dir) =>
+      val path = scratch(dir, "rest_land")
+      import s.implicits._
+      val pages: Iterator[String] = Tables.nation(s, dir)
+        .orderBy("n_nationkey")
+        .select(to_json(struct(col("n_nationkey"), col("n_name"),
+          col("n_regionkey"))))
+        .as[String].collect().grouped(7).map(_.mkString("[", ",", "]"))
+      val incoming = RestSource.fromJsonPages(s, pages,
+        SchemaDsl.fromSpec("n_nationkey:i;n_name:c;n_regionkey:i"))
+      incoming.write.mode(SaveMode.Overwrite).parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_nationkey")).cast("long").as("key_sum"),
+          max(col("n_name")).as("max_name"))
+        .orderBy(col("n_regionkey"))
+    },
+
+    // Defensive CSV ingest: corrupt lines quarantined, not fatal
+    // (PERMISSIVE + _corrupt_record; pairs with the DataQuality rules).
+    // The parseable lines are arithmetic-deterministic so the oracle
+    // regenerates them (io_synthetic pattern); the 3 corrupt lines are
+    // literals counted by the oracle as constants.
+    "io_csv_permissive" -> { (s, dir) =>
+      val path = scratch(dir, "csv_perm")
+      val sb = new StringBuilder("id,val\n")
+      (0 until 1000).foreach { i =>
+        sb.append(i).append(',').append((i * 2654435761L) % 997).append('\n')
+      }
+      sb.append("bad_one,not_a_number\n")
+      sb.append("1001,12.5.7\n")
+      sb.append("x,y\n")
+      new java.io.File(path).mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$path/data.csv"), sb.toString)
+      FileIO.readCsvPermissive(s, path, SchemaDsl.fromSpec("id:l;val:l"))
+        .agg(
+          count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+          count(col("_corrupt_record")).as("n_bad"),
+          sum(when(col("_corrupt_record").isNull, col("val"))).as("val_sum"))
+    },
+
     // Dynamic partition pruning: fact partitioned on the join key, dim
     // carries a selective filter — at runtime the broadcast result prunes
     // fact partitions before the scan (2 of 5 directories read; at 100 TB
@@ -287,6 +336,18 @@ object IoQueries {
          |  ${sqlDsum("o.o_totalprice")} AS total
          |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "io_rest_pages" ->
+      """SELECT n_regionkey, COUNT(*) AS n,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+        |  MAX(n_name) AS max_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "io_csv_permissive" ->
+      """WITH t AS (SELECT i AS id FROM generate_series(0, 999) AS g(i))
+        |SELECT COUNT(*) AS n_good, CAST(3 AS BIGINT) AS n_bad,
+        |  CAST(SUM((id * 2654435761) % 997) AS BIGINT) AS val_sum
+        |FROM t""".stripMargin,
 
     "io_dpp_prune" ->
       s"""WITH rates(prio, rate) AS (VALUES

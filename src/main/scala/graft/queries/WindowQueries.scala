@@ -108,6 +108,24 @@ object WindowQueries {
         .orderBy("event_type")
     },
 
+    // W6 exact-distinct twin: the same 10-minute RANGE frame as w6, but
+    // with an EXACT windowed distinct count (size(collect_set)) so the
+    // windowed-distinct semantics get a cross-engine oracle (DuckDB
+    // COUNT(DISTINCT) over the identical RANGE frame); the HLL variant
+    // above stays the rows-only approximate-capability row. Integer
+    // `div` on ts_ns — a double division could round a boundary value
+    // into the wrong second.
+    "w6c_sliding_exact_distinct" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_sec", expr("ts_ns div 1000000000"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts_sec"))
+        .rangeBetween(-600, 0)
+      ev.withColumn("users_10m",
+          size(collect_set(col("user_id")).over(w)).cast("long"))
+        .select("event_id", "event_type", "ts_sec", "users_10m")
+        .orderBy("event_id")
+    },
+
     // W6 exact twin: RANGE BETWEEN INTERVAL time frame with a
     // decimal-exact sliding sum — same frame as w6 but fully oracleable
     // (DuckDB runs the identical RANGE frame over the same timestamps).
@@ -179,6 +197,15 @@ object WindowQueries {
          |  FROM customer)
          |SELECT quartile, COUNT(*) AS n, ${sqlDsum("c_acctbal")} AS total_bal
          |FROM t GROUP BY quartile ORDER BY quartile""".stripMargin,
+
+    "w6c_sliding_exact_distinct" ->
+      """SELECT event_id, event_type,
+        |  epoch_ns(ts) // 1000000000 AS ts_sec,
+        |  COUNT(DISTINCT user_id) OVER (
+        |    PARTITION BY event_type ORDER BY (epoch_ns(ts) // 1000000000)
+        |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
+        |  ) AS users_10m
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "w6b_sliding_range_sum" ->
       """SELECT event_id, event_type,

@@ -169,7 +169,8 @@ class OperatorsSpec extends SparkSpec {
     val docs = graft.core.Tables.documents(spark, sf001).limit(20)
     val assets = Multimodal.assets(docs, "doc_id", "source", "text",
       Seq("lang", "n_chars"))
-    val frames = Multimodal.decodeFrames(assets, nFrames = 4)
+    val frames = Multimodal.decodeFrames(assets, nFrames = 4,
+      decoder = Multimodal.stubDecode)
     // fixed schema, nFrames per asset, payload projected away
     assert(frames.columns.toSeq ==
       Seq("asset_id", "frame_idx", "width", "height", "pixels"))
@@ -178,7 +179,7 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("count") =!= 4).count() == 0)
     // deterministic: same input → same total pixel bytes
     val bytes1 = frames.select(sum(length(col("pixels")))).head().getLong(0)
-    val bytes2 = Multimodal.decodeFrames(assets, 4)
+    val bytes2 = Multimodal.decodeFrames(assets, 4, Multimodal.stubDecode)
       .select(sum(length(col("pixels")))).head().getLong(0)
     assert(bytes1 == bytes2 && bytes1 > 0)
     // resize caps both dims and shrinks the buffer
@@ -186,6 +187,46 @@ class OperatorsSpec extends SparkSpec {
     val t = thumbs.collect()
     assert(t.forall(f => f.width <= 8 + 8 && f.pixels.length == f.width * f.height))
     assert(t.map(_.pixels.length).sum < bytes1)
+  }
+
+  test("Multimodal: imageioDecode golden pixels + resize on a real PNG") {
+    import graft.operators.Multimodal
+    // deterministic 16x8 RGB gradient, PNG-encoded in memory
+    def pngBytes(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 16) << 16) | ((y * 32) << 8) | 7)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def luma(x: Int, y: Int): Byte =
+      (((x * 16) * 299 + (y * 32) * 587 + 7 * 114) / 1000).toByte
+    // direct codec check against computed BT.601 luma
+    val direct = Multimodal.imageioDecode(1L, pngBytes(16, 8), 4)
+    assert(direct.size == 1) // still image → exactly one frame
+    val f = direct.head
+    assert(f.width == 16 && f.height == 8 && f.frame_idx == 0)
+    for (y <- 0 until 8; x <- 0 until 16)
+      assert(f.pixels(y * 16 + x) == luma(x, y), s"pixel ($x,$y)")
+    // undecodable payload → zero frames, no exception
+    assert(Multimodal.imageioDecode(2L, "not an image".getBytes, 4).isEmpty)
+    // distributed path: default decoder through decodeFrames, mixed
+    // good/bad payloads; resize stride-samples the decoded buffer
+    val assets = Seq(
+      (1L, "image", pngBytes(16, 8)),
+      (2L, "image", "corrupt!".getBytes)
+    ).toDF("asset_id", "kind", "payload")
+    val frames = Multimodal.decodeFrames(assets, nFrames = 4).collect()
+    assert(frames.length == 1 && frames.head.asset_id == 1L)
+    assert(frames.head.pixels.toSeq == f.pixels.toSeq)
+    val thumb = Multimodal.resizeFrames(
+      Multimodal.decodeFrames(assets, 4), side = 4).collect().head
+    assert(thumb.width == 4 && thumb.height == 4)
+    // stride sampling: thumb(x,y) = full(x*4, y*2)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(thumb.pixels(y * 4 + x) == luma(x * 4, y * 2), s"thumb ($x,$y)")
   }
 
   test("Normalize: nullIfBlank / blankIfNull / isBlank") {
