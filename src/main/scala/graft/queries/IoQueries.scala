@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{SchemaDsl, Tables}
-import graft.sources.{FileIO, JdbcIO, RestSource, Synthetic}
+import graft.sources.{DriveSource, FileIO, JdbcIO, RestSource, Synthetic}
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -232,6 +232,38 @@ object IoQueries {
         .orderBy(col("n_regionkey"))
     },
 
+    // Drive-hosted-sheet ingest with revision pinning (ref:
+    // gdriveutil.py:53-97 — fetch by name, resolve the revision at a
+    // given time, stream, stage). The injected store holds three
+    // revisions of a nation "sheet" — stale names before, the real
+    // export, and a FUTURE edit; reading asOf between the last two must
+    // pick the real one, so a green row proves the revision resolution,
+    // not just the parse.
+    "io_drive_revision" -> { (s, dir) =>
+      import s.implicits._
+      val rows = Tables.nation(s, dir).orderBy("n_nationkey")
+        .select(concat_ws(",", col("n_nationkey"), col("n_name"),
+          col("n_regionkey")))
+        .as[String].collect().toSeq
+      def csv(xs: Seq[String]): Array[Byte] =
+        ("n_nationkey,n_name,n_regionkey" +: xs).mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val stale = rows.map { l =>
+        val p = l.split(","); s"${p(0)},STALE,${p(2)}"
+      }
+      val store: DriveSource.Store = Map("dim_nation.csv" -> Seq(
+        DriveSource.Revision("r1", 1000L, csv(stale)),
+        DriveSource.Revision("r2", 2000L, csv(rows)),
+        DriveSource.Revision("r3", 9000L, csv(stale))))
+      DriveSource.readCsvRevision(s, store, "dim_nation.csv",
+          asOfMillis = 5000L,
+          SchemaDsl.fromSpec("n_nationkey:i;n_name:c;n_regionkey:i"))
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), max(col("n_name")).as("max_name"),
+          min(col("n_name")).as("min_name"))
+        .orderBy(col("n_regionkey"))
+    },
+
     // Defensive CSV ingest: corrupt lines quarantined, not fatal
     // (PERMISSIVE + _corrupt_record; pairs with the DataQuality rules).
     // The parseable lines are arithmetic-deterministic so the oracle
@@ -341,6 +373,11 @@ object IoQueries {
       """SELECT n_regionkey, COUNT(*) AS n,
         |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
         |  MAX(n_name) AS max_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "io_drive_revision" ->
+      """SELECT n_regionkey, COUNT(*) AS n, MAX(n_name) AS max_name,
+        |  MIN(n_name) AS min_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "io_csv_permissive" ->

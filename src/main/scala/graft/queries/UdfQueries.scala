@@ -69,6 +69,30 @@ object UdfQueries {
         .orderBy(col("prio_num"))
     },
 
+    // Jar-shipped Hive-UDF registration form (ref: windowed_lagN_awskms_
+    // postgres_date_partition.py:61-64 — `create temporary function
+    // geog_ip_ext as 'com.acme...GeogIPExt'`, guarded by SHOW FUNCTIONS).
+    // The SQL DDL needs a Hive catalog; HiveUdfRegistrar is the
+    // catalog-neutral equivalent — reflectively loads the Hive-contract
+    // class and registers it as the same named SQL function, idempotent.
+    // The oracle re-derives the geo bucket arithmetically, proving the
+    // class-loaded function computes what it claims.
+    "f_hive_udf_class" -> { (s, dir) =>
+      graft.functions.HiveUdfRegistrar.registerIfAbsent(
+        s, "region_of_ip", "graft.functions.RegionOfIpUdf")
+      Tables.customer(s, dir)
+        .withColumn("ip",
+          when(col("c_custkey") % 100 === 0, lit("not-an-ip"))
+            .otherwise(concat(
+              (col("c_custkey") % 256).cast("string"), lit("."),
+              ((col("c_custkey") * 7) % 256).cast("string"), lit(".1.2"))))
+        .selectExpr("coalesce(region_of_ip(ip), 'INVALID') AS region",
+          "c_acctbal")
+        .groupBy(col("region"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal"))
+        .orderBy(col("region"))
+    },
+
     // F8 typed Dataset.map with a case-class Encoder: serialize each event
     // to a delimited log line, then parse it back (logparsing.scala port).
     "f_typed_map_logparse" -> { (s, dir) =>
@@ -108,6 +132,13 @@ object UdfQueries {
         |  COALESCE(string_split(o_orderpriority, '-')[2], '') AS prio_label,
         |  COUNT(*) AS n
         |FROM orders GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "f_hive_udf_class" ->
+      s"""SELECT CASE WHEN c_custkey % 100 = 0 THEN 'INVALID'
+         |  ELSE 'REGION_' || CAST(((c_custkey % 256) * 7 + (c_custkey * 7) % 256) % 5 AS VARCHAR)
+         |  END AS region,
+         |  COUNT(*) AS n, ${sqlDsum("c_acctbal")} AS bal
+         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "f_typed_map_logparse" ->
       s"""SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,

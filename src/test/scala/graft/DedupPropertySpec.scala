@@ -157,7 +157,9 @@ class DedupPropertySpec extends SparkSpec {
       .select("id", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(gotRank == wantRank)
 
-    for (k <- Seq(3, 4, 7, 16)) {
+    // k=1 (degenerate single tile) and k=6000 > n (size==0 branch:
+    // every row is its own tile) are the arithmetic edge cases
+    for (k <- Seq(1, 3, 4, 7, 16, 6000)) {
       val got = Windows.scalableNtile(df, order, k, "tile")
         .select("id", "tile").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
       val want = df.withColumn("tile", ntile(k).over(Window.orderBy(order: _*)))

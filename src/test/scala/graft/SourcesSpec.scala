@@ -82,6 +82,33 @@ class SourcesSpec extends SparkSpec {
     assert(good.agg(sum(col("qty"))).head().getLong(0) == 50L)
   }
 
+  test("DriveSource: revision pinning picks latest <= asOf; missing throws") {
+    import graft.sources.DriveSource
+    val store: DriveSource.Store = Map("f" -> Seq(
+      DriveSource.Revision("b", 2000L, "2".getBytes),
+      DriveSource.Revision("a", 1000L, "1".getBytes), // unordered on purpose
+      DriveSource.Revision("c", 3000L, "3".getBytes)))
+    assert(new String(DriveSource.revisionAsOf(store, "f", 2500L).content) == "2")
+    assert(new String(DriveSource.revisionAsOf(store, "f", 3000L).content) == "3") // inclusive
+    intercept[NoSuchElementException] { DriveSource.revisionAsOf(store, "f", 500L) }
+    intercept[NoSuchElementException] { DriveSource.revisionAsOf(store, "nope", 5000L) }
+  }
+
+  test("HiveUdfRegistrar: class-name registration, null contract, idempotent") {
+    import graft.functions.HiveUdfRegistrar
+    HiveUdfRegistrar.registerIfAbsent(spark, "t_region_of_ip",
+      "graft.functions.RegionOfIpUdf")
+    // second call must be a no-op, not a re-register error
+    HiveUdfRegistrar.registerIfAbsent(spark, "t_region_of_ip",
+      "graft.functions.RegionOfIpUdf")
+    val r = spark.sql(
+      """SELECT t_region_of_ip('10.1.2.3') AS ok, t_region_of_ip('nope') AS bad,
+        |       t_region_of_ip('10.999.0.1') AS oob,
+        |       t_region_of_ip(CAST(NULL AS STRING)) AS nul""".stripMargin).head()
+    assert(r.getString(0) == s"REGION_${(10 * 7 + 1) % 5}")
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
   test("api-to-columnar composition: REST pages -> staging view -> diff check -> parquet") {
     import graft.sources.RestSource
     import graft.operators.SetOps
