@@ -8,20 +8,22 @@ import org.apache.spark.sql.functions._
   * component's minimum id as the canonical representative; keep one row
   * per component to dedup).
   *
-  * Each iteration is one join + aggregate on the edge list (both
-  * shuffles on the node key); labels converge in O(component diameter)
-  * iterations — near-dup clusters are small chains, so 2-4 in practice,
-  * and the loop stops as soon as a pass changes nothing. The driver only
-  * orchestrates; all data work is distributed. For graphs with huge
-  * diameters use the large-star/small-star variant; dedup graphs are not
-  * that.
+  * Each iteration is one neighbor-propagation join + one pointer-jump
+  * join (shuffles on the node key). The pointer jump — adopt the label
+  * OF your label — roughly doubles the propagated distance per pass
+  * (classic PRAM pointer jumping / hash-to-min), so convergence is
+  * O(log diameter) iterations rather than O(diameter): the default
+  * maxIter=20 covers any realistic graph (diameter ≈ 2^20), not just
+  * the 2-4-hop chains of near-dup clusters. The loop stops as soon as a
+  * pass changes nothing; the driver only orchestrates.
   */
 object Components {
 
   /** @param edges (a, b) undirected pairs
     * @return (node, component) — component = min node id reachable.
-    *         The result is cached (the iterative lineage is expensive to
-    *         recompute); callers should `.unpersist()` it once consumed.
+    *         The result is materialized (localCheckpoint) — the storage
+    *         is reclaimed by the context cleaner once the caller drops
+    *         the reference; an explicit `.unpersist()` is a no-op.
     * @throws IllegalStateException if labels have not converged after
     *         maxIter passes — unconverged labels are silently WRONG
     *         (over-segmented components), never return them. */
@@ -30,13 +32,23 @@ object Components {
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .cache()
-    // seed with the first propagation round folded into initialization:
+    // Each iteration references `labels` TWICE (offers + jump table), so
+    // building on a merely-cached frame doubles the LOGICAL plan tree per
+    // pass — exponential planning/explain cost by iteration ~10 even
+    // though the physical work is flat. localCheckpoint truncates the
+    // lineage each pass (the standard discipline for iterative
+    // DataFrame algorithms); the eager materialization replaces the
+    // cache we wanted anyway.
+    // Seed with the first propagation round folded into initialization:
     // min(node, min neighbor) is exactly iteration 1 over identity labels,
-    // for the same single shuffle the identity init would have cost
+    // for the same single shuffle the identity init would have cost.
+    // lazy (eager=false): the per-iteration convergence count is the
+    // action that materializes it — same one-job-per-pass cadence as a
+    // cache, but with the lineage cut
     var labels = sym.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("component"))
       .select(col("src").as("node"), col("component"))
-      .cache()
+      .localCheckpoint(false)
     var iter = 1
     var converged = false
     while (!converged && iter < maxIter) {
@@ -48,25 +60,44 @@ object Components {
       // keep the previous label alongside the new one so convergence
       // detection is a filter over this same cached frame — one action per
       // iteration, no extra self-join against the old labels
-      val next = labels.select(col("node"), col("component"))
+      val prop = labels.select(col("node"), col("component"))
         .join(offers, Seq("node"), "left")
         .select(col("node"), col("component").as("__old"),
           least(col("component"), coalesce(col("__offer"), col("component")))
-            .as("component"))
-        .cache()
+            .as("__prop"))
+      // pointer jump against the MATERIALIZED previous labels (so the
+      // propagation lineage is not computed twice): label(u) ←
+      // min(label(u), prevLabel(label(u))). Every candidate label is a
+      // node id inside u's component, so the invariant holds; the
+      // fixpoint of the neighbor step alone already forces equal labels
+      // across every edge, so the jump only accelerates, never changes,
+      // the converged answer. Skipped for the first two passes: dedup
+      // graphs converge there on propagation alone, and the jump join
+      // would be a pure extra shuffle; a graph still unconverged by pass
+      // 3 is deep, and jumping from then on is what keeps the total at
+      // O(log diameter).
+      val jumped =
+        if (iter < 3) prop.withColumnRenamed("__prop", "component")
+        else {
+          val jumpTable = labels
+            .select(col("node").as("__jn"), col("component").as("__jc"))
+          prop.join(jumpTable, col("__prop") === col("__jn"), "left")
+            .select(col("node"), col("__old"),
+              least(col("__prop"), coalesce(col("__jc"), col("__prop")))
+                .as("component"))
+        }
+      val next = jumped.localCheckpoint(false)
       val changed = next.filter(col("component") =!= col("__old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
     sym.unpersist()
     if (!converged) {
-      labels.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations — " +
-          "graph diameter exceeds maxIter; raise it or use a " +
-          "large-star/small-star contraction for high-diameter graphs")
+          "with pointer jumping that implies diameter beyond ~2^maxIter; " +
+          "raise maxIter")
     }
     labels.select(col("node"), col("component"))
   }

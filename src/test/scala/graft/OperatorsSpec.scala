@@ -164,6 +164,18 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: pointer jumping converges a 500-node chain in maxIter=20") {
+    import graft.operators.Components
+    // diameter 499: plain min-propagation would need ~499 passes; the
+    // pointer jump gets there in O(log n)
+    val n = 500
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Components.connectedComponents(edges)
+    assert(labels.count() == n)
+    assert(labels.filter(col("component") =!= 0L).count() == 0)
+    labels.unpersist()
+  }
+
   test("Multimodal: typed frame decode + resize plumbing (stub codec)") {
     import graft.operators.Multimodal
     val docs = graft.core.Tables.documents(spark, sf001).limit(20)
