@@ -107,6 +107,82 @@ object TextQueries {
         .orderBy(col("doc_id"), col("rnk"))
     },
 
+    // Per-domain quota cap: keep the K best docs per source so one crawl
+    // domain cannot dominate the training mixture — a partitioned window
+    // (one shuffle on source, no global sort; a pathologically heavy
+    // domain is an AQE-skew case, not a plan change).
+    "t_domain_cap" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("source"), col("rnk"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"), col("rnk"))
+    },
+
+    // PII redaction: scrub emails/phones before training. The corpus has
+    // no PII, so deterministic synthetic PII is injected first (varying
+    // counts per doc), then redacted with regexes shared verbatim with
+    // the oracle — all codegen'd regexp ops, no shuffle before the final
+    // per-source rollup.
+    "t_pii_scrub" -> { (s, dir) =>
+      val emailRe = "[a-z0-9]+@[a-z0-9]+\\.com"
+      val phoneRe = "555-[0-9]{4}"
+      val pii = Tables.documents(s, dir)
+        .withColumn("text2", concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0, concat(
+            lit(" contact u"), col("doc_id").cast("string"),
+            lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, concat(
+            lit(" alt p"), col("doc_id").cast("string"),
+            lit("@x"), (col("doc_id") % 5).cast("string"), lit(".com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, concat(
+            lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))))
+        .withColumn("n_email", regexp_count(col("text2"), lit(emailRe)))
+        .withColumn("n_phone", regexp_count(col("text2"), lit(phoneRe)))
+        .withColumn("clean", regexp_replace(
+          regexp_replace(col("text2"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"))
+      pii.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_email")).cast("long").as("emails_redacted"),
+          sum(col("n_phone")).cast("long").as("phones_redacted"),
+          sum(length(col("clean"))).cast("long").as("clean_chars"))
+        .orderBy(col("source"))
+    },
+
+    // Benchmark decontamination: flag documents containing any benchmark
+    // phrase as an exact word-aligned 5-gram — a shingle EQUI-join
+    // against the (tiny, broadcast) benchmark set, never a contains()
+    // nested loop over the corpus; at 100 TB the only corpus-side cost
+    // is the explode, and the join stays broadcast at any corpus size.
+    // The "benchmark" here is the opening 5-grams of three fixed docs,
+    // so contamination is guaranteed non-empty and oracle-derivable.
+    "t_decontaminate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val phrases = docs.filter(col("doc_id").isin(3L, 57L, 123L))
+        .select(concat_ws(" ", slice(split(col("text"), " "), 1, 5))
+          .as("phrase"))
+      val hits = docs
+        .select(col("doc_id"), explode(
+          graft.operators.TextDedup.wordShingles(col("text"), 5)).as("sh"))
+        .join(broadcast(phrases), col("sh") === col("phrase"))
+        .select("doc_id").distinct()
+        .withColumn("hit", lit(1L))
+      docs.join(hits, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+        .orderBy(col("source"))
+    },
+
     // Document fingerprinting: bag-of-words-normalized md5 (order
     // independent — reordered near-dups collide; appended text does not).
     "t_fingerprint" -> { (s, dir) =>
@@ -187,6 +263,44 @@ object TextQueries {
         |  FROM tf JOIN df ON tf.tok = df.tok)
         |SELECT doc_id, rnk, tok, tf, df FROM ranked WHERE rnk <= 2
         |ORDER BY doc_id, rnk""".stripMargin,
+
+    "t_domain_cap" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rnk
+        |  FROM documents)
+        |SELECT source, rnk, doc_id, n_chars FROM ranked WHERE rnk <= 10
+        |ORDER BY source, rnk""".stripMargin,
+
+    "t_pii_scrub" ->
+      """WITH pii AS (
+        |  SELECT source,
+        |    text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@mail' || (doc_id % 7) || '.com' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' alt p' || doc_id || '@x' || (doc_id % 5) || '.com' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    AS text2
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(text2, '[a-z0-9]+@[a-z0-9]+\.com'))) AS BIGINT) AS emails_redacted,
+        |  CAST(SUM(len(regexp_extract_all(text2, '555-[0-9]{4}'))) AS BIGINT) AS phones_redacted,
+        |  CAST(SUM(len(regexp_replace(regexp_replace(text2, '[a-z0-9]+@[a-z0-9]+\.com', '<EMAIL>', 'g'), '555-[0-9]{4}', '<PHONE>', 'g'))) AS BIGINT) AS clean_chars
+        |FROM pii GROUP BY source ORDER BY source""".stripMargin,
+
+    "t_decontaminate" ->
+      """WITH ph AS (
+        |  SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS phrase
+        |  FROM documents WHERE doc_id IN (3, 57, 123)),
+        |f AS (
+        |  SELECT d.source,
+        |    CASE WHEN EXISTS (SELECT 1 FROM ph
+        |      WHERE position(' ' || ph.phrase || ' ' IN ' ' || d.text || ' ') > 0)
+        |    THEN 1 ELSE 0 END AS hit
+        |  FROM documents d)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(hit) AS BIGINT) AS n_contaminated
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     "t_fingerprint" ->
       """SELECT doc_id,
