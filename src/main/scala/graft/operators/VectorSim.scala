@@ -95,4 +95,39 @@ object VectorSim {
     topKPerQuery(scored, "q_id", "cos", "nn_id", k)
       .select(col("q_id"), col("rnk"), col("nn_id"), col("cos"))
   }
+
+  /** Multi-probe IVF ANN: each query probes its `nprobe` closest cells
+    * instead of only its own — the standard recall knob. Cells are
+    * ranked per query by cosine against a per-cell REPRESENTATIVE
+    * vector (here the min-id member — deterministic and exactly
+    * reproducible by any engine; a real index stores the k-means
+    * centroid, same plan shape). The representative table is
+    * cells-sized and broadcast; the chosen (query, cell) probe set then
+    * equi-joins the corpus on the cell key, so corpus-side work scales
+    * with nprobe/cells and the corpus itself never shuffles. Exact
+    * within the probed cells. */
+  def ivfCosineTopKMultiProbe(corpus: DataFrame, queries: DataFrame,
+                              idCol: String, vecCol: String, cellCol: String,
+                              k: Int, nprobe: Int): DataFrame = {
+    val repW = Window.partitionBy(col(cellCol)).orderBy(col(idCol))
+    val reps = corpus
+      .withColumn("__rn", row_number().over(repW))
+      .filter(col("__rn") === 1)
+      .select(col(cellCol).as("__rcell"), col(vecCol).as("__rv"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("__pcos").desc, col("__rcell"))
+    val probes = q.crossJoin(broadcast(reps)) // queries × cells — tiny
+      .withColumn("__pcos", cosine(col("__qv"), col("__rv")))
+      .withColumn("__prn", row_number().over(probeW))
+      .filter(col("__prn") <= nprobe)
+      .select(col("q_id"), col("__qv"), col("__rcell").as("__qcell"))
+    val c = corpus.select(col(idCol).as("nn_id"), col(cellCol).as("__ccell"),
+      col(vecCol).as("__cv"))
+    val scored = c.join(probes, col("__qcell") === col("__ccell") &&
+        col("nn_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    topKPerQuery(scored, "q_id", "cos", "nn_id", k)
+      .select(col("q_id"), col("rnk"), col("nn_id"), col("cos"))
+  }
 }

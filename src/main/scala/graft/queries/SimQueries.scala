@@ -45,6 +45,20 @@ object SimQueries {
         .select(col("q_id"), col("rnk"),
           col("nn_id"), floor(col("cos") * 1e6).cast("long").as("cos_micro"))
         .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // Multi-probe IVF ANN: nprobe=2 — each query ranks the 10 cells by
+    // cosine against the cell's min-id representative and probes the
+    // best two; exact top-3 within the probed pair of cells. The recall
+    // knob the single-probe variant lacks.
+    "s_cosine_ann_probes" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 20)
+      VectorSim.ivfCosineTopKMultiProbe(emb, queries, "vec_id", "embedding",
+          "label", k = 3, nprobe = 2)
+        .select(col("q_id"), col("rnk"),
+          col("nn_id"), floor(col("cos") * 1e6).cast("long").as("cos_micro"))
+        .orderBy(col("q_id"), col("rnk"))
     }
   )
 
@@ -87,6 +101,32 @@ object SimQueries {
          |r AS (
          |  SELECT q_id, nn_id, cos,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rnk
+         |  FROM c)
+         |SELECT q_id, rnk, nn_id, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
+         |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    "s_cosine_ann_probes" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         |reps AS (
+         |  SELECT label AS rcell, e AS rv FROM (
+         |    SELECT label, e,
+         |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM v) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 20),
+         |pr AS (
+         |  SELECT q_id, qv, rcell,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY
+         |      list_dot_product(qv, rv) /
+         |        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(rv, rv)))
+         |      DESC, rcell) AS prn
+         |  FROM q, reps),
+         |probes AS (SELECT q_id, qv, rcell FROM pr WHERE prn <= 2),
+         |c AS (
+         |  SELECT p.q_id, v.vec_id AS nn_id, p.qv, v.e AS cv
+         |  FROM probes p JOIN v ON v.label = p.rcell AND v.vec_id <> p.q_id),
+         |r AS (
+         |  SELECT q_id, nn_id, $cosSql AS cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY $cosSql DESC, nn_id) AS rnk
          |  FROM c)
          |SELECT q_id, rnk, nn_id, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
          |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin

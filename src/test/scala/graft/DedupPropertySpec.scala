@@ -142,6 +142,20 @@ class DedupPropertySpec extends SparkSpec {
     assert(pairs.filter(col("js") > 0.1).count() > 0) // non-degenerate
   }
 
+  test("multi-probe IVF with nprobe = #cells == brute force (exhaustive probe)") {
+    import graft.operators.VectorSim
+    val emb = graft.core.Tables.embeddings(spark, sf001)
+    val q = emb.filter(col("vec_id") < 5)
+    def key(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long)] =
+      df.select("q_id", "rnk", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val exhaustive = key(VectorSim.ivfCosineTopKMultiProbe(
+      emb, q, "vec_id", "embedding", "label", k = 5, nprobe = 10))
+    val brute = key(VectorSim.bruteForceCosineTopK(
+      emb, q, "vec_id", "embedding", k = 5))
+    assert(exhaustive == brute && brute.nonEmpty)
+  }
+
   test("globalRowNumber / scalableNtile == single-task window equivalents") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
