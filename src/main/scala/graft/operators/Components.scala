@@ -21,9 +21,10 @@ object Components {
 
   /** @param edges (a, b) undirected pairs
     * @return (node, component) — component = min node id reachable.
-    *         The result is materialized (localCheckpoint) — the storage
-    *         is reclaimed by the context cleaner once the caller drops
-    *         the reference; an explicit `.unpersist()` is a no-op.
+    *         The result is materialized (cached when convergence was
+    *         shallow, localCheckpoint-backed when deep); call
+    *         `.unpersist()` once consumed (a no-op on the checkpointed
+    *         form, where the context cleaner reclaims the storage).
     * @throws IllegalStateException if labels have not converged after
     *         maxIter passes — unconverged labels are silently WRONG
     *         (over-segmented components), never return them. */
@@ -32,23 +33,23 @@ object Components {
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .cache()
-    // Each iteration references `labels` TWICE (offers + jump table), so
-    // building on a merely-cached frame doubles the LOGICAL plan tree per
-    // pass — exponential planning/explain cost by iteration ~10 even
-    // though the physical work is flat. localCheckpoint truncates the
-    // lineage each pass (the standard discipline for iterative
-    // DataFrame algorithms); the eager materialization replaces the
-    // cache we wanted anyway.
+    // Each iteration references `labels` TWICE (offers + the propagated
+    // frame), so building on a merely-cached frame doubles the LOGICAL
+    // plan tree per pass — exponential planning/explain cost by
+    // iteration ~10 even though the physical work is flat (cache
+    // truncates computation, not the plan). Storage strategy: plain
+    // cache for the first two passes (shallow dedup graphs converge
+    // there and the tree is still ≤4 frames), then lazy localCheckpoint
+    // — the per-iteration convergence count is the action that
+    // materializes it, same one-job-per-pass cadence, lineage cut.
     // Seed with the first propagation round folded into initialization:
     // min(node, min neighbor) is exactly iteration 1 over identity labels,
     // for the same single shuffle the identity init would have cost.
-    // lazy (eager=false): the per-iteration convergence count is the
-    // action that materializes it — same one-job-per-pass cadence as a
-    // cache, but with the lineage cut
     var labels = sym.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("component"))
       .select(col("src").as("node"), col("component"))
-      .localCheckpoint(false)
+      .cache()
+    var labelsIsCached = true
     var iter = 1
     var converged = false
     while (!converged && iter < maxIter) {
@@ -86,9 +87,11 @@ object Components {
               least(col("__prop"), coalesce(col("__jc"), col("__prop")))
                 .as("component"))
         }
-      val next = jumped.localCheckpoint(false)
+      val next = if (iter < 3) jumped.cache() else jumped.localCheckpoint(false)
       val changed = next.filter(col("component") =!= col("__old")).count()
+      if (labelsIsCached) labels.unpersist()
       labels = next
+      labelsIsCached = iter < 3
       converged = changed == 0
       iter += 1
     }
