@@ -35,6 +35,28 @@ object DataPrepQueries {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // Funnel conversion: per user, the first occurrence of each stage;
+    // a stage converts only if its first occurrence is strictly after
+    // the previous stage's — ONE conditional aggregation over the fact,
+    // no per-stage self-joins (the naive form shuffles the fact once
+    // per stage; this shuffles once total).
+    "e_funnel" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          count(col("t_view")).as("n_view"),
+          sum(when(col("t_click") > col("t_view"), 1).otherwise(0))
+            .cast("long").as("n_view_click"),
+          sum(when(col("t_click") > col("t_view") &&
+                   col("t_purchase") > col("t_click"), 1).otherwise(0))
+            .cast("long").as("n_full_funnel"))
+    },
+
     // Deterministic stratified sampling: arithmetic hash on the id (both
     // engines reproduce it exactly — no rand()), per-lang rates. The
     // sampling decision is a pure per-row expression: fully distributed,
@@ -70,6 +92,19 @@ object DataPrepQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_funnel" ->
+      """WITH firsts AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT COUNT(*) AS n_users,
+        |  COUNT(t_view) AS n_view,
+        |  CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+        |  CAST(SUM(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        |FROM firsts""".stripMargin,
+
     "e_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,

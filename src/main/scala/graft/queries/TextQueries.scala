@@ -158,6 +158,29 @@ object TextQueries {
         .orderBy(col("source"))
     },
 
+    // Repetition quality signal: fraction of word 3-grams that are
+    // within-doc duplicates (exact micro-units) — the classic filter for
+    // boilerplate/template spam in web corpora. Pure per-row expressions
+    // over the native shingle kernel; one rollup shuffle.
+    "t_repetition" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("n_tok", size(split(col("text"), " ")))
+        .filter(col("n_tok") >= 3)
+        .withColumn("total_tri", (col("n_tok") - 2).cast("long"))
+        .withColumn("dist_tri", size(
+          graft.operators.TextDedup.wordShingles(col("text"), 3)).cast("long"))
+        .withColumn("rep_micro",
+          floor((lit(1.0) - col("dist_tri").cast("double") /
+            col("total_tri").cast("double")) * 1e6).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("rep_micro")).cast("long").as("rep_micro_sum"),
+          max(col("rep_micro")).as("max_rep_micro"),
+          sum(when(col("rep_micro") > 100000L, 1).otherwise(0)).cast("long")
+            .as("n_repetitive"))
+        .orderBy(col("source"))
+    },
+
     // Benchmark decontamination: flag documents containing any benchmark
     // phrase as an exact word-aligned 5-gram — a shingle EQUI-join
     // against the (tiny, broadcast) benchmark set, never a contains()
@@ -287,6 +310,24 @@ object TextQueries {
         |  CAST(SUM(len(regexp_extract_all(text2, '555-[0-9]{4}'))) AS BIGINT) AS phones_redacted,
         |  CAST(SUM(len(regexp_replace(regexp_replace(text2, '[a-z0-9]+@[a-z0-9]+\.com', '<EMAIL>', 'g'), '555-[0-9]{4}', '<PHONE>', 'g'))) AS BIGINT) AS clean_chars
         |FROM pii GROUP BY source ORDER BY source""".stripMargin,
+
+    "t_repetition" ->
+      """WITH tri AS (
+        |  SELECT source,
+        |    len(ws) - 2 AS total_tri,
+        |    len(list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS dist_tri
+        |  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 3),
+        |r AS (
+        |  SELECT source,
+        |    CAST(floor((1.0 - CAST(dist_tri AS DOUBLE) / CAST(total_tri AS DOUBLE)) * 1e6) AS BIGINT) AS rep_micro
+        |  FROM tri)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(rep_micro) AS BIGINT) AS rep_micro_sum,
+        |  MAX(rep_micro) AS max_rep_micro,
+        |  CAST(SUM(CASE WHEN rep_micro > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "t_decontaminate" ->
       """WITH ph AS (
