@@ -81,6 +81,33 @@ object AggQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)
+    },
+
+    // Exact per-group quantiles from the VALUE DISTRIBUTION, not value
+    // buffering: groupBy-count the (group, value) histogram, cumulate,
+    // take the lowest value whose cumulative count reaches ceil(q*n)
+    // (discrete/type-1 quantile — integer-exact in any engine). This is
+    // the 100 TB shape for low-cardinality measures: Spark's exact
+    // `percentile` buffers every value per group and approx_percentile
+    // is not cross-engine checkable; the distribution form shuffles
+    // only (group, value) pairs.
+    "a16_quantiles" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("total", sum(col("cnt")).over(
+          Window.partitionBy(col("l_returnflag"))))
+      def qVal(q: Double): org.apache.spark.sql.Column =
+        min(when(col("cum") >= ceil(lit(q) * col("total")), col("l_quantity")))
+      cum.groupBy(col("l_returnflag"))
+        .agg(max(col("total")).as("n"),
+          qVal(0.5).as("p50"), qVal(0.9).as("p90"), qVal(0.99).as("p99"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -127,6 +154,22 @@ object AggQueries {
 
     "o2_topn_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
-        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "a16_quantiles" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS total
+        |  FROM hist)
+        |SELECT l_returnflag, MAX(total) AS n,
+        |  MIN(CASE WHEN cum >= ceil(0.5 * total) THEN l_quantity END) AS p50,
+        |  MIN(CASE WHEN cum >= ceil(0.9 * total) THEN l_quantity END) AS p90,
+        |  MIN(CASE WHEN cum >= ceil(0.99 * total) THEN l_quantity END) AS p99
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -37,6 +37,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the join")
   }
 
+  test("s_cosine_ann_probes: probe set broadcast, corpus joined on the cell key") {
+    val p = plan("s_cosine_ann_probes")
+    // the probe-selection crossJoin is queries × cell-representatives
+    // (tiny, broadcast); the corpus-side join must be an equi-join on
+    // the cell key, so the corpus itself is never replicated per query
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "corpus must join the probe set on the cell key (equi-join)")
+    assert(!p.contains("CartesianProduct"), "corpus-side cartesian")
+  }
+
+  test("t_decontaminate: benchmark phrases broadcast, corpus equi-joined") {
+    val p = plan("t_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "phrase set should broadcast into a hash equi-join on the shingle")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "decontamination must never scan corpus × phrases")
+  }
+
   test("w7: global ntile runs without a whole-relation Window sort") {
     val p = plan("w7_ntile_quartiles")
     assert(!p.contains("row_number() windowspecdefinition"),
