@@ -133,6 +133,48 @@ object StreamQueries {
       s.read.parquet(out)
         .select("win_start", "event_type", "n", "value_sum")
         .orderBy("win_start", "event_type")
+    },
+
+    // Streaming CDC upsert via foreachBatch (beyond reference —
+    // composes the batch SCD merge with the file stream): wave 1 lands
+    // every event at version 1; the drain merges them into the keyed
+    // target over several micro-batches. Wave 2 appends updated rows
+    // (doubled value, version 2) for every 10th key; a second drain
+    // over the SAME checkpoint processes only the new files and merges
+    // them in. The target must hold exactly the latest version per key.
+    "st_upsert_merge" -> { (s, dir) =>
+      import graft.streaming.Upsert
+      val in = scratch(dir, "ups_in"); val target = scratch(dir, "ups_target")
+      val ckpt = scratch(dir, "ups_ckpt")
+      Seq(in, target, ckpt).foreach(rmrf)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), lit(1L).as("ver"))
+      ev.repartition(4).write.parquet(in)
+      val schema = graft.core.SchemaDsl.fromSpec(
+        "event_id:l;user_id:l;event_type:c;value:d;ver:l")
+      def drain(): Unit = Upsert.startParquetUpsert(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(in),
+        target, ckpt, keys = Seq("event_id"),
+        orderCols = Seq("ver", "event_id")).awaitTermination()
+      // state-light job: the merge is stateless per batch (state lives
+      // in the target table), so small shuffle fan-out suffices
+      val partKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partKey)
+      s.conf.set(partKey, "8")
+      try {
+        drain()
+        ev.filter(col("event_id") % 10 === 0)
+          .withColumn("value", col("value") * 2.0)
+          .withColumn("ver", lit(2L))
+          .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+        drain()
+      } finally s.conf.set(partKey, prevParts)
+      s.read.parquet(target)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"),
+          sum(col("ver")).as("ver_sum"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -154,6 +196,13 @@ object StreamQueries {
          |    AS win_start,
          |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS value_sum
          |FROM events WHERE ts < TIMESTAMP '2024-01-08'
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // final upserted state: every 10th key carries the v2 row
+    "st_upsert_merge" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  ${sqlDsum("CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END")} AS value_sum,
+         |  CAST(SUM(CASE WHEN event_id % 10 = 0 THEN 2 ELSE 1 END) AS BIGINT) AS ver_sum
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
