@@ -75,15 +75,22 @@ object HiveUdfRegistrar {
     if (spark.catalog.functionExists(name)) return
     jarPath.foreach(spark.sparkContext.addJar)
     val cls = loadClass(className, jarPath)
-    val evals = cls.getMethods.filter(_.getName == "evaluate")
-    require(evals.nonEmpty, s"$className has no evaluate() method")
-    val m = evals.minBy(_.getParameterCount)
+    // exactly ONE supported-arity overload: executors re-resolve the
+    // method by arity alone (getMethods order is unspecified per JVM),
+    // so an overloaded evaluate could bind a different signature there
+    // than the return DataType registered here
+    val evals = cls.getMethods.filter(m =>
+      m.getName == "evaluate" && m.getParameterCount >= 1 && m.getParameterCount <= 2)
+    require(evals.nonEmpty,
+      s"$className has no evaluate() method with 1 or 2 parameters")
+    require(evals.length == 1,
+      s"$className has ${evals.length} evaluate() overloads — ambiguous " +
+        "executor-side binding; expose exactly one")
+    val m = evals.head
     val ret = sparkType(m.getReturnType)
     m.getParameterCount match {
       case 1 => spark.udf.register(name, new Reflect1(className, jarPath), ret)
       case 2 => spark.udf.register(name, new Reflect2(className, jarPath), ret)
-      case n => throw new IllegalArgumentException(
-        s"evaluate() arity $n not supported (1 or 2)")
     }
   }
 }

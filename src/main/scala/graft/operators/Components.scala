@@ -97,6 +97,7 @@ object Components {
     }
     sym.unpersist()
     if (!converged) {
+      if (labelsIsCached) labels.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations — " +
           "with pointer jumping that implies diameter beyond ~2^maxIter; " +

@@ -70,17 +70,16 @@ object Multimodal {
             try {
               val img = reader.read(i)
               val w = img.getWidth; val h = img.getHeight
+              // one bulk getRGB: per-pixel getRGB pays a color-model
+              // conversion per CALL — ~10× slower on megapixel frames
+              val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
               val px = new Array[Byte](w * h)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val rgb = img.getRGB(x, y)
-                  px(y * w + x) = (((rgb >> 16 & 0xFF) * 299 +
-                    (rgb >> 8 & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000).toByte
-                  x += 1
-                }
-                y += 1
+              var j = 0
+              while (j < px.length) {
+                val rgb = rgbs(j)
+                px(j) = (((rgb >> 16 & 0xFF) * 299 +
+                  (rgb >> 8 & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000).toByte
+                j += 1
               }
               Some(Frame(assetId, i, w, h, px))
             } catch { case _: Exception => None }

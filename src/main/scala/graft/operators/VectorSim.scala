@@ -104,16 +104,19 @@ object VectorSim {
     * centroid, same plan shape). The representative table is
     * cells-sized and broadcast; the chosen (query, cell) probe set then
     * equi-joins the corpus on the cell key, so corpus-side work scales
-    * with nprobe/cells and the corpus itself never shuffles. Exact
-    * within the probed cells. */
+    * with nprobe/cells and the corpus itself never shuffles whole. Exact
+    * within the probed cells. Probe choice ranks IEEE cosines with an
+    * exact-equality cell tiebreak — the same cross-engine determinism
+    * contract as every cosine-ranked catalog row (both engines compute
+    * the identical sequential dot product). */
   def ivfCosineTopKMultiProbe(corpus: DataFrame, queries: DataFrame,
                               idCol: String, vecCol: String, cellCol: String,
                               k: Int, nprobe: Int): DataFrame = {
-    val repW = Window.partitionBy(col(cellCol)).orderBy(col(idCol))
+    // min_by aggregates with map-side partials (cells-sized shuffle) — a
+    // row_number window here would shuffle AND sort the whole corpus
     val reps = corpus
-      .withColumn("__rn", row_number().over(repW))
-      .filter(col("__rn") === 1)
-      .select(col(cellCol).as("__rcell"), col(vecCol).as("__rv"))
+      .groupBy(col(cellCol).as("__rcell"))
+      .agg(min_by(col(vecCol), col(idCol)).as("__rv"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("__pcos").desc, col("__rcell"))

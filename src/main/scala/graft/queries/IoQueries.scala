@@ -278,6 +278,7 @@ object IoQueries {
       sb.append("bad_one,not_a_number\n")
       sb.append("1001,12.5.7\n")
       sb.append("x,y\n")
+      rmrf(path) // stale foreign files in the dir would be read too
       new java.io.File(path).mkdirs()
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$path/data.csv"), sb.toString)

@@ -26,7 +26,17 @@ object Upsert {
     * latest row per `keys` ordered by `orderCols` (descending, last
     * column should be a unique tiebreak). Re-running with the same
     * checkpoint processes only NEW source files — restartable and
-    * exactly-once from the sink's perspective. */
+    * exactly-once from the sink's perspective.
+    *
+    * The merged frame is written to a TEMP directory and swapped in
+    * (Hadoop FileSystem rename, works on local FS and HDFS) — never an
+    * in-place overwrite of the directory the merge is reading: a
+    * cache-as-barrier overwrite would recompute lost partitions from an
+    * already-deleted path on executor failure. Only a missing target
+    * path falls back to an empty target; any OTHER read failure (e.g. a
+    * half-written directory from a crashed swap) propagates — silently
+    * rebuilding from one batch would discard all previously merged
+    * keys. */
   def startParquetUpsert(source: DataFrame, targetDir: String,
                          checkpointDir: String, keys: Seq[String],
                          orderCols: Seq[String]): StreamingQuery =
@@ -35,15 +45,17 @@ object Upsert {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val spark = batch.sparkSession
+        val hadoopPath = new org.apache.hadoop.fs.Path(targetDir)
+        val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val target =
-          try spark.read.parquet(targetDir)
-          catch { case _: org.apache.spark.sql.AnalysisException => batch.limit(0).toDF() }
+          if (fs.exists(hadoopPath)) spark.read.parquet(targetDir)
+          else batch.limit(0).toDF()
         val merged = graft.operators.Windows.dedupLatest(
-            target.unionByName(batch.toDF()), keys, orderCols.map(col))
-          .cache()
-        merged.count() // pull data out before overwriting the dir it came from
-        merged.write.mode(SaveMode.Overwrite).parquet(targetDir)
-        merged.unpersist()
+          target.unionByName(batch.toDF()), keys, orderCols.map(col))
+        val tmpDir = targetDir + "__swap"
+        merged.write.mode(SaveMode.Overwrite).parquet(tmpDir)
+        fs.delete(hadoopPath, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmpDir), hadoopPath)
         ()
       }
       .start()
