@@ -55,7 +55,11 @@ object Upsert {
         val tmpDir = targetDir + "__swap"
         merged.write.mode(SaveMode.Overwrite).parquet(tmpDir)
         fs.delete(hadoopPath, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmpDir), hadoopPath)
+        // rename signals failure by RETURN VALUE; ignoring it would leave
+        // the target deleted and the next batch would silently rebuild
+        // from scratch — fail the batch instead (checkpoint replays it)
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmpDir), hadoopPath),
+          s"upsert swap rename $tmpDir -> $targetDir failed")
         ()
       }
       .start()
