@@ -161,4 +161,31 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("Upsert: missing target bootstraps; corrupt target FAILS the batch") {
+    import graft.streaming.Upsert
+    import spark.implicits._
+    val schema = SchemaDsl.fromSpec("id:l;v:c;ver:l")
+    // happy path: no target dir yet → first batch bootstraps it
+    val in1 = tmp("ups_in_ok"); val tg1 = tmp("ups_tg_ok"); val ck1 = tmp("ups_ck_ok")
+    Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ver").write.parquet(in1)
+    Upsert.startParquetUpsert(
+      spark.readStream.schema(schema).parquet(in1), tg1, ck1,
+      Seq("id"), Seq("ver", "id")).awaitTermination()
+    assert(spark.read.parquet(tg1).count() == 2)
+    // corrupt target (exists but unreadable — e.g. a crashed swap left
+    // garbage): the batch must FAIL, not silently rebuild the table
+    // from the current batch and discard previously merged keys
+    val in2 = tmp("ups_in_bad"); val tg2 = tmp("ups_tg_bad"); val ck2 = tmp("ups_ck_bad")
+    Seq((3L, "c", 1L)).toDF("id", "v", "ver").write.parquet(in2)
+    new java.io.File(tg2).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(tg2, "part-0000.parquet"), "not a parquet file")
+    val q = Upsert.startParquetUpsert(
+      spark.readStream.schema(schema).parquet(in2), tg2, ck2,
+      Seq("id"), Seq("ver", "id"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+  }
 }
