@@ -99,6 +99,62 @@ object TextDedup {
     verifyJaccard(cand, shHashed, idCol, threshold, jaccardSorted)
   }
 
+  /** MinHash-LSH index of a corpus: one row per doc carrying its banded
+    * signatures and sorted hashed shingles — the artifact an incremental
+    * pipeline PERSISTS (parquet; at scale partitioned by a band-signature
+    * prefix) so each new batch dedups against the standing corpus without
+    * re-pairing it. Columns: (idCol, bands array<long>, shingle_hashes
+    * sorted array<long>). Docs with no shingles are absent (they cannot
+    * near-dup under this measure). */
+  def buildMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, k: Int = 128,
+                        bands: Int = 32): DataFrame = {
+    require(k % bands == 0, "k must divide into bands evenly")
+    docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol),
+        minhashBands(col("__sh"), k, bands).as("bands"),
+        hashedShingles(col("__sh")).as("shingle_hashes"))
+  }
+
+  /** Incremental near-duplicate detection: a new `batch` of docs against a
+    * prebuilt corpus `index` (see [[buildMinhashIndex]] — same shingleN/k/
+    * bands MUST be used on both sides). Band signatures equi-join on
+    * (band position, signature); candidates verify by exact Jaccard over
+    * the stored hashed shingles. Ids are assumed globally unique across
+    * batch and corpus; a doc re-ingested under its own id is not its own
+    * duplicate. Output: (b = batch id, c = corpus id, jaccard), one row
+    * per cross-side pair at or above the threshold.
+    *
+    * Scale contract: the corpus side ships only (id, band, signature)
+    * rows into the join — b rows per doc, b a constant — and the stored
+    * shingle arrays are fetched for candidates only; the batch is the
+    * small side by construction. Nothing is quadratic in the corpus. */
+  def dedupAgainstIndex(batch: DataFrame, index: DataFrame, idCol: String,
+                        textCol: String, shingleN: Int = 3,
+                        threshold: Double = 0.7, k: Int = 128,
+                        bands: Int = 32): DataFrame = {
+    val bIdx = buildMinhashIndex(batch, idCol, textCol, shingleN, k, bands)
+      .select(col(idCol).as("b"), col("bands").as("__bbands"),
+        col("shingle_hashes").as("__shb"))
+    val bBands = bIdx.select(col("b"), posexplode(col("__bbands")))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bsig")
+    val cBands = index.select(col(idCol).as("c"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bsig")
+    val cand = bBands.join(cBands, Seq("__band", "__bsig"))
+      .filter(col("b") =!= col("c"))
+      .select(col("b"), col("c")).distinct()
+    cand
+      .join(bIdx.select(col("b"), col("__shb")), "b")
+      .join(index.select(col(idCol).as("c"),
+        col("shingle_hashes").as("__shc")), "c")
+      .filter(least(size(col("__shb")), size(col("__shc"))) >=
+        lit(threshold) * greatest(size(col("__shb")), size(col("__shc"))))
+      .withColumn("jaccard", jaccardSorted(col("__shb"), col("__shc")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("b"), col("c"), col("jaccard"))
+  }
+
   /** 64-bit SimHash of a shingle array (native expression; bit i set when
     * the ±1 sum over shingles of bit i of xxhash64(shingle) is
     * non-negative) — see [[graft.functions.SimHash64]]. */

@@ -71,6 +71,40 @@ object DataPrepQueries {
         .orderBy(col("lang"))
     },
 
+    // End-to-end training-data mixture: quality filter (type-token ratio ≥
+    // 0.35) → repetition filter (duplicate-trigram fraction ≤ 0.10) →
+    // exact dedup (keep the lowest doc_id per normalized-text hash) →
+    // per-lang corpus stats. The whole funnel is per-row expressions plus
+    // ONE dedup shuffle on the content hash and one rollup — the shape
+    // that holds at 100 TB (filters run before the only wide exchange, so
+    // the dedup shuffles the kept subset, not the raw corpus).
+    "t_training_mix" -> { (s, dir) =>
+      val scored = Tables.documents(s, dir)
+        .withColumn("__w", split(col("text"), " "))
+        .withColumn("n_tok", size(col("__w")))
+        .filter(col("n_tok") >= 3)
+        .withColumn("ttr_micro",
+          floor(size(array_distinct(col("__w"))).cast("double") /
+            col("n_tok").cast("double") * 1e6).cast("long"))
+        .withColumn("rep_micro",
+          floor((lit(1.0) -
+            size(graft.operators.TextDedup.wordShingles(col("text"), 3))
+              .cast("double") / (col("n_tok") - 2).cast("double")) * 1e6)
+            .cast("long"))
+        .filter(col("ttr_micro") >= 350000L && col("rep_micro") <= 100000L)
+      val w = Window
+        .partitionBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+        .orderBy(col("doc_id"))
+      scored
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("tok_sum"),
+          sum(col("n_chars")).cast("long").as("char_sum"))
+        .orderBy(col("lang"))
+    },
+
     // Sequence packing: greedy token-budget binning per lang — docs in
     // doc_id order accumulate whitespace-token counts; a doc starts in
     // bin floor(exclusive-cumsum / budget). One window per lang
@@ -129,6 +163,33 @@ object DataPrepQueries {
         |WHERE (doc_id * 2654435761) % 100 <
         |      CASE WHEN lang = 'en' THEN 10 ELSE 50 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t_training_mix" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    CAST(floor(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) * 1e6) AS BIGINT) AS ttr_micro,
+        |    CAST(floor((1.0 -
+        |      CAST(len(list_distinct(list_transform(
+        |        generate_series(1, len(string_split(text, ' ')) - 2),
+        |        i -> string_split(text, ' ')[i] || ' ' ||
+        |             string_split(text, ' ')[i+1] || ' ' ||
+        |             string_split(text, ' ')[i+2]))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) - 2 AS DOUBLE)) * 1e6) AS BIGINT) AS rep_micro
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |kept AS (
+        |  SELECT lang, n_tok, n_chars,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |      ORDER BY doc_id) AS rn
+        |  FROM scored
+        |  WHERE ttr_micro >= 350000 AND rep_micro <= 100000)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+        |  CAST(SUM(n_chars) AS BIGINT) AS char_sum
+        |FROM kept WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t_pack_sequences" ->
       """WITH toks AS (

@@ -14,15 +14,34 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  /** Shared DuckDB CTE: distinct word-3-gram shingles per doc. */
-  private val wordShingleCte =
+  /** Per-sf scratch dir (index artifacts) so verify and bench don't collide. */
+  private def scratch(dir: String, leaf: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_dedup_${new java.io.File(dir).getName}/$leaf"
+
+  private def rmrf(path: String): Unit = {
+    val root = new java.io.File(path)
+    if (root.exists()) {
+      root.listFiles() match {
+        case null => ()
+        case fs => fs.foreach(f => rmrf(f.getPath))
+      }
+      root.delete()
+    }
+  }
+
+  /** Shared DuckDB CTEs: distinct word-3-gram shingles + per-doc counts. */
+  private val shingleCountCte =
     """sh AS (
       |  SELECT DISTINCT doc_id, s FROM (
       |    SELECT doc_id,
       |      unnest(list_transform(generate_series(1, len(ws) - 2),
       |                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
       |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
-      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** …plus the all-pairs (a < b) shingle-intersection counts. */
+  private val wordShingleCte =
+    s"""$shingleCountCte,
       |inter AS (
       |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
@@ -89,6 +108,52 @@ object DedupQueries {
         "doc_id", "text", shingleN = 3, threshold = 0.7)
       graft.operators.Components.connectedComponents(pairs.select("a", "b"))
         .orderBy("node")
+    },
+
+    // Canonical-survivor selection: near-dup clusters (MinHash-LSH pairs →
+    // connected components, singletons as their own cluster) reduced to ONE
+    // kept doc per cluster — the longest member, min doc_id on ties. The
+    // survivor pick is a single hash aggregation over a lexicographic
+    // struct max (no per-cluster window sort): one shuffle on the cluster
+    // key at any corpus size.
+    "d_canonical_docs" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.7)
+      val comp = graft.operators.Components
+        .connectedComponents(pairs.select("a", "b"))
+        .withColumnRenamed("node", "doc_id")
+      docs.select(col("doc_id"), col("n_chars"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          max(struct(col("n_chars").as("c"), (-col("doc_id")).as("nid")))
+            .as("__best"))
+        .select(col("component"), (-col("__best.nid")).as("keep_doc"),
+          col("n_members"), col("total_chars"))
+        .orderBy(col("component"))
+    },
+
+    // Incremental dedup against a PERSISTED corpus index: the corpus's
+    // MinHash band signatures + hashed shingles are built once and stored
+    // (parquet round trip here — the artifact a standing pipeline keeps
+    // between ingests), then a new batch (doc_id % 10 = 7) joins the index
+    // by band signature and exact-verifies — the corpus is never
+    // re-paired against itself.
+    "d_incremental_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val path = scratch(dir, "minhash_index")
+      rmrf(path)
+      TextDedup.buildMinhashIndex(corpus, "doc_id", "text", shingleN = 3)
+        .write.mode("overwrite").parquet(path)
+      val index = s.read.parquet(path)
+      TextDedup.dedupAgainstIndex(batch, index, "doc_id", "text",
+          shingleN = 3, threshold = 0.7)
+        .orderBy(col("b"), col("c"))
     },
 
     // Exact dedup by normalized-text hash (lower + whitespace-collapse +
@@ -161,6 +226,54 @@ object DedupQueries {
          |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node)
          |SELECT node, MIN(r) AS component
          |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+
+    // same recursive-CTE component oracle as d_dedup_clusters, extended
+    // with singleton clusters and a windowed survivor pick
+    "d_canonical_docs" ->
+      s"""WITH RECURSIVE $wordShingleCte,
+         |pairs AS (
+         |  SELECT a, b FROM inter
+         |  JOIN cnt ca ON ca.doc_id = a
+         |  JOIN cnt cb ON cb.doc_id = b
+         |  WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.7),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+         |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+         |lab AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
+         |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+         |ranked AS (
+         |  SELECT component, doc_id, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY component
+         |                       ORDER BY n_chars DESC, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY component) AS n_members,
+         |    SUM(n_chars) OVER (PARTITION BY component) AS total_chars
+         |  FROM lab)
+         |SELECT component, doc_id AS keep_doc,
+         |  CAST(n_members AS BIGINT) AS n_members,
+         |  CAST(total_chars AS BIGINT) AS total_chars
+         |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin,
+
+    // cross-side (batch × corpus) exact Jaccard — proves both the pair
+    // semantics and the recall of the banded index join
+    "d_incremental_dedup" ->
+      s"""WITH $shingleCountCte,
+         |xinter AS (
+         |  SELECT x.doc_id AS b, y.doc_id AS c, COUNT(*) AS i
+         |  FROM sh x JOIN sh y ON x.s = y.s
+         |  WHERE x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7
+         |  GROUP BY 1, 2)
+         |SELECT b, c,
+         |  CAST(i AS DOUBLE) / CAST(cb.n + cc.n - i AS DOUBLE) AS jaccard
+         |FROM xinter
+         |JOIN cnt cb ON cb.doc_id = b
+         |JOIN cnt cc ON cc.doc_id = c
+         |WHERE CAST(i AS DOUBLE) / CAST(cb.n + cc.n - i AS DOUBLE) >= 0.7
+         |ORDER BY b, c""".stripMargin,
 
     "d_exact_dedup" ->
       """SELECT lang, COUNT(*) AS n_docs,

@@ -156,6 +156,53 @@ class DedupPropertySpec extends SparkSpec {
     assert(exhaustive == brute && brute.nonEmpty)
   }
 
+  test("dedupAgainstIndex == cross-side restriction of the all-pairs join") {
+    import spark.implicits._
+    val docs = corpus.toDF("doc_id", "text")
+    val batchIds = corpus.map(_._1).filter(_ % 10 == 3).toSet
+    val batch = docs.filter(col("doc_id") % 10 === 3)
+    val index = TextDedup.buildMinhashIndex(
+      docs.filter(col("doc_id") % 10 =!= 3), "doc_id", "text", shingleN = 3)
+    val got = TextDedup.dedupAgainstIndex(batch, index, "doc_id", "text",
+        shingleN = 3, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: exact pairs with exactly one endpoint in the batch,
+    // oriented (batch, corpus)
+    val want = exactPairs(0.7).collect {
+      case (a, b) if batchIds(a) && !batchIds(b) => (a, b)
+      case (a, b) if !batchIds(a) && batchIds(b) => (b, a)
+    }
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("multi-probe IVF recall vs brute force is monotone in nprobe") {
+    import graft.operators.VectorSim
+    val emb = graft.core.Tables.embeddings(spark, sf001)
+    val q = emb.filter(col("vec_id") < 20)
+    def keys(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = keys(VectorSim.bruteForceCosineTopK(
+      emb, q, "vec_id", "embedding", k = 10))
+    val recalls = Seq(1, 2, 4).map { np =>
+      val ann = keys(VectorSim.ivfCosineTopKMultiProbe(
+        emb, q, "vec_id", "embedding", "label", k = 10, nprobe = np))
+      np -> (ann & brute).size.toDouble / brute.size
+    }
+    // a true top-k neighbor found under a smaller probe set cannot leave
+    // the top-k under a wider one (anything outranking it has higher
+    // cosine, and globally only k-1 such items exist), so recall is
+    // monotone in nprobe. The synthetic embeddings are label-uniform
+    // (cells carry no semantic locality — measured own-cell recall
+    // ≈ 0.13), so the curve should track ~nprobe/cells: assert monotone,
+    // a sane floor, and strict growth by nprobe=4.
+    recalls.sliding(2).foreach { case Seq((_, r1), (_, r2)) =>
+      assert(r1 <= r2 + 1e-12, s"recall not monotone: $recalls")
+    }
+    assert(recalls.head._2 > 0.02 && recalls.last._2 > recalls.head._2,
+      s"recall curve degenerate: $recalls")
+  }
+
   test("globalRowNumber / scalableNtile == single-task window equivalents") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
