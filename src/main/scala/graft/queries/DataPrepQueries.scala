@@ -71,6 +71,56 @@ object DataPrepQueries {
         .orderBy(col("lang"))
     },
 
+    // Chunking: split each doc into overlapping token windows (W=128,
+    // stride 96) — the doc→sample explosion before tokenization. Chunk
+    // boundaries are pure per-row arithmetic (sequence + explode, no
+    // shuffle until the rollup); each chunk's content hash supports
+    // chunk-level dedup downstream. Output: per-lang chunk counts,
+    // distinct-hash counts, token totals.
+    "t_chunk_windows" -> { (s, dir) =>
+      val w = 128; val stride = 96
+      Tables.documents(s, dir)
+        .withColumn("__w", split(col("text"), " "))
+        .withColumn("n_tok", size(col("__w")))
+        .withColumn("__k",
+          explode(sequence(lit(0), floor((col("n_tok") - 1) / stride).cast("int"))))
+        .withColumn("__start", col("__k") * stride + 1)
+        .filter(col("__start") <= col("n_tok"))
+        .withColumn("chunk_len",
+          least(lit(w), col("n_tok") - col("__start") + 1))
+        .withColumn("chunk_hash",
+          md5(concat_ws(" ", slice(col("__w"), col("__start"), col("chunk_len")))))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk_hash")).as("n_distinct_chunks"),
+          sum(col("chunk_len")).cast("long").as("chunk_tok_sum"),
+          max(col("chunk_len")).as("max_chunk_len"))
+        .orderBy(col("lang"))
+    },
+
+    // Mixture rebalancing: downsample every language to the smallest
+    // language's doc count so the training mix is uniform — rank docs
+    // per lang by a deterministic hash (reproducible cut, no rand()),
+    // keep the first `min_count`. The per-lang counts are a tiny
+    // broadcast; ranking is one partitioned window (shuffle by lang —
+    // a skewed lang is an AQE-skew case, not a plan change).
+    "t_mix_rebalance" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val target = docs.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
+        .agg(min(col("__n")).as("__target"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(((col("doc_id") * Knuth) % 1000000L).as("__h"), col("doc_id"))
+      docs
+        .withColumn("__rnk", row_number().over(w))
+        .crossJoin(broadcast(target))
+        .filter(col("__rnk") <= col("__target"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("tok_sum"),
+          sum(col("n_chars")).cast("long").as("char_sum"))
+        .orderBy(col("lang"))
+    },
+
     // End-to-end training-data mixture: quality filter (type-token ratio ≥
     // 0.35) → repetition filter (duplicate-trigram fraction ≤ 0.10) →
     // exact dedup (keep the lowest doc_id per normalized-text hash) →
@@ -162,6 +212,40 @@ object DataPrepQueries {
         |FROM documents
         |WHERE (doc_id * 2654435761) % 100 <
         |      CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t_chunk_windows" ->
+      """WITH d AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+        |ex AS (
+        |  SELECT lang, ws,
+        |    unnest(generate_series(0, CAST(floor((len(ws) - 1) / 96) AS INT))) AS k
+        |  FROM d),
+        |ch AS (
+        |  SELECT lang,
+        |    least(128, len(ws) - (k * 96 + 1) + 1) AS chunk_len,
+        |    md5(array_to_string(
+        |      ws[(k * 96 + 1):(k * 96 + least(128, len(ws) - (k * 96 + 1) + 1))],
+        |      ' ')) AS chunk_hash
+        |  FROM ex WHERE k * 96 + 1 <= len(ws))
+        |SELECT lang, COUNT(*) AS n_chunks,
+        |  COUNT(DISTINCT chunk_hash) AS n_distinct_chunks,
+        |  CAST(SUM(chunk_len) AS BIGINT) AS chunk_tok_sum,
+        |  MAX(chunk_len) AS max_chunk_len
+        |FROM ch GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t_mix_rebalance" ->
+      """WITH t AS (
+        |  SELECT MIN(n) AS target FROM (
+        |    SELECT COUNT(*) AS n FROM documents GROUP BY lang)),
+        |ranked AS (
+        |  SELECT lang, text, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 1000000, doc_id) AS rnk
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_sum,
+        |  CAST(SUM(n_chars) AS BIGINT) AS char_sum
+        |FROM ranked, t WHERE rnk <= t.target
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t_training_mix" ->

@@ -23,7 +23,8 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("near-dup pipelines never plan an all-pairs join") {
-    for (q <- Seq("d_minhash_lsh", "d_simhash", "d_ngram_jaccard")) {
+    for (q <- Seq("d_minhash_lsh", "d_simhash", "d_ngram_jaccard",
+                  "d_incremental_dedup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans an NLJ")
