@@ -119,6 +119,27 @@ case class MinHashBands(child: Expression, k: Int, bands: Int)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprints of a text column: polynomial rolling k-gram
+  * hashes → sliding-window-of-w minima → sorted distinct `array<long>`.
+  * See [[NativeEval.winnowFingerprints]] for the algorithm, portability
+  * contract, and guarantee. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k > 0 && w > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_fingerprints"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeEval.winnowFingerprints(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeEval.winnowFingerprints($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of an `array<string>` shingle column: bit i of the
   * output is set when the sum over shingles of ±1 (bit i of the shingle's
   * XXH64, seed 42 — identical to the built-in `xxhash64`) is

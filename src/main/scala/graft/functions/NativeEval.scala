@@ -210,6 +210,58 @@ object NativeEval {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD'03 — public
+    * literature): per-position polynomial rolling hashes of the text's
+    * char k-grams (Horner base 31 over code points, mod 2^31−1 after
+    * every multiply-add — pure integer arithmetic any engine reproduces
+    * exactly), then the minimum of each window of w consecutive hashes;
+    * the distinct minima, sorted, are the document's fingerprints.
+    * Guarantee: two docs sharing a substring of ≥ w+k−1 chars share at
+    * least one fingerprint. Fewer than k chars → empty; fewer than w
+    * k-grams → one window over all of them (never zero fingerprints for
+    * a doc with ≥ 1 k-gram). */
+  def winnowFingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val len = cps.length
+    if (len < k) return new GenericArrayData(Array.empty[Long])
+    val M = 2147483647L
+    val m = len - k + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = 0
+      while (j < k) {
+        acc = (acc * 31L + cps(i + j)) % M
+        j += 1
+      }
+      hs(i) = acc
+      i += 1
+    }
+    // per-window minima (w is a small constant — the O(m·w) scan beats a
+    // deque's branchiness at these widths and is trivially codegen-safe)
+    val nw = math.max(m - w + 1, 1)
+    val sel = new Array[Long](nw)
+    var p = 0
+    while (p < nw) {
+      var mn = Long.MaxValue
+      var t = p
+      val end = math.min(p + w, m)
+      while (t < end) { if (hs(t) < mn) mn = hs(t); t += 1 }
+      sel(p) = mn
+      p += 1
+    }
+    java.util.Arrays.sort(sel)
+    var wr = 0
+    var q = 0
+    while (q < nw) {
+      if (q == 0 || sel(q) != sel(q - 1)) { sel(wr) = sel(q); wr += 1 }
+      q += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(sel, wr))
+  }
+
   def byteBinCounts(bytes: Array[Byte]): ArrayData = {
     val bins = new Array[Long](16)
     var i = 0

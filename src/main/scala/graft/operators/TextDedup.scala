@@ -99,6 +99,40 @@ object TextDedup {
     verifyJaccard(cand, shHashed, idCol, threshold, jaccardSorted)
   }
 
+  /** Winnowing fingerprints of a text column (rolling-hash k-grams →
+    * sliding-window minima; [[graft.functions.WinnowFingerprints]]) as a
+    * sorted distinct `array<long>`. */
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 8): Column =
+    GraftSql.column(graft.functions.WinnowFingerprints(
+      GraftSql.expression(text), k, w))
+
+  /** Candidate near-dup pairs by shared winnowing fingerprints: explode
+    * each doc's fingerprints, equi-join on the fingerprint value, keep
+    * pairs sharing at least `minShared`. The winnowing guarantee makes
+    * recall structural: any pair sharing a substring of ≥ w+k−1 chars
+    * shares a fingerprint.
+    *
+    * Scale contract — corpus-dependent, like prefix filtering: bucket
+    * sizes are the per-fingerprint doc counts, which stay small on
+    * natural text (millions of distinct k-grams) but DEGENERATE on
+    * low-diversity corpora where winnowing minima concentrate on few
+    * values (the graft synthetic docs: 62 distinct fingerprints across
+    * 5k docs → 215M candidate pairs). Measure `approx_count_distinct`
+    * of the fingerprint column vs corpus size before choosing this over
+    * [[minhashLshPairs]], whose band signatures are selective on any
+    * corpus. Output: (a, b, n_shared), a < b. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 5, w: Int = 8, minShared: Int = 3): DataFrame = {
+    val fp = docs.select(col(idCol),
+        explode(winnowFingerprints(col(textCol), k, w)).as("__fp"))
+    val x = fp.alias("__wn_x"); val y = fp.alias("__wn_y")
+    x.join(y, col("__wn_x.__fp") === col("__wn_y.__fp") &&
+        col(s"__wn_x.$idCol") < col(s"__wn_y.$idCol"))
+      .groupBy(col(s"__wn_x.$idCol").as("a"), col(s"__wn_y.$idCol").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** MinHash-LSH index of a corpus: one row per doc carrying its banded
     * signatures and sorted hashed shingles — the artifact an incremental
     * pipeline PERSISTS (parquet; at scale partitioned by a band-signature

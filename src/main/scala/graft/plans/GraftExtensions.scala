@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{ArrayJaccard, MinHashBands, SimHash64}
+import graft.functions.{ArrayJaccard, MinHashBands, SimHash64, WinnowFingerprints}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, ArrayUnion, Cast, Divide, Expression, ExpressionInfo, Literal, Size}
@@ -65,6 +65,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(sh) => SimHash64(sh)
         case _ => throw new IllegalArgumentException("usage: graft_simhash64(shingles)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName,
+        "graft_winnow_fingerprints"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, k, w) =>
+          WinnowFingerprints(text, intLit(k, "k"), intLit(w, "w"))
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_winnow_fingerprints(text, k, w)")
       }))
   }
 }

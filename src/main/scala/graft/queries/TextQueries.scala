@@ -206,6 +206,27 @@ object TextQueries {
         .orderBy(col("source"))
     },
 
+    // Winnowing fingerprints (rolling-hash document fingerprinting): per
+    // doc, the count/min/max/sum of its winnowed k-gram hash minima —
+    // proves the whole rolling-hash + window-minima computation against
+    // an engine-portable arithmetic replica. The fingerprint PAIR join
+    // (TextDedup.winnowPairs) is property-proven on a diverse corpus and
+    // deliberately not cataloged here: this synthetic corpus has only 62
+    // distinct fingerprints across 5k docs (see the winnowPairs scaladoc),
+    // so the equi-join degenerates the same way prefix filtering does.
+    "t_winnow_fingerprint" -> { (s, dir) =>
+      val fp = graft.operators.TextDedup.winnowFingerprints(col("text"), 5, 8)
+      Tables.documents(s, dir)
+        .filter(length(col("text")) >= 5)
+        .select(col("doc_id"), fp.as("__fp"))
+        .select(col("doc_id"),
+          size(col("__fp")).cast("long").as("n_fp"),
+          array_min(col("__fp")).as("fp_min"),
+          array_max(col("__fp")).as("fp_max"),
+          aggregate(col("__fp"), lit(0L), (acc, x) => acc + x).as("fp_sum"))
+        .orderBy(col("doc_id"))
+    },
+
     // Document fingerprinting: bag-of-words-normalized md5 (order
     // independent — reordered near-dups collide; appended text does not).
     "t_fingerprint" -> { (s, dir) =>
@@ -342,6 +363,31 @@ object TextQueries {
         |SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(hit) AS BIGINT) AS n_contaminated
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    // arithmetic replica of NativeEval.winnowFingerprints: Horner base-31
+    // rolling hash mod 2^31-1 (mod after every multiply-add, matching the
+    // kernel's operation order exactly), window-of-8 minima, distinct
+    "t_winnow_fingerprint" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(text) - 5 + 1),
+        |      i -> (((((((unicode(text[i]) * 31 + unicode(text[i+1])) % 2147483647)
+        |             * 31 + unicode(text[i+2])) % 2147483647)
+        |             * 31 + unicode(text[i+3])) % 2147483647)
+        |             * 31 + unicode(text[i+4])) % 2147483647) AS hs
+        |  FROM documents WHERE len(text) >= 5),
+        |fp AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(hs) - 8 + 1, 1)),
+        |      j -> list_min(hs[j:least(j + 8 - 1, len(hs))]))) AS fps
+        |  FROM h)
+        |SELECT doc_id,
+        |  CAST(len(fps) AS BIGINT) AS n_fp,
+        |  CAST(list_min(fps) AS BIGINT) AS fp_min,
+        |  CAST(list_max(fps) AS BIGINT) AS fp_max,
+        |  CAST(list_aggregate(fps, 'sum') AS BIGINT) AS fp_sum
+        |FROM fp ORDER BY doc_id""".stripMargin,
 
     "t_fingerprint" ->
       """SELECT doc_id,

@@ -156,6 +156,47 @@ class DedupPropertySpec extends SparkSpec {
     assert(exhaustive == brute && brute.nonEmpty)
   }
 
+  /** Reference reimplementation of NativeEval.winnowFingerprints. */
+  private def bruteWinnow(text: String, k: Int = 5, w: Int = 8): Seq[Long] = {
+    val cps = text.codePoints().toArray
+    if (cps.length < k) return Seq.empty
+    val M = 2147483647L
+    val hs = (0 to cps.length - k).map { i =>
+      (i until i + k).foldLeft(0L)((acc, j) => (acc * 31 + cps(j)) % M)
+    }
+    val nw = math.max(hs.length - w + 1, 1)
+    (0 until nw).map(j => hs.slice(j, math.min(j + w, hs.length)).min)
+      .distinct.sorted
+  }
+
+  test("winnowing: expression == reimplementation, pair join == shared-fp sets") {
+    import spark.implicits._
+    val docs = corpus.toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextDedup.winnowFingerprints(col("text"), 5, 8).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val want = corpus.map { case (id, t) => id -> bruteWinnow(t) }.toMap
+    assert(got == want)
+
+    val fpSets = want.view.mapValues(_.toSet).toMap
+    val wantPairs = (for {
+      (a, sa) <- fpSets; (b, sb) <- fpSets if a < b
+      shared = (sa & sb).size if shared >= 3
+    } yield (a, b, shared.toLong)).toSet
+    val gotPairs = TextDedup.winnowPairs(docs, "doc_id", "text",
+        k = 5, w = 8, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotPairs == wantPairs && gotPairs.nonEmpty)
+
+    // the winnowing guarantee: a shared substring of >= w+k-1 = 12 chars
+    // forces at least one shared fingerprint
+    val shared = "the quick brown fox jumps"
+    val g = Seq((1L, s"aaaa $shared zzzz"), (2L, s"qqqq $shared mmmm"))
+      .toDF("doc_id", "text")
+    assert(TextDedup.winnowPairs(g, "doc_id", "text", minShared = 1)
+      .count() == 1)
+  }
+
   test("dedupAgainstIndex == cross-side restriction of the all-pairs join") {
     import spark.implicits._
     val docs = corpus.toDF("doc_id", "text")
