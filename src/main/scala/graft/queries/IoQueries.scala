@@ -172,6 +172,47 @@ object IoQueries {
 
     // S14: deterministic synthetic generator (arithmetic-only, so the
     // oracle regenerates it from generate_series).
+    // Small-file compaction: land events as 64 deliberately-tiny files,
+    // compact to on-disk-size-targeted files (FileIO.compactParquet swap
+    // rewrite), then prove the read-back is lossless. The compaction
+    // itself is the operator under test; downstream file count is
+    // asserted in SourcesSpec.
+    "io_compact" -> { (s, dir) =>
+      val path = scratch(dir, "compact")
+      rmrf(path)
+      Tables.events(s, dir).select("event_id", "user_id", "event_type", "value")
+        .repartition(64)
+        .write.mode(SaveMode.Overwrite).parquet(path)
+      FileIO.compactParquet(s, path, targetBytes = 4L << 20)
+      s.read.parquet(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("user_sum"),
+          dsum(col("value")).as("value_sum"))
+        .orderBy(col("event_type"))
+    },
+
+    // Schema evolution: batch 1 lands orders without o_orderpriority,
+    // batch 2 adds the column; a mergeSchema read unions the schemas
+    // (missing column → null) and partition discovery exposes the batch
+    // id — the ALTER TABLE ADD COLUMN shape for raw parquet tables.
+    "io_schema_evolution" -> { (s, dir) =>
+      val path = scratch(dir, "schema_evo")
+      rmrf(path)
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/batch=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/batch=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n"),
+          count(col("o_orderpriority")).as("n_with_priority"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("batch"))
+    },
+
     "io_synthetic" -> { (s, dir) =>
       Synthetic.table(s, 10000L, buckets = 7)
         .groupBy(col("bucket"))
@@ -336,6 +377,19 @@ object IoQueries {
     "io_text_regex" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS value_sum
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "io_compact" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  CAST(SUM(user_id) AS BIGINT) AS user_sum,
+         |  ${sqlDsum("value")} AS value_sum
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "io_schema_evolution" ->
+      s"""SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS batch,
+         |  COUNT(*) AS n,
+         |  COUNT(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS n_with_priority,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "io_partitioned_sink" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total

@@ -137,6 +137,44 @@ object FileIO {
     }
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(totalBytes / targetBytes) files — the standing hygiene job of
+    * any continuously-ingested table (every small file costs a task +
+    * footer read per downstream query; at 100 TB a day's micro-batches
+    * can leave millions). Sizing comes from the actual on-disk bytes,
+    * not a row-count guess, so output files land near targetBytes
+    * regardless of schema width. The rewrite goes to a temp directory
+    * and atomically swaps in (same rename discipline as the streaming
+    * upsert — never overwrite the directory being read; a failed swap
+    * restores the original). Returns (filesBefore, filesAfter).
+    *
+    * Not concurrency-safe against writers of the same directory — run it
+    * as the table's exclusive maintenance window (the production pattern
+    * for non-transactional parquet tables; a table format with
+    * optimistic commits is the alternative at higher write rates). */
+  def compactParquet(spark: SparkSession, path: String,
+                     targetBytes: Long = 128L << 20): (Int, Int) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hPath)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val compacted = spark.read.parquet(path).repartition(nOut)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_swap")
+    fs.delete(tmp, true)
+    compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    fs.delete(bak, true)
+    require(fs.rename(hPath, bak), s"compact: could not move $path aside")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(bak, hPath) // restore — the table must never vanish
+      throw new IllegalStateException(s"compact swap rename failed for $path")
+    }
+    fs.delete(bak, true)
+    (files.length, nOut)
+  }
+
   /** S4: COPY INTO analogue — idempotent bulk append with a file-name
     * ledger (ref: copy_into_command_gzip_splittable.sql:47-63; COPY INTO
     * is a Delta feature, re-expressed as anti-join against the ledger of

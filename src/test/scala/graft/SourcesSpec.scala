@@ -148,4 +148,21 @@ class SourcesSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
     assert(Synthetic.table(spark, 1000L).rdd.getNumPartitions > 1)
   }
+
+  test("compactParquet merges small files losslessly and swaps atomically") {
+    val path = tmp("compact_t")
+    Tables.orders(spark, sf001).repartition(20)
+      .write.mode("overwrite").parquet(path)
+    def parquetFiles(): Array[java.io.File] =
+      new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet"))
+    val before = Tables.orders(spark, sf001).collect().map(_.toString).sorted
+    assert(parquetFiles().length == 20)
+    val (nBefore, nAfter) = FileIO.compactParquet(spark, path)
+    assert(nBefore == 20 && nAfter == 1 && parquetFiles().length == 1)
+    val after = spark.read.parquet(path).collect().map(_.toString).sorted
+    assert(after.toSeq == before.toSeq)
+    // no swap debris left behind
+    val parent = new java.io.File(path).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(n => n.contains("__compact")))
+  }
 }
