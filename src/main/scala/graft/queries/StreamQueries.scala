@@ -135,6 +135,55 @@ object StreamQueries {
         .orderBy("win_start", "event_type")
     },
 
+    // Stream-stream interval join (beyond reference — the remaining core
+    // Structured Streaming operator): a view stream joins a click stream
+    // on user within (view.ts, view.ts + 1 h], both sides watermarked.
+    // Inner-join matches emit as both sides arrive (no watermark
+    // finalization wait), so an AvailableNow drain reaches a
+    // deterministic end state; the watermark delay is set beyond the
+    // fixture's span so no cross-batch arrival order can drop a late
+    // row — in production the delay is the real lateness bound and the
+    // SAME watermark is what lets Spark evict join state older than
+    // delay + interval (state stays bounded at any stream length).
+    "st_stream_join" -> { (s, dir) =>
+      import graft.streaming.FileStreams
+      val inV = scratch(dir, "ssj_views"); val inC = scratch(dir, "ssj_clicks")
+      val out = scratch(dir, "ssj_out"); val ckpt = scratch(dir, "ssj_ckpt")
+      Seq(inV, inC, out, ckpt).foreach(rmrf)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts").cast("string").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+      ev.filter(col("event_type") === "view").repartition(2).write.json(inV)
+      ev.filter(col("event_type") === "click").repartition(2).write.json(inC)
+      val schema = graft.core.SchemaDsl.fromSpec(
+        "event_id:l;ts:c;user_id:l;event_type:c;value:d")
+      def side(path: String, prefix: String) =
+        FileStreams.jsonFileStream(s, path, schema, maxFilesPerTrigger = 2)
+          .withColumn("ts", to_timestamp(col("ts")))
+          .withWatermark("ts", "60 days")
+          .select(col("user_id").as(s"${prefix}_user"),
+            col("ts").as(s"${prefix}_ts"), col("value").as(s"${prefix}_value"))
+      val joined = side(inV, "v").join(side(inC, "c"),
+        col("v_user") === col("c_user") &&
+          col("c_ts") > col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      // join state is keyed by user (~hundreds of keys in the fixture):
+      // size the state stores to the state, not the shuffle default —
+      // each extra partition costs 4 store commits per batch here (two
+      // sides × two join-state stores)
+      val partKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partKey)
+      s.conf.set(partKey, "8")
+      try FileStreams.startPartitionedParquetSink(joined, out, ckpt, Seq.empty)
+        .awaitTermination()
+      finally s.conf.set(partKey, prevParts)
+      s.read.parquet(out)
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          dsum(col("c_value")).as("click_value_sum"))
+        .orderBy(col("user_id"))
+    },
+
     // Streaming CDC upsert via foreachBatch (beyond reference —
     // composes the batch SCD merge with the file stream): wave 1 lands
     // every event at version 1; the drain merges them into the keyed
@@ -197,6 +246,15 @@ object StreamQueries {
          |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS value_sum
          |FROM events WHERE ts < TIMESTAMP '2024-01-08'
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "st_stream_join" ->
+      s"""WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+         |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+         |SELECT v.user_id, COUNT(*) AS n_pairs,
+         |  ${sqlDsum("c.value")} AS click_value_sum
+         |FROM v JOIN c ON c.user_id = v.user_id
+         |  AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // final upserted state: every 10th key carries the v2 row
     "st_upsert_merge" ->
