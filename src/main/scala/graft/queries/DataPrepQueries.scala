@@ -57,6 +57,34 @@ object DataPrepQueries {
             .cast("long").as("n_full_funnel"))
     },
 
+    // Cohort retention: users bucketed by first-active day; per (cohort,
+    // day-offset) distinct-user counts — the agg-join-back shape (A11)
+    // applied to event analytics. Distinct (user, day) first, so the
+    // cohort join and the final rollup both run on the compacted
+    // activity set, not the raw event stream.
+    "e_retention" -> { (s, dir) =>
+      val act = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val cohorts = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      act.join(cohorts, "user_id")
+        .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort"), col("day_offset"))
+    },
+
+    // Event-transition matrix: consecutive event-type pairs per user
+    // (one lag window, one rollup — never a self-join on the stream).
+    "e_transitions" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("curr"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prev"), col("curr"))
+    },
+
     // Deterministic stratified sampling: arithmetic hash on the id (both
     // engines reproduce it exactly — no rand()), per-lang rates. The
     // sampling decision is a pure per-row expression: fully distributed,
@@ -206,6 +234,26 @@ object DataPrepQueries {
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "e_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort FROM a GROUP BY 1)
+        |SELECT f.cohort, a.day - f.cohort AS day_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e_transitions" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT prev, event_type AS curr, COUNT(*) AS n
+        |FROM lagged WHERE prev IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "t_stratified_sample" ->
       """SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS chars
