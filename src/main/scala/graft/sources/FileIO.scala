@@ -158,6 +158,7 @@ object FileIO {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(hPath)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    if (files.isEmpty) return (0, 0) // nothing to compact (empty or non-flat dir)
     val totalBytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val compacted = spark.read.parquet(path).repartition(nOut)

@@ -164,5 +164,9 @@ class SourcesSpec extends SparkSpec {
     // no swap debris left behind
     val parent = new java.io.File(path).getParentFile.listFiles().map(_.getName)
     assert(!parent.exists(n => n.contains("__compact")))
+    // empty / non-flat directory → no-op, never a failed read
+    val empty = tmp("compact_empty")
+    new java.io.File(empty).mkdirs()
+    assert(FileIO.compactParquet(spark, empty) == ((0, 0)))
   }
 }
