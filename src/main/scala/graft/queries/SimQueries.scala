@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object SimQueries {
 
+  private def scratch(dir: String, leaf: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_sim_${new java.io.File(dir).getName}/$leaf"
+
+  private def rmrf(path: String): Unit = {
+    val root = new java.io.File(path)
+    if (root.exists()) {
+      Option(root.listFiles()).foreach(_.foreach(f => rmrf(f.getPath)))
+      root.delete()
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // Brute-force exact cosine top-10 for 5 query vectors over the whole
     // corpus (broadcast queries, zero corpus shuffle, two-phase top-k).
@@ -42,6 +53,29 @@ object SimQueries {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 20)
       VectorSim.ivfCosineTopK(emb, queries, "vec_id", "embedding", "label", k = 3)
+        .select(col("q_id"), col("rnk"),
+          col("nn_id"), floor(col("cos") * 1e6).cast("long").as("cos_micro"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // Persisted IVF index: the corpus (vec_id >= 20) is STORED partitioned
+    // by its cell id — parquet partitioning IS the IVF inverted-list
+    // layout, so a probe's cell equi-join reads only the probed cells'
+    // files — and a new query batch (vec_id < 20) probes the stored
+    // index with nprobe=2. The artifact a standing vector-search
+    // pipeline keeps between batches; at 100 TB the cell count scales
+    // with the corpus and per-probe IO stays nprobe/cells of the table.
+    "s_ann_index" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val path = scratch(dir, "ivf_index")
+      rmrf(path)
+      emb.filter(col("vec_id") >= 20)
+        .write.partitionBy("label").parquet(path)
+      val corpus = s.read.parquet(path)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val queries = emb.filter(col("vec_id") < 20)
+      VectorSim.ivfCosineTopKMultiProbe(corpus, queries, "vec_id",
+          "embedding", "label", k = 3, nprobe = 2)
         .select(col("q_id"), col("rnk"),
           col("nn_id"), floor(col("cos") * 1e6).cast("long").as("cos_micro"))
         .orderBy(col("q_id"), col("rnk"))
@@ -101,6 +135,35 @@ object SimQueries {
          |r AS (
          |  SELECT q_id, nn_id, cos,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rnk
+         |  FROM c)
+         |SELECT q_id, rnk, nn_id, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
+         |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    // same probe logic as s_cosine_ann_probes, with the corpus restricted
+    // to the stored-index side (vec_id >= 20) and queries to the batch
+    "s_ann_index" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         |corp AS (SELECT * FROM v WHERE vec_id >= 20),
+         |reps AS (
+         |  SELECT label AS rcell, e AS rv FROM (
+         |    SELECT label, e,
+         |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM corp) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 20),
+         |pr AS (
+         |  SELECT q_id, qv, rcell,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY
+         |      list_dot_product(qv, rv) /
+         |        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(rv, rv)))
+         |      DESC, rcell) AS prn
+         |  FROM q, reps),
+         |probes AS (SELECT q_id, qv, rcell FROM pr WHERE prn <= 2),
+         |c AS (
+         |  SELECT p.q_id, corp.vec_id AS nn_id, p.qv, corp.e AS cv
+         |  FROM probes p JOIN corp ON corp.label = p.rcell AND corp.vec_id <> p.q_id),
+         |r AS (
+         |  SELECT q_id, nn_id, $cosSql AS cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY $cosSql DESC, nn_id) AS rnk
          |  FROM c)
          |SELECT q_id, rnk, nn_id, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
          |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
