@@ -228,14 +228,19 @@ object NativeEval {
     val M = 2147483647L
     val m = len - k + 1
     val hs = new Array[Long](m)
-    var i = 0
+    // true rolling update: O(chars) total, not O(chars·k) — identical
+    // values to the per-position Horner (all arithmetic is mod M)
+    var pow = 1L // 31^(k-1) mod M
+    var e = 1
+    while (e < k) { pow = (pow * 31L) % M; e += 1 }
+    var acc = 0L
+    var j = 0
+    while (j < k) { acc = (acc * 31L + cps(j)) % M; j += 1 }
+    hs(0) = acc
+    var i = 1
     while (i < m) {
-      var acc = 0L
-      var j = 0
-      while (j < k) {
-        acc = (acc * 31L + cps(i + j)) % M
-        j += 1
-      }
+      // drop cps(i-1), shift, add cps(i+k-1); keep intermediates >= 0
+      acc = ((acc - (cps(i - 1) * pow) % M + M) * 31L + cps(i + k - 1)) % M
       hs(i) = acc
       i += 1
     }

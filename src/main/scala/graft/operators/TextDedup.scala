@@ -168,9 +168,15 @@ object TextDedup {
                         textCol: String, shingleN: Int = 3,
                         threshold: Double = 0.7, k: Int = 128,
                         bands: Int = 32): DataFrame = {
+    // the batch index feeds BOTH the band join and the verify join;
+    // without materialization the shingling + k minhashes would compute
+    // twice per doc (Spark has no cross-reference subplan reuse). Lazy
+    // localCheckpoint: first action materializes it, the context
+    // cleaner reclaims the storage when the result is released.
     val bIdx = buildMinhashIndex(batch, idCol, textCol, shingleN, k, bands)
       .select(col(idCol).as("b"), col("bands").as("__bbands"),
         col("shingle_hashes").as("__shb"))
+      .localCheckpoint(false)
     val bBands = bIdx.select(col("b"), posexplode(col("__bbands")))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bsig")
     val cBands = index.select(col(idCol).as("c"), posexplode(col("bands")))

@@ -14,20 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  /** Per-sf scratch dir (index artifacts) so verify and bench don't collide. */
   private def scratch(dir: String, leaf: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_dedup_${new java.io.File(dir).getName}/$leaf"
-
-  private def rmrf(path: String): Unit = {
-    val root = new java.io.File(path)
-    if (root.exists()) {
-      root.listFiles() match {
-        case null => ()
-        case fs => fs.foreach(f => rmrf(f.getPath))
-      }
-      root.delete()
-    }
-  }
+    scratchDir("dedup", dir, leaf)
 
   /** Shared DuckDB CTEs: distinct word-3-gram shingles + per-doc counts. */
   private val shingleCountCte =

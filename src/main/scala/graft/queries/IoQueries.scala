@@ -12,20 +12,8 @@ import org.apache.spark.sql.functions._
   */
 object IoQueries {
 
-  /** Per-sf scratch dir so sf0.01 verify and sf0.1 bench don't collide. */
   private def scratch(dir: String, leaf: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_io_${new java.io.File(dir).getName}/$leaf"
-
-  private def rmrf(path: String): Unit = {
-    val root = new java.io.File(path)
-    if (root.exists()) {
-      root.listFiles() match {
-        case null => ()
-        case fs => fs.foreach(f => rmrf(f.getPath))
-      }
-      root.delete()
-    }
-  }
+    scratchDir("io", dir, leaf)
 
   private val ordersSpec =
     "o_orderkey:l;o_custkey:l;o_orderstatus:c;o_totalprice:d;o_orderpriority:c"

@@ -8,14 +8,6 @@ import org.apache.spark.sql.functions._
   * program's re-expression, not a single operator. */
 object PipelineQueries {
 
-  private def rmrf(path: String): Unit = {
-    val root = new java.io.File(path)
-    if (root.exists()) {
-      Option(root.listFiles()).foreach(_.foreach(f => rmrf(f.getPath)))
-      root.delete()
-    }
-  }
-
   val queries: Map[String, Q] = Map(
     // usage_analysis port: windowed spend rollup + cumulative spend.
     "pl_usage_analysis" -> { (s, dir) =>

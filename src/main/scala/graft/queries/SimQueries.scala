@@ -16,15 +16,7 @@ import org.apache.spark.sql.functions._
 object SimQueries {
 
   private def scratch(dir: String, leaf: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_sim_${new java.io.File(dir).getName}/$leaf"
-
-  private def rmrf(path: String): Unit = {
-    val root = new java.io.File(path)
-    if (root.exists()) {
-      Option(root.listFiles()).foreach(_.foreach(f => rmrf(f.getPath)))
-      root.delete()
-    }
-  }
+    scratchDir("sim", dir, leaf)
 
   val queries: Map[String, Q] = Map(
     // Brute-force exact cosine top-10 for 5 query vectors over the whole
@@ -70,7 +62,8 @@ object SimQueries {
       val path = scratch(dir, "ivf_index")
       rmrf(path)
       emb.filter(col("vec_id") >= 20)
-        .write.partitionBy("label").parquet(path)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("label").parquet(path)
       val corpus = s.read.parquet(path)
         .select(col("vec_id"), col("embedding"), col("label"))
       val queries = emb.filter(col("vec_id") < 20)

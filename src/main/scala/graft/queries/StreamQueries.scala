@@ -15,15 +15,7 @@ import org.apache.spark.sql.functions._
 object StreamQueries {
 
   private def scratch(dir: String, leaf: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_stream_${new java.io.File(dir).getName}/$leaf"
-
-  private def rmrf(path: String): Unit = {
-    val root = new java.io.File(path)
-    if (root.exists()) {
-      Option(root.listFiles()).foreach(_.foreach(f => rmrf(f.getPath)))
-      root.delete()
-    }
-  }
+    scratchDir("stream", dir, leaf)
 
   val queries: Map[String, Q] = Map(
     // ST5+ST6: day-1 load sees everything before Jan 20 EXCEPT a withheld

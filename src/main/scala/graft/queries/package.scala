@@ -28,4 +28,19 @@ package object queries {
   /** SQL-side twin of [[dsum]] for DuckDB oracle strings. */
   def sqlDsum(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
   def sqlDavg(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) / COUNT(*) AS DOUBLE)"
+
+  /** Per-(family, sf) scratch dir for queries that round-trip through a
+    * real sink — sf0.01 verify and sf0.1 bench must not collide. */
+  def scratchDir(family: String, sfDir: String, leaf: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${family}_${new java.io.File(sfDir).getName}/$leaf"
+
+  /** Local-FS recursive delete for scratch dirs (delete failures surface
+    * on the subsequent write, which every caller performs). */
+  def rmrf(path: String): Unit = {
+    val root = new java.io.File(path)
+    if (root.exists()) {
+      Option(root.listFiles()).foreach(_.foreach(f => rmrf(f.getPath)))
+      root.delete()
+    }
+  }
 }

@@ -144,9 +144,15 @@ object FileIO {
     * can leave millions). Sizing comes from the actual on-disk bytes,
     * not a row-count guess, so output files land near targetBytes
     * regardless of schema width. The rewrite goes to a temp directory
-    * and atomically swaps in (same rename discipline as the streaming
-    * upsert — never overwrite the directory being read; a failed swap
-    * restores the original). Returns (filesBefore, filesAfter).
+    * and swaps in via two renames (never an in-place overwrite of the
+    * directory being read); every failure path deletes its debris and
+    * restores the original table. The two renames are not jointly
+    * atomic: a JVM crash exactly between them leaves the table at
+    * `path + "__compact_old"` — recovery is one rename back, and the
+    * next run refuses nothing (missing path → (0,0) no-op), so the
+    * window is operator-visible, never silent data loss. Returns
+    * (filesBefore, filesAfter); (0,0) when there is nothing to compact
+    * (missing, empty, or non-flat directory).
     *
     * Not concurrency-safe against writers of the same directory — run it
     * as the table's exclusive maintenance window (the production pattern
@@ -156,6 +162,7 @@ object FileIO {
                      targetBytes: Long = 128L << 20): (Int, Int) = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return (0, 0)
     val files = fs.listStatus(hPath)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     if (files.isEmpty) return (0, 0) // nothing to compact (empty or non-flat dir)
@@ -167,9 +174,13 @@ object FileIO {
     compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val bak = new org.apache.hadoop.fs.Path(path + "__compact_old")
     fs.delete(bak, true)
-    require(fs.rename(hPath, bak), s"compact: could not move $path aside")
+    if (!fs.rename(hPath, bak)) {
+      fs.delete(tmp, true) // a full table copy must not linger as debris
+      throw new IllegalStateException(s"compact: could not move $path aside")
+    }
     if (!fs.rename(tmp, hPath)) {
       fs.rename(bak, hPath) // restore — the table must never vanish
+      fs.delete(tmp, true)
       throw new IllegalStateException(s"compact swap rename failed for $path")
     }
     fs.delete(bak, true)
