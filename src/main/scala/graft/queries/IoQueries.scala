@@ -201,6 +201,24 @@ object IoQueries {
         .orderBy(col("batch"))
     },
 
+    // Z-order clustered layout: events rewritten Morton-interleaved on
+    // (user_id, event_id) so parquet min/max stats prune files for
+    // predicates on EITHER column; the oracled agg proves losslessness,
+    // SourcesSpec measures the two-dimensional range-boundedness that a
+    // lexicographic sort cannot provide.
+    "io_zorder" -> { (s, dir) =>
+      val path = scratch(dir, "zorder")
+      rmrf(path)
+      FileIO.writeZOrdered(
+        Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"),
+        path, "user_id", "event_id", numFiles = 16)
+      s.read.parquet(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"),
+          dsum(col("value")).as("value_sum"))
+        .orderBy(col("event_type"))
+    },
+
     "io_synthetic" -> { (s, dir) =>
       Synthetic.table(s, 10000L, buckets = 7)
         .groupBy(col("bucket"))
@@ -369,6 +387,12 @@ object IoQueries {
     "io_compact" ->
       s"""SELECT event_type, COUNT(*) AS n,
          |  CAST(SUM(user_id) AS BIGINT) AS user_sum,
+         |  ${sqlDsum("value")} AS value_sum
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "io_zorder" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
          |  ${sqlDsum("value")} AS value_sum
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -135,6 +135,49 @@ object FileIO {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
+  }
+
+  /** Morton/Z-order bit-spread: the low 16 bits of `c` spread to even bit
+    * positions (classic mask cascade; public literature — Morton 1966).
+    * Pure codegen'd bitwise builtins, no UDF. */
+  private def spread16(c: Column): Column = {
+    import org.apache.spark.sql.functions.{shiftleft => shl}
+    val x0 = c.bitwiseAND(lit(0xFFFF))
+    val x1 = x0.bitwiseOR(shl(x0, 8)).bitwiseAND(lit(0x00FF00FF))
+    val x2 = x1.bitwiseOR(shl(x1, 4)).bitwiseAND(lit(0x0F0F0F0F))
+    val x3 = x2.bitwiseOR(shl(x2, 2)).bitwiseAND(lit(0x33333333))
+    x3.bitwiseOR(shl(x3, 1)).bitwiseAND(lit(0x55555555))
+  }
+
+  /** Z-order clustered parquet write: both dimension columns are min-max
+    * normalized to 16 bits, bit-interleaved into a Morton key, and the
+    * frame is range-partitioned + sorted by that key — so EVERY output
+    * file covers a bounded range in BOTH dimensions and parquet
+    * min/max stats prune files for predicates on either column (a
+    * lexicographic sort bounds only the leading column). This is the
+    * data-layout half of what table formats call OPTIMIZE ZORDER BY,
+    * for raw parquet tables. The min/max normalization is one
+    * metadata-sized aggregate. `numFiles` sizes the layout; at
+    * production scale it comes from bytes/targetFileSize like
+    * [[compactParquet]]. */
+  def writeZOrdered(df: DataFrame, path: String, dimA: String, dimB: String,
+                    numFiles: Int): Unit = {
+    val r = df.agg(min(col(dimA).cast("long")), max(col(dimA).cast("long")),
+      min(col(dimB).cast("long")), max(col(dimB).cast("long"))).head()
+    val (aMin, aMax) = (r.getLong(0), r.getLong(1))
+    val (bMin, bMax) = (r.getLong(2), r.getLong(3))
+    // double math: the 16-bit quantization is a layout heuristic, never a
+    // query result, and doubles dodge (c-lo)*65535 overflow on wide ranges
+    def norm(c: Column, lo: Long, hi: Long): Column =
+      ((c.cast("double") - lit(lo.toDouble)) * lit(65535.0) /
+        lit(math.max(hi - lo, 1L).toDouble)).cast("int")
+    val keyed = df.withColumn("__z",
+      spread16(norm(col(dimA), aMin, aMax))
+        .bitwiseOR(shiftleft(spread16(norm(col(dimB), bMin, bMax)), 1)))
+    keyed.repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
   /** Small-file compaction: rewrite a parquet directory into

@@ -169,4 +169,30 @@ class SourcesSpec extends SparkSpec {
     new java.io.File(empty).mkdirs()
     assert(FileIO.compactParquet(spark, empty) == ((0, 0)))
   }
+
+  test("writeZOrdered bounds per-file ranges in BOTH dimensions") {
+    val ev = Tables.events(spark, sf001).select("event_id", "user_id")
+    val zpath = tmp("zorder_t"); val spath = tmp("zsort_t")
+    FileIO.writeZOrdered(ev, zpath, "user_id", "event_id", numFiles = 16)
+    // the single-dimension alternative: lexicographic range sort on user_id
+    ev.repartitionByRange(16, col("user_id")).sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(spath)
+    def avgNormRange(path: String, dim: String): Double = {
+      val full = ev.agg((max(col(dim)) - min(col(dim))).cast("double"))
+        .head().getDouble(0)
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(((max(col(dim)) - min(col(dim))).cast("double") / full).as("w"))
+        .collect().map(_.getAs[Double]("w"))
+      perFile.sum / perFile.length
+    }
+    val zU = avgNormRange(zpath, "user_id")
+    val zE = avgNormRange(zpath, "event_id")
+    val sE = avgNormRange(spath, "event_id")
+    // z-order: both dimensions bounded per file; lexicographic: the
+    // trailing dimension spans nearly the whole domain in every file
+    assert(zU < 0.6 && zE < 0.6, s"z-order ranges too wide: user=$zU event=$zE")
+    assert(sE > 0.8, s"expected unbounded trailing dim under sort, got $sE")
+    assert(zE < sE / 2)
+  }
 }
