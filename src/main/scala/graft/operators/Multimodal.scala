@@ -89,6 +89,59 @@ object Multimodal {
     } finally if (in != null) in.close()
   }
 
+  /** Real pure-JVM audio decode for RIFF/WAVE PCM payloads (8/16-bit,
+    * any channel count — the container is parsed directly from bytes, no
+    * codec library): the sample stream is cut into `nFrames` windows,
+    * each emitted as a width×1 [[Frame]] whose bytes are the 8-bit
+    * amplitude envelope (16-bit samples keep their high byte offset to
+    * unsigned; channels stay interleaved as stored). Non-WAV, non-PCM,
+    * or truncated payloads emit ZERO frames — the same corrupt-media
+    * quarantine contract as [[imageioDecode]]. */
+  def wavDecode(assetId: Long, payload: Array[Byte], nFrames: Int): Seq[Frame] = {
+    def u8(i: Int) = payload(i) & 0xFF
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String) =
+      s.indices.forall(j => payload(i + j) == s.charAt(j).toByte)
+    if (payload.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE"))
+      return Seq.empty
+    var pos = 12
+    var bits = -1
+    var dataFrom = -1
+    var dataLen = -1
+    while (pos + 8 <= payload.length && (dataFrom < 0 || bits < 0)) {
+      val size = le32(pos + 4).toInt
+      if (size < 0 || pos + 8 + size > payload.length) return Seq.empty
+      if (tag(pos, "fmt ")) {
+        if (size < 16 || le16(pos + 8) != 1) return Seq.empty // PCM only
+        bits = le16(pos + 8 + 14)
+        if (bits != 8 && bits != 16) return Seq.empty
+      } else if (tag(pos, "data")) { dataFrom = pos + 8; dataLen = size }
+      pos += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    if (bits < 0 || dataFrom < 0) return Seq.empty
+    val nSamples = dataLen / (bits / 8)
+    if (nSamples == 0) return Seq.empty
+    val n = math.max(nFrames, 1)
+    (0 until n).flatMap { f =>
+      val from = (nSamples.toLong * f / n).toInt
+      val until = (nSamples.toLong * (f + 1) / n).toInt
+      if (until <= from) None
+      else {
+        val out = new Array[Byte](until - from)
+        var i = from
+        while (i < until) {
+          out(i - from) =
+            if (bits == 8) payload(dataFrom + i) // 8-bit PCM is unsigned
+            else ((le16(dataFrom + i * 2).toShort >> 8) + 128).toByte
+          i += 1
+        }
+        Some(Frame(assetId, f, out.length, 1, out))
+      }
+    }
+  }
+
   /** Deterministic stand-in codec for payloads that are NOT real images
     * (e.g. text assets reshaped into the multimodal schema): derives WxH
     * from the payload length and cuts the payload into `nFrames` pixel

@@ -127,6 +127,37 @@ object StreamQueries {
         .orderBy("win_start", "event_type")
     },
 
+    // Stream-static enrichment: the event stream joins a BROADCAST batch
+    // dimension per micro-batch — stateless (unlike stream-stream: no
+    // watermark, no join state), the dimension is re-resolved each batch
+    // so slowly-changing dims pick up updates between batches. The
+    // standard streaming-ETL enrichment shape at any scale: the stream
+    // never shuffles for the join.
+    "st_stream_enrich" -> { (s, dir) =>
+      import graft.streaming.FileStreams
+      val in = scratch(dir, "enr_in"); val out = scratch(dir, "enr_out")
+      val ckpt = scratch(dir, "enr_ckpt")
+      Seq(in, out, ckpt).foreach(rmrf)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .repartition(4).write.json(in)
+      val dim = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))
+      val schema = graft.core.SchemaDsl.fromSpec(
+        "event_id:l;user_id:l;event_type:c;value:d")
+      val enriched = FileStreams.jsonFileStream(s, in, schema,
+          maxFilesPerTrigger = 2)
+        .withColumn("nk", col("user_id") % 25)
+        .join(broadcast(dim), col("nk") === col("n_nationkey"))
+        .select(col("event_id"), col("n_name"), col("event_type"), col("value"))
+      FileStreams.startPartitionedParquetSink(enriched, out, ckpt, Seq.empty)
+        .awaitTermination()
+      s.read.parquet(out)
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        .orderBy(col("n_name"))
+    },
+
     // Stream-stream interval join (beyond reference — the remaining core
     // Structured Streaming operator): a view stream joins a click stream
     // on user within (view.ts, view.ts + 1 h], both sides watermarked.
@@ -238,6 +269,11 @@ object StreamQueries {
          |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS value_sum
          |FROM events WHERE ts < TIMESTAMP '2024-01-08'
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "st_stream_enrich" ->
+      s"""SELECT n.n_name, COUNT(*) AS n, ${sqlDsum("e.value")} AS value_sum
+         |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "st_stream_join" ->
       s"""WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),

@@ -241,6 +241,39 @@ class OperatorsSpec extends SparkSpec {
       assert(thumb.pixels(y * 4 + x) == luma(x * 4, y * 2), s"thumb ($x,$y)")
   }
 
+  test("Multimodal: wavDecode PCM16 golden envelope, corrupt quarantine") {
+    import graft.operators.Multimodal
+    // deterministic PCM16 mono WAV assembled in memory
+    def wav16(samples: Array[Short]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val samples = Array.tabulate(80)(i =>
+      (math.sin(i * 0.2) * 30000).toShort)
+    val frames = Multimodal.wavDecode(7L, wav16(samples), 4)
+    assert(frames.size == 4)
+    assert(frames.map(_.width).sum == 80) // every sample covered once
+    assert(frames.forall(f => f.height == 1 && f.asset_id == 7L))
+    // golden envelope: high byte of each 16-bit sample, offset unsigned
+    val env = frames.flatMap(_.pixels)
+    samples.indices.foreach { i =>
+      assert(env(i) == ((samples(i) >> 8) + 128).toByte, s"sample $i")
+    }
+    // quarantine contract: non-WAV, truncated, and non-PCM → zero frames
+    assert(Multimodal.wavDecode(8L, "nope".getBytes, 4).isEmpty)
+    assert(Multimodal.wavDecode(9L, wav16(samples).take(50), 4).isEmpty)
+    val nonPcm = wav16(samples); nonPcm(20) = 3 // audioFormat=3 (float)
+    assert(Multimodal.wavDecode(10L, nonPcm, 4).isEmpty)
+  }
+
   test("Normalize: nullIfBlank / blankIfNull / isBlank") {
     import graft.operators.Normalize
     val df = Seq(("a"), (""), ("  "), (null: String)).toDF("v")
