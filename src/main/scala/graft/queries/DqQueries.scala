@@ -72,6 +72,37 @@ object DqQueries {
           coalesce(col("n_violations"), lit(0L)).as("n_violations"),
           coalesce(col("n_rows"), lit(0L)).as("n_rows"))
         .orderBy(col("rule_name"))
+    },
+
+    // Winsorization: clip values to exact per-group [p05, p95] bounds
+    // computed in distribution form (value histogram + cumulative — the
+    // a16 method: shuffles (group, value) pairs, never buffers values),
+    // then report clip counts and the clipped sum. The bounds table is
+    // groups-sized, so the clip join broadcasts.
+    "dq_winsorize" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val hist = ev.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("total", sum(col("cnt")).over(
+          Window.partitionBy(col("event_type"))))
+      val bounds = cum.groupBy(col("event_type"))
+        .agg(min(when(col("cum") >= ceil(lit(0.05) * col("total")), col("value")))
+            .as("lo"),
+          min(when(col("cum") >= ceil(lit(0.95) * col("total")), col("value")))
+            .as("hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("lo") || col("value") > col("hi"), 1)
+            .otherwise(0)).cast("long").as("n_clipped"),
+          dsum(least(greatest(col("value"), col("lo")), col("hi")))
+            .as("clipped_sum"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -126,6 +157,26 @@ object DqQueries {
         |  UNION ALL
         |  SELECT 'qty_bounds', COUNT(*), COUNT(DISTINCT l_orderkey)
         |  FROM lineitem WHERE l_quantity < 1.0 OR l_quantity > 49.0)
-        |ORDER BY rule_name""".stripMargin
+        |ORDER BY rule_name""".stripMargin,
+
+    "dq_winsorize" ->
+      s"""WITH hist AS (
+         |  SELECT event_type, value, COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+         |c AS (
+         |  SELECT event_type, value,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total
+         |  FROM hist),
+         |b AS (
+         |  SELECT event_type,
+         |    MIN(CASE WHEN cum >= ceil(0.05 * total) THEN value END) AS lo,
+         |    MIN(CASE WHEN cum >= ceil(0.95 * total) THEN value END) AS hi
+         |  FROM c GROUP BY 1)
+         |SELECT e.event_type, COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+         |  ${sqlDsum("least(greatest(e.value, b.lo), b.hi)")} AS clipped_sum
+         |FROM events e JOIN b ON e.event_type = b.event_type
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
