@@ -110,4 +110,39 @@ class CapabilitiesSpec extends SparkSpec {
     assert(!glr.summary.aic.isNaN && glr.summary.deviance > 0.0)
     assert(model.transform(df).count() == df.count())
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in plan)") {
+    // the runtime half of the skew story: j13 proves MANUAL salting,
+    // this proves the AQE skew-join re-plan the brief's scale design
+    // leans on — one key owning ~90% of the fact must be split into
+    // multiple tasks without any query change
+    import org.apache.spark.sql.functions._
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // high-entropy pad, kept alive through the agg: without it the
+      // constant-key partition compresses to almost nothing in the
+      // shuffle and never crosses the skew threshold
+      val fact = spark.range(300000)
+        .select(col("id"),
+          when(col("id") % 10 === 0, col("id") % 100).otherwise(lit(7L)).as("k"),
+          md5(col("id").cast("string")).as("pad"))
+      val dim = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val q = fact.join(dim, "k")
+        .agg(sum(col("v")).as("s"), max(col("pad")).as("mp"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join, plan:\n${plan.take(4000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
