@@ -112,7 +112,9 @@ object Multimodal {
     var dataLen = -1
     while (pos + 8 <= payload.length && (dataFrom < 0 || bits < 0)) {
       val size = le32(pos + 4).toInt
-      if (size < 0 || pos + 8 + size > payload.length) return Seq.empty
+      // bounds math in Long: a near-Int.Max size field would overflow
+      // `pos + 8 + size` and sneak past the check → AIOOBE, not quarantine
+      if (size < 0 || pos.toLong + 8L + size > payload.length) return Seq.empty
       if (tag(pos, "fmt ")) {
         if (size < 16 || le16(pos + 8) != 1) return Seq.empty // PCM only
         bits = le16(pos + 8 + 14)

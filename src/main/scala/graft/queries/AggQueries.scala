@@ -92,21 +92,10 @@ object AggQueries {
     // is not cross-engine checkable; the distribution form shuffles
     // only (group, value) pairs.
     "a16_quantiles" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val hist = Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"), col("l_quantity"))
-        .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = hist
-        .withColumn("cum", sum(col("cnt")).over(w))
-        .withColumn("total", sum(col("cnt")).over(
-          Window.partitionBy(col("l_returnflag"))))
-      def qVal(q: Double): org.apache.spark.sql.Column =
-        min(when(col("cum") >= ceil(lit(q) * col("total")), col("l_quantity")))
-      cum.groupBy(col("l_returnflag"))
-        .agg(max(col("total")).as("n"),
-          qVal(0.5).as("p50"), qVal(0.9).as("p90"), qVal(0.99).as("p99"))
+      graft.operators.Quantiles.distQuantiles(
+          Tables.lineitem(s, dir), "l_returnflag", "l_quantity",
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99),
+          countName = Some("n"))
         .orderBy(col("l_returnflag"))
     }
   )

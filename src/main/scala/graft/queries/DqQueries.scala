@@ -75,26 +75,16 @@ object DqQueries {
     },
 
     // Winsorization: clip values to exact per-group [p05, p95] bounds
-    // computed in distribution form (value histogram + cumulative — the
-    // a16 method: shuffles (group, value) pairs, never buffers values),
+    // from the shared distribution-form quantile kernel
+    // (operators/Quantiles — shuffles (group, value) pairs, never
+    // buffers values; NULL values excluded for engine portability),
     // then report clip counts and the clipped sum. The bounds table is
     // groups-sized, so the clip join broadcasts.
     "dq_winsorize" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
-      val hist = ev.groupBy(col("event_type"), col("value"))
-        .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = hist
-        .withColumn("cum", sum(col("cnt")).over(w))
-        .withColumn("total", sum(col("cnt")).over(
-          Window.partitionBy(col("event_type"))))
-      val bounds = cum.groupBy(col("event_type"))
-        .agg(min(when(col("cum") >= ceil(lit(0.05) * col("total")), col("value")))
-            .as("lo"),
-          min(when(col("cum") >= ceil(lit(0.95) * col("total")), col("value")))
-            .as("hi"))
+        .filter(col("value").isNotNull)
+      val bounds = graft.operators.Quantiles.distQuantiles(
+        ev, "event_type", "value", Seq("lo" -> 0.05, "hi" -> 0.95))
       ev.join(broadcast(bounds), "event_type")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -161,7 +151,8 @@ object DqQueries {
 
     "dq_winsorize" ->
       s"""WITH hist AS (
-         |  SELECT event_type, value, COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+         |  SELECT event_type, value, COUNT(*) AS cnt FROM events
+         |  WHERE value IS NOT NULL GROUP BY 1, 2),
          |c AS (
          |  SELECT event_type, value,
          |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
@@ -177,6 +168,7 @@ object DqQueries {
          |  CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
          |  ${sqlDsum("least(greatest(e.value, b.lo), b.hi)")} AS clipped_sum
          |FROM events e JOIN b ON e.event_type = b.event_type
+         |WHERE e.value IS NOT NULL
          |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

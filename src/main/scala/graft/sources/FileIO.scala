@@ -164,16 +164,26 @@ object FileIO {
                     numFiles: Int): Unit = {
     val r = df.agg(min(col(dimA).cast("long")), max(col(dimA).cast("long")),
       min(col(dimB).cast("long")), max(col(dimB).cast("long"))).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) { // empty input / all-null dim:
+      df.write.mode(SaveMode.Overwrite).parquet(path) // plain write, no key
+      return
+    }
     val (aMin, aMax) = (r.getLong(0), r.getLong(1))
     val (bMin, bMax) = (r.getLong(2), r.getLong(3))
     // double math: the 16-bit quantization is a layout heuristic, never a
-    // query result, and doubles dodge (c-lo)*65535 overflow on wide ranges
+    // query result, and doubles dodge (c-lo)*65535 overflow on wide
+    // ranges — including the hi-lo span itself (subtract as doubles: a
+    // full signed-64 range would overflow a Long subtraction)
     def norm(c: Column, lo: Long, hi: Long): Column =
       ((c.cast("double") - lit(lo.toDouble)) * lit(65535.0) /
-        lit(math.max(hi - lo, 1L).toDouble)).cast("int")
+        lit(math.max(hi.toDouble - lo.toDouble, 1.0))).cast("int")
+    // interleave in LONG: dimB's top bit otherwise lands on Int bit 31,
+    // making the upper half of dimB sort NEGATIVE — the range partition
+    // straddling the sign boundary would span both extreme corners of
+    // the curve and defeat pruning for its file
     val keyed = df.withColumn("__z",
-      spread16(norm(col(dimA), aMin, aMax))
-        .bitwiseOR(shiftleft(spread16(norm(col(dimB), bMin, bMax)), 1)))
+      spread16(norm(col(dimA), aMin, aMax)).cast("long")
+        .bitwiseOR(shiftleft(spread16(norm(col(dimB), bMin, bMax)).cast("long"), 1)))
     keyed.repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

@@ -267,11 +267,25 @@ class OperatorsSpec extends SparkSpec {
     samples.indices.foreach { i =>
       assert(env(i) == ((samples(i) >> 8) + 128).toByte, s"sample $i")
     }
-    // quarantine contract: non-WAV, truncated, and non-PCM → zero frames
+    // quarantine contract: non-WAV, truncated, non-PCM, and a chunk size
+    // near Int.MaxValue (Long-bounds check, no AIOOBE) → zero frames
     assert(Multimodal.wavDecode(8L, "nope".getBytes, 4).isEmpty)
     assert(Multimodal.wavDecode(9L, wav16(samples).take(50), 4).isEmpty)
     val nonPcm = wav16(samples); nonPcm(20) = 3 // audioFormat=3 (float)
     assert(Multimodal.wavDecode(10L, nonPcm, 4).isEmpty)
+    val hugeChunk = wav16(samples)
+    hugeChunk(16) = -11; hugeChunk(17) = -1 // fmt size = 0x7FFF_FFF5
+    hugeChunk(18) = -1; hugeChunk(19) = 127
+    assert(Multimodal.wavDecode(11L, hugeChunk, 4).isEmpty)
+    // distributed path: wavDecode as the injectable decoder through the
+    // same frame pipeline the image codec uses, mixed good/bad payloads
+    val assets = Seq(
+      (7L, "audio", wav16(samples)),
+      (8L, "audio", "static noise".getBytes)
+    ).toDF("asset_id", "kind", "payload")
+    val dist = Multimodal.decodeFrames(assets, 4, Multimodal.wavDecode).collect()
+    assert(dist.length == 4 && dist.forall(_.asset_id == 7L))
+    assert(dist.sortBy(_.frame_idx).flatMap(_.pixels).toSeq == env.toSeq)
   }
 
   test("Normalize: nullIfBlank / blankIfNull / isBlank") {

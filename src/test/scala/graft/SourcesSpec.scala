@@ -177,12 +177,15 @@ class SourcesSpec extends SparkSpec {
     // the single-dimension alternative: lexicographic range sort on user_id
     ev.repartitionByRange(16, col("user_id")).sortWithinPartitions("user_id")
       .write.mode("overwrite").parquet(spath)
+    val fullRow = ev.agg(
+      (max(col("user_id")) - min(col("user_id"))).cast("double"),
+      (max(col("event_id")) - min(col("event_id"))).cast("double")).head()
+    val full = Map("user_id" -> fullRow.getDouble(0),
+      "event_id" -> fullRow.getDouble(1))
     def avgNormRange(path: String, dim: String): Double = {
-      val full = ev.agg((max(col(dim)) - min(col(dim))).cast("double"))
-        .head().getDouble(0)
       val perFile = spark.read.parquet(path)
         .groupBy(input_file_name())
-        .agg(((max(col(dim)) - min(col(dim))).cast("double") / full).as("w"))
+        .agg(((max(col(dim)) - min(col(dim))).cast("double") / full(dim)).as("w"))
         .collect().map(_.getAs[Double]("w"))
       perFile.sum / perFile.length
     }
