@@ -288,6 +288,31 @@ class OperatorsSpec extends SparkSpec {
     assert(dist.sortBy(_.frame_idx).flatMap(_.pixels).toSeq == env.toSeq)
   }
 
+  test("Quantiles.distQuantiles == sorted-multiset definition, NULLs excluded") {
+    import graft.operators.Quantiles
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(3000)((rnd.nextInt(4), rnd.nextInt(50).toDouble))
+    val df = rows.toDF("g", "v").unionByName(
+      Seq(0, 1, 2).toDF("g").withColumn("v", lit(null).cast("double")))
+    val got = Quantiles.distQuantiles(df, "g", "v",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95), countName = Some("n"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // brute force: element at index ceil(q*n)-1 of the sorted multiset is
+    // exactly the lowest value whose cumulative count reaches ceil(q*n)
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    def q(vs: Vector[Double], p: Double): Double =
+      vs(math.ceil(p * vs.size).toInt - 1)
+    byG.foreach { case (g, vs) =>
+      val (n, p25, p50, p95) = got(g)
+      assert(n == vs.size, s"group $g count (nulls must not count)")
+      assert(p25 == q(vs, 0.25) && p50 == q(vs, 0.5) && p95 == q(vs, 0.95),
+        s"group $g quantiles")
+    }
+  }
+
   test("Normalize: nullIfBlank / blankIfNull / isBlank") {
     import graft.operators.Normalize
     val df = Seq(("a"), (""), ("  "), (null: String)).toDF("v")
