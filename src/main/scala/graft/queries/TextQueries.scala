@@ -206,6 +206,40 @@ object TextQueries {
         .orderBy(col("source"))
     },
 
+    // Edit-distance near-dup pairs: docs whose 40-char heads are within
+    // Levenshtein 5, candidates blocked by length band (the
+    // ngramJaccardPairs blocking: each doc in blocks {own, own+1}, the
+    // pair kept only at the larger doc's own block — unique by
+    // construction, no distinct) so the quadratic edit-distance kernel
+    // runs on length-compatible pairs only, never all-pairs.
+    "t_edit_distance" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          substring(col("text"), 1, 40).as("head"))
+      val blocked = docs
+        .withColumn("__blk", explode(array((col("n_chars") / 20).cast("long"),
+          (col("n_chars") / 20).cast("long") + 1)))
+      val x = blocked.alias("__ed_x"); val y = blocked.alias("__ed_y")
+      x.join(y,
+          col("__ed_x.__blk") === col("__ed_y.__blk") &&
+          col("__ed_x.doc_id") < col("__ed_y.doc_id") &&
+          abs(col("__ed_x.n_chars") - col("__ed_y.n_chars")) <= 10 &&
+          col("__ed_x.__blk") ===
+            greatest((col("__ed_x.n_chars") / 20).cast("long"),
+                     (col("__ed_y.n_chars") / 20).cast("long")))
+        // thresholded kernel: the banded DP abandons a pair the moment
+        // its distance exceeds 5 (O(len·threshold) per pair, not
+        // O(len²)) and returns -1 — at corpus scale nearly all
+        // candidates are non-dups, so the early exit IS the operator's
+        // scalability
+        .withColumn("dist",
+          levenshtein(col("__ed_x.head"), col("__ed_y.head"), 5))
+        .filter(col("dist") >= 0)
+        .select(col("__ed_x.doc_id").as("a"), col("__ed_y.doc_id").as("b"),
+          col("dist"))
+        .orderBy(col("a"), col("b"))
+    },
+
     // Winnowing fingerprints (rolling-hash document fingerprinting): per
     // doc, the count/min/max/sum of its winnowed k-gram hash minima —
     // proves the whole rolling-hash + window-minima computation against
@@ -363,6 +397,14 @@ object TextQueries {
         |SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(hit) AS BIGINT) AS n_contaminated
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    "t_edit_distance" ->
+      """SELECT x.doc_id AS a, y.doc_id AS b,
+        |  levenshtein(substr(x.text, 1, 40), substr(y.text, 1, 40)) AS dist
+        |FROM documents x JOIN documents y
+        |  ON x.doc_id < y.doc_id AND abs(x.n_chars - y.n_chars) <= 10
+        |WHERE levenshtein(substr(x.text, 1, 40), substr(y.text, 1, 40)) <= 5
+        |ORDER BY a, b""".stripMargin,
 
     // arithmetic replica of NativeEval.winnowFingerprints: Horner base-31
     // rolling hash mod 2^31-1 (mod after every multiply-add, matching the

@@ -138,10 +138,47 @@ object WindowQueries {
             |) AS DOUBLE)""".stripMargin))
         .select("event_id", "event_type", "sliding_sum")
         .orderBy("event_id")
+    },
+
+    // Date-spine resample: a sparse daily series (1/997 of events)
+    // zero-filled over the FULL min-max day range of the fact — the
+    // gap-filling join every reporting pipeline needs. The spine is one
+    // sequence-explode of a 2-value aggregate (metadata-sized), the
+    // daily agg shuffles only the sparse subset, and the fill join is
+    // broadcast — nothing here scales with the fact beyond the one agg.
+    "w9_date_spine" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_id"), col("value"))
+      val daily = ev.filter(col("event_id") % 997 === 0)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+      val spine = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("value_sum"), lit(0.0)).as("value_sum"))
+        .orderBy(col("day"))
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "w9_date_spine" ->
+      s"""WITH b AS (
+         |  SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS lo,
+         |         CAST(date_trunc('day', MAX(ts)) AS DATE) AS hi
+         |  FROM events),
+         |spine AS (
+         |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+         |  FROM b),
+         |daily AS (
+         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    COUNT(*) AS n, ${sqlDsum("value")} AS value_sum
+         |  FROM events WHERE event_id % 997 = 0 GROUP BY 1)
+         |SELECT s.day, COALESCE(d.n, 0) AS n,
+         |  COALESCE(d.value_sum, 0.0) AS value_sum
+         |FROM spine s LEFT JOIN daily d ON s.day = d.day
+         |ORDER BY s.day""".stripMargin,
     "w2_dedup_latest_event" ->
       """WITH ranked AS (
         |  SELECT user_id, event_type, event_id, value,
