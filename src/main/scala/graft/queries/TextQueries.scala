@@ -206,6 +206,29 @@ object TextQueries {
         .orderBy(col("source"))
     },
 
+    // HTML boilerplate stripping — the web-crawl → text stage: tags out,
+    // entities decoded, whitespace collapsed, all as codegen'd regexp
+    // expressions (no parser, no UDF — the 99% case for crawl text;
+    // documents get deterministic markup injected since the corpus is
+    // plain text). One rollup shuffle.
+    "t_html_strip" -> { (s, dir) =>
+      val html = concat(
+        lit("<html><body><p class=\"c"), (col("doc_id") % 7).cast("string"),
+        lit("\">"), col("text"),
+        lit("</p><br/><div id=\"f\">footer&amp;nav &lt;keep&gt;</div></body></html>"))
+      val clean = trim(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(html,
+          "<[^>]*>", " "), "&amp;", "&"), "&lt;", "<"), "&gt;", ">"),
+        "\\s+", " "))
+      Tables.documents(s, dir)
+        .select(col("source"), clean.as("clean"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("clean"))).cast("long").as("clean_chars"),
+          sum(size(split(col("clean"), " "))).cast("long").as("clean_toks"))
+        .orderBy(col("source"))
+    },
+
     // Edit-distance near-dup pairs: docs whose 40-char heads are within
     // Levenshtein 5, candidates blocked by length band (the
     // ngramJaccardPairs blocking: each doc in blocks {own, own+1}, the
@@ -397,6 +420,25 @@ object TextQueries {
         |SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(hit) AS BIGINT) AS n_contaminated
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    // DuckDB regexp_replace needs the 'g' flag for replace-all parity
+    "t_html_strip" ->
+      """WITH h AS (
+        |  SELECT source,
+        |    '<html><body><p class="c' || (doc_id % 7) || '">' || text ||
+        |    '</p><br/><div id="f">footer&amp;nav &lt;keep&gt;</div></body></html>'
+        |    AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, trim(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(html,
+        |      '<[^>]*>', ' ', 'g'), '&amp;', '&', 'g'), '&lt;', '<', 'g'),
+        |    '&gt;', '>', 'g'), '\s+', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(clean)) AS BIGINT) AS clean_chars,
+        |  CAST(SUM(len(string_split(clean, ' '))) AS BIGINT) AS clean_toks
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     "t_edit_distance" ->
       """SELECT x.doc_id AS a, y.doc_id AS b,
