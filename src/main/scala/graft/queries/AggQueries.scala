@@ -91,6 +91,17 @@ object AggQueries {
     // `percentile` buffers every value per group and approx_percentile
     // is not cross-engine checkable; the distribution form shuffles
     // only (group, value) pairs.
+    // Numeric histogram: fixed-width value buckets per group — one
+    // partial-aggregated shuffle of (group, bucket) pairs; the profile
+    // primitive behind DQ drift checks at any scale.
+    "a17_histogram" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          floor(col("value") / 50.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        .orderBy(col("event_type"), col("bucket"))
+    },
+
     "a16_quantiles" -> { (s, dir) =>
       graft.operators.Quantiles.distQuantiles(
           Tables.lineitem(s, dir), "l_returnflag", "l_quantity",
@@ -144,6 +155,11 @@ object AggQueries {
     "o2_topn_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "a17_histogram" ->
+      s"""SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+         |  COUNT(*) AS n, ${sqlDsum("value")} AS value_sum
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "a16_quantiles" ->
       """WITH hist AS (

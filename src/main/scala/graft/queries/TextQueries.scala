@@ -206,6 +206,28 @@ object TextQueries {
         .orderBy(col("source"))
     },
 
+    // URL parsing/normalization — crawl-metadata hygiene: host and path
+    // extracted with the native parse_url expression, per-host rollup
+    // (distinct paths + query-params presence). Deterministic URLs are
+    // synthesized from source/doc_id since the corpus carries none.
+    "t_url_parse" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("__url", concat(
+          lit("https://"), col("source"), lit(".example.com/d/"),
+          (col("doc_id") % 50).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("?ref=graft&x=1")).otherwise(lit(""))))
+        .withColumn("host", expr("parse_url(__url, 'HOST')"))
+        .withColumn("path", expr("parse_url(__url, 'PATH')"))
+        .withColumn("has_query",
+          expr("parse_url(__url, 'QUERY')").isNotNull)
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("path")).as("n_paths"),
+          sum(when(col("has_query"), 1).otherwise(0)).cast("long")
+            .as("n_with_query"))
+        .orderBy(col("host"))
+    },
+
     // HTML boilerplate stripping — the web-crawl → text stage: tags out,
     // entities decoded, whitespace collapsed, all as codegen'd regexp
     // expressions (no parser, no UDF — the 99% case for crawl text;
@@ -420,6 +442,20 @@ object TextQueries {
         |SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(hit) AS BIGINT) AS n_contaminated
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    // the oracle re-derives host/path/query arithmetically (DuckDB has no
+    // parse_url) — a green row proves the parse agrees with the
+    // construction
+    "t_url_parse" ->
+      """WITH u AS (
+        |  SELECT source || '.example.com' AS host,
+        |    '/d/' || (doc_id % 50) AS path,
+        |    (doc_id % 3 = 0) AS has_query
+        |  FROM documents)
+        |SELECT host, COUNT(*) AS n_urls,
+        |  COUNT(DISTINCT path) AS n_paths,
+        |  CAST(SUM(CASE WHEN has_query THEN 1 ELSE 0 END) AS BIGINT) AS n_with_query
+        |FROM u GROUP BY host ORDER BY host""".stripMargin,
 
     // DuckDB regexp_replace needs the 'g' flag for replace-all parity
     "t_html_strip" ->

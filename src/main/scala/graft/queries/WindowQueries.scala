@@ -140,6 +140,27 @@ object WindowQueries {
         .orderBy("event_id")
     },
 
+    // first/last/nth over an unbounded frame: per user the first,
+    // second, and last event type — the named-position window family
+    // (first_value / nth_value / last_value) in one partitioned pass.
+    "w10_first_last" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val frame = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val seq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("first_type", first(col("event_type")).over(frame))
+        .withColumn("second_type", nth_value(col("event_type"), 2).over(frame))
+        .withColumn("last_type", last(col("event_type")).over(frame))
+        .withColumn("__rn", row_number().over(seq))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("first_type"), col("second_type"),
+          col("last_type"))
+        .orderBy(col("user_id"))
+    },
+
     // Date-spine resample: a sparse daily series (1/997 of events)
     // zero-filled over the FULL min-max day range of the fact — the
     // gap-filling join every reporting pipeline needs. The spine is one
@@ -163,6 +184,20 @@ object WindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "w10_first_last" ->
+      """WITH v AS (
+        |  SELECT user_id,
+        |    first_value(event_type) OVER w AS first_type,
+        |    nth_value(event_type, 2) OVER w AS second_type,
+        |    last_value(event_type) OVER w AS last_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, first_type, second_type, last_type
+        |FROM v WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     "w9_date_spine" ->
       s"""WITH b AS (
          |  SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS lo,
