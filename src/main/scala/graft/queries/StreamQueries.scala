@@ -127,6 +127,38 @@ object StreamQueries {
         .orderBy("win_start", "event_type")
     },
 
+    // Stateful streaming dedup: the landing data carries every event
+    // TWICE (an at-least-once delivery); dropDuplicates on the event key
+    // holds seen-key state across micro-batches so replays are dropped
+    // wherever they land. The drain's end state must equal the distinct
+    // batch — in production the state is bounded with
+    // dropDuplicatesWithinWatermark (proven in StreamingSpec); the
+    // unbounded form here keeps the drain deterministic for the oracle.
+    "st_stream_dedup" -> { (s, dir) =>
+      import graft.streaming.FileStreams
+      val in = scratch(dir, "dd_in"); val out = scratch(dir, "dd_out")
+      val ckpt = scratch(dir, "dd_ckpt")
+      Seq(in, out, ckpt).foreach(rmrf)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      ev.unionAll(ev).repartition(6).write.json(in)
+      val schema = graft.core.SchemaDsl.fromSpec(
+        "event_id:l;event_type:c;value:d")
+      val deduped = FileStreams.jsonFileStream(s, in, schema,
+          maxFilesPerTrigger = 2)
+        .dropDuplicates("event_id")
+      val partKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partKey)
+      s.conf.set(partKey, "8")
+      try FileStreams.startPartitionedParquetSink(deduped, out, ckpt, Seq.empty)
+        .awaitTermination()
+      finally s.conf.set(partKey, prevParts)
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        .orderBy(col("event_type"))
+    },
+
     // Stream-static enrichment: the event stream joins a BROADCAST batch
     // dimension per micro-batch — stateless (unlike stream-stream: no
     // watermark, no join state), the dimension is re-resolved each batch
@@ -269,6 +301,11 @@ object StreamQueries {
          |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS value_sum
          |FROM events WHERE ts < TIMESTAMP '2024-01-08'
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the duplicated landing collapses back to the distinct fact
+    "st_stream_dedup" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS value_sum
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "st_stream_enrich" ->
       s"""SELECT n.n_name, COUNT(*) AS n, ${sqlDsum("e.value")} AS value_sum
