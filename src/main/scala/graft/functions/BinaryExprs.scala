@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
@@ -13,7 +13,9 @@ import org.apache.spark.sql.types._
 
 /** 16-bin histogram of a binary payload by high nibble (byte >> 4):
   * array<long> of length 16. Null payload → null. */
-case class ByteBinCounts(child: Expression) extends UnaryExpression {
+case class ByteBinCounts(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.GraftSql.AbstractDataType] = Seq(BinaryType)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_byte_bin_counts"
@@ -30,7 +32,9 @@ case class ByteBinCounts(child: Expression) extends UnaryExpression {
 
 /** Every `stride`-th byte of a binary payload — the frame-sampling /
   * thumbnail analogue for opaque media payloads. */
-case class ByteSample(child: Expression, stride: Int) extends UnaryExpression {
+case class ByteSample(child: Expression, stride: Int) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.GraftSql.AbstractDataType] = Seq(BinaryType)
   require(stride > 0)
 
   override def dataType: DataType = BinaryType

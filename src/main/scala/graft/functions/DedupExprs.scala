@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -27,7 +27,9 @@ object DedupExprs {
 /** Distinct word n-gram shingles of a single-space-tokenized text column:
   * one native pass over the split words, first-occurrence order. Fewer
   * than n words → empty array. */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.GraftSql.AbstractDataType] = Seq(StringType)
   require(n > 0)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -45,7 +47,9 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
 /** Distinct character n-gram shingles (codepoint indexing, same as the
   * built-in `substring`). Shorter than n chars → empty array. */
-case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
+case class CharShingles(child: Expression, n: Int) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.GraftSql.AbstractDataType] = Seq(StringType)
   require(n > 0)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -64,7 +68,9 @@ case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
 /** Distinct character n-gram shingles hashed to a SORTED `array<long>`
   * (XXH64, seed 42) — the compact form for candidate-pair verification;
   * see [[NativeEval.charShingleHashes]]. Shorter than n chars → empty. */
-case class CharShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+case class CharShingleHashes(child: Expression, n: Int) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.GraftSql.AbstractDataType] = Seq(StringType)
   require(n > 0)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -82,7 +88,9 @@ case class CharShingleHashes(child: Expression, n: Int) extends UnaryExpression 
 
 /** An `array<string>` hashed element-wise (XXH64, seed 42) to a sorted
   * distinct `array<long>` — see [[NativeEval.hashArraySorted]]. */
-case class ArrayHashesSorted(child: Expression) extends UnaryExpression {
+case class ArrayHashesSorted(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.GraftSql.AbstractDataType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_array_hashes_sorted"
@@ -103,7 +111,8 @@ case class ArrayHashesSorted(child: Expression) extends UnaryExpression {
   * family), minima per t, then `bands` band signatures, each the XXH64
   * fold of its k/bands signature slice. */
 case class MinHashBands(child: Expression, k: Int, bands: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.GraftSql.AbstractDataType] = Seq(ArrayType(StringType))
   require(k > 0 && bands > 0 && k % bands == 0, "k must be a multiple of bands")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -124,7 +133,8 @@ case class MinHashBands(child: Expression, k: Int, bands: Int)
   * See [[NativeEval.winnowFingerprints]] for the algorithm, portability
   * contract, and guarantee. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.GraftSql.AbstractDataType] = Seq(StringType)
   require(k > 0 && w > 0)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -144,7 +154,9 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   * output is set when the sum over shingles of ±1 (bit i of the shingle's
   * XXH64, seed 42 — identical to the built-in `xxhash64`) is
   * non-negative. One hash per shingle, 64 counters, native loop. */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.GraftSql.AbstractDataType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"

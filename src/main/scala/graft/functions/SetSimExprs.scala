@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -20,7 +20,13 @@ import org.apache.spark.sql.types._
   * `zip_with`+`aggregate` composition, which dominates pairwise
   * similarity workloads. */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  // float and double vectors both accepted; mixed widths widen exactly
+  override def inputTypes: Seq[org.apache.spark.sql.graft.GraftSql.AbstractDataType] =
+    Seq(org.apache.spark.sql.graft.GraftSql.typeCollection(
+          ArrayType(FloatType), ArrayType(DoubleType)),
+        org.apache.spark.sql.graft.GraftSql.typeCollection(
+          ArrayType(FloatType), ArrayType(DoubleType)))
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -50,7 +56,9 @@ case class CosineSim(left: Expression, right: Expression)
   * [[CharShingleHashes]] form): one merge pass, no per-row hash set.
   * Same empty-empty → NULL edge semantics as [[ArrayJaccard]]. */
 case class ArrayJaccardSorted(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.GraftSql.AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_array_jaccard_sorted"
@@ -78,7 +86,9 @@ case class ArrayJaccardSorted(left: Expression, right: Expression)
 }
 
 case class ArrayJaccard(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.GraftSql.AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_array_jaccard"

@@ -117,14 +117,32 @@ object TextDedup {
     * natural text (millions of distinct k-grams) but DEGENERATE on
     * low-diversity corpora where winnowing minima concentrate on few
     * values (the graft synthetic docs: 62 distinct fingerprints across
-    * 5k docs → 215M candidate pairs). Measure `approx_count_distinct`
-    * of the fingerprint column vs corpus size before choosing this over
-    * [[minhashLshPairs]], whose band signatures are selective on any
-    * corpus. Output: (a, b, n_shared), a < b. */
+    * 5k docs → 215M candidate pairs). The `maxDocFreq` stop-fingerprint
+    * cap makes that degeneration bounded at runtime instead of advisory:
+    * fingerprints appearing in more docs than the cap are dropped before
+    * the self-join (the direct analogue of stop-words in prefix
+    * filtering — a fingerprint shared by thousands of docs is corpus
+    * boilerplate and contributes candidate pairs quadratically while
+    * carrying no near-dup signal). Consequence: `n_shared` counts only
+    * sub-cap fingerprints, and a pair whose every shared fingerprint is
+    * boilerplate is not emitted — pass `maxDocFreq = Int.MaxValue` for
+    * the exact unguarded semantics. Prefer [[minhashLshPairs]] on
+    * low-diversity corpora regardless; its band signatures are selective
+    * on any corpus. Output: (a, b, n_shared), a < b. */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
-                  k: Int = 5, w: Int = 8, minShared: Int = 3): DataFrame = {
-    val fp = docs.select(col(idCol),
+                  k: Int = 5, w: Int = 8, minShared: Int = 3,
+                  maxDocFreq: Int = 10000): DataFrame = {
+    val all = docs.select(col(idCol),
         explode(winnowFingerprints(col(textCol), k, w)).as("__fp"))
+    // document frequency per fingerprint, computed on the same __fp
+    // shuffle key the self-join uses; the filter bounds every join
+    // bucket to maxDocFreq rows, so the worst case is maxDocFreq² per
+    // stop value instead of corpus²
+    val fp = all
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
+      .filter(col("__df") <= maxDocFreq)
+      .drop("__df")
     val x = fp.alias("__wn_x"); val y = fp.alias("__wn_y")
     x.join(y, col("__wn_x.__fp") === col("__wn_y.__fp") &&
         col(s"__wn_x.$idCol") < col(s"__wn_y.$idCol"))

@@ -117,9 +117,7 @@ object IoQueries {
       // under test — materialize them once per sf dir (deterministic
       // content) instead of rewriting 2× orders per warm run
       def ensureSrc(path: String, df: org.apache.spark.sql.DataFrame): Unit =
-        if (!new java.io.File(path, "_SUCCESS").exists()) {
-          rmrf(path); FileIO.writeCsv(df, path)
-        }
+        ensureOnce(path) { FileIO.writeCsv(df, path) }
       ensureSrc(src1, o.filter(col("o_orderkey") % 2 === 0))
       ensureSrc(src2, o.filter(col("o_orderkey") % 2 =!= 0))
       val schema = SchemaDsl.fromSpec(ordersSpec)

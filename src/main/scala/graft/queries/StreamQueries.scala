@@ -47,12 +47,14 @@ object StreamQueries {
       import graft.streaming.FileStreams
       val in = scratch(dir, "etl_in"); val out = scratch(dir, "etl_out")
       val ckpt = scratch(dir, "etl_ckpt")
-      Seq(in, out, ckpt).foreach(rmrf)
-      Tables.events(s, dir)
-        .select(col("event_id"), col("ts").cast("string").as("ts"),
-          col("user_id"), col("event_type"), col("value"))
-        .repartition(6) // several landing files → several microbatches
-        .write.json(in)
+      Seq(out, ckpt).foreach(rmrf)
+      ensureOnce(in) {
+        Tables.events(s, dir)
+          .select(col("event_id"), col("ts").cast("string").as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+          .repartition(6) // several landing files → several microbatches
+          .write.json(in)
+      }
       val schema = graft.core.SchemaDsl.fromSpec(
         "event_id:l;ts:c;user_id:l;event_type:c;value:d")
       val stream = FileStreams.jsonFileStream(s, in, schema,
@@ -138,10 +140,12 @@ object StreamQueries {
       import graft.streaming.FileStreams
       val in = scratch(dir, "dd_in"); val out = scratch(dir, "dd_out")
       val ckpt = scratch(dir, "dd_ckpt")
-      Seq(in, out, ckpt).foreach(rmrf)
-      val ev = Tables.events(s, dir)
-        .select(col("event_id"), col("event_type"), col("value"))
-      ev.unionAll(ev).repartition(6).write.json(in)
+      Seq(out, ckpt).foreach(rmrf)
+      ensureOnce(in) {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        ev.unionAll(ev).repartition(6).write.json(in)
+      }
       val schema = graft.core.SchemaDsl.fromSpec(
         "event_id:l;event_type:c;value:d")
       val deduped = FileStreams.jsonFileStream(s, in, schema,
@@ -169,10 +173,12 @@ object StreamQueries {
       import graft.streaming.FileStreams
       val in = scratch(dir, "enr_in"); val out = scratch(dir, "enr_out")
       val ckpt = scratch(dir, "enr_ckpt")
-      Seq(in, out, ckpt).foreach(rmrf)
-      Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-        .repartition(4).write.json(in)
+      Seq(out, ckpt).foreach(rmrf)
+      ensureOnce(in) {
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .repartition(4).write.json(in)
+      }
       val dim = Tables.nation(s, dir)
         .select(col("n_nationkey"), col("n_name"))
       val schema = graft.core.SchemaDsl.fromSpec(
@@ -204,12 +210,16 @@ object StreamQueries {
       import graft.streaming.FileStreams
       val inV = scratch(dir, "ssj_views"); val inC = scratch(dir, "ssj_clicks")
       val out = scratch(dir, "ssj_out"); val ckpt = scratch(dir, "ssj_ckpt")
-      Seq(inV, inC, out, ckpt).foreach(rmrf)
-      val ev = Tables.events(s, dir)
+      Seq(out, ckpt).foreach(rmrf)
+      def ev = Tables.events(s, dir)
         .select(col("event_id"), col("ts").cast("string").as("ts"),
           col("user_id"), col("event_type"), col("value"))
-      ev.filter(col("event_type") === "view").repartition(2).write.json(inV)
-      ev.filter(col("event_type") === "click").repartition(2).write.json(inC)
+      ensureOnce(inV) {
+        ev.filter(col("event_type") === "view").repartition(2).write.json(inV)
+      }
+      ensureOnce(inC) {
+        ev.filter(col("event_type") === "click").repartition(2).write.json(inC)
+      }
       val schema = graft.core.SchemaDsl.fromSpec(
         "event_id:l;ts:c;user_id:l;event_type:c;value:d")
       def side(path: String, prefix: String) =

@@ -34,6 +34,15 @@ package object queries {
   def scratchDir(family: String, sfDir: String, leaf: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_${family}_${new java.io.File(sfDir).getName}/$leaf"
 
+  /** Materialize a deterministic landing directory at most once per
+    * process lifetime AND per scratch dir: landing files that are a pure
+    * function of the testdata are a query's INPUT, not the operation
+    * under test, so warm bench runs must not pay the rewrite. `_SUCCESS`
+    * (written by the hadoop committer) marks a complete prior write; a
+    * partial dir from an interrupted run is rebuilt. */
+  def ensureOnce(path: String)(write: => Unit): Unit =
+    if (!new java.io.File(path, "_SUCCESS").exists()) { rmrf(path); write }
+
   /** Local-FS recursive delete for scratch dirs (delete failures surface
     * on the subsequent write, which every caller performs). */
   def rmrf(path: String): Unit = {

@@ -201,9 +201,10 @@ object FileIO {
     * directory being read); every failure path deletes its debris and
     * restores the original table. The two renames are not jointly
     * atomic: a JVM crash exactly between them leaves the table at
-    * `path + "__compact_old"` — recovery is one rename back, and the
-    * next run refuses nothing (missing path → (0,0) no-op), so the
-    * window is operator-visible, never silent data loss. Returns
+    * `path + "__compact_old"` — the next run detects that leftover at
+    * entry and restores it automatically (table absent → rename back;
+    * table present → retry the backup delete), so the window self-heals
+    * and is never silent data loss. Returns
     * (filesBefore, filesAfter); (0,0) when there is nothing to compact
     * (missing, empty, or non-flat directory).
     *
@@ -215,6 +216,20 @@ object FileIO {
                      targetBytes: Long = 128L << 20): (Int, Int) = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // automated recovery from a prior run's crash window: a leftover
+    // __compact_old with the table absent means the JVM died between the
+    // two swap renames — restore it; with the table present it means only
+    // the final cleanup delete failed — retry that delete.
+    val stale = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    if (fs.exists(stale)) {
+      if (!fs.exists(hPath)) {
+        if (!fs.rename(stale, hPath))
+          throw new IllegalStateException(
+            s"compact recovery: could not restore $stale to $path")
+      } else if (!fs.delete(stale, true))
+        throw new IllegalStateException(
+          s"compact recovery: could not delete stale backup $stale")
+    }
     if (!fs.exists(hPath)) return (0, 0)
     val files = fs.listStatus(hPath)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -236,9 +251,23 @@ object FileIO {
       fs.delete(tmp, true)
       throw new IllegalStateException(s"compact swap rename failed for $path")
     }
-    fs.delete(bak, true)
+    if (!fs.delete(bak, true))
+      // a full table copy must not linger silently; next run's entry
+      // recovery retries this delete, so surface it rather than hide it
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"compact: could not delete backup $bak — a full table copy " +
+          "remains on disk; the next compact run will retry the delete")
     (files.length, nOut)
   }
+
+  /** Ledger size (bytes on disk) above which [[copyInto]] stops forcing a
+    * broadcast of the already-loaded-files ledger. The ledger grows with
+    * every file ever ingested; a multi-year 100 TB ingest reaches millions
+    * of rows, and an unconditional broadcast of that is a driver-memory
+    * hazard. Under the cap (~32 MB parquet ≈ well inside any driver), the
+    * broadcast skips a shuffle of the incoming batch; over it, the plain
+    * join lets AQE pick (it will still broadcast if runtime stats allow). */
+  val copyIntoBroadcastCapBytes: Long = 32L << 20
 
   /** S4: COPY INTO analogue — idempotent bulk append with a file-name
     * ledger (ref: copy_into_command_gzip_splittable.sql:47-63; COPY INTO
@@ -246,17 +275,23 @@ object FileIO {
     * already-loaded files + append). Returns the number of rows loaded. */
   def copyInto(spark: SparkSession, sourcePath: String, schema: StructType,
                targetPath: String, ledgerPath: String,
-               header: Boolean = true, delimiter: String = ","): Long = {
+               header: Boolean = true, delimiter: String = ",",
+               broadcastCapBytes: Long = copyIntoBroadcastCapBytes): Long = {
     val src = readCsv(spark, sourcePath, schema, header, delimiter)
       .withColumn("__src_file", input_file_name())
+    val lPath = new org.apache.hadoop.fs.Path(ledgerPath)
+    val lfs = lPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledgerBytes =
+      if (lfs.exists(lPath)) lfs.getContentSummary(lPath).getLength else -1L
     val ledger: DataFrame =
-      try spark.read.parquet(ledgerPath)
-      catch { case _: Exception =>
+      if (ledgerBytes < 0)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(org.apache.spark.sql.types.StructField("__src_file",
             org.apache.spark.sql.types.StringType))))
-      }
-    val fresh = src.join(broadcast(ledger), Seq("__src_file"), "left_anti").cache()
+      else spark.read.parquet(ledgerPath)
+    val antiSide =
+      if (ledgerBytes <= broadcastCapBytes) broadcast(ledger) else ledger
+    val fresh = src.join(antiSide, Seq("__src_file"), "left_anti").cache()
     val n = fresh.count()
     if (n > 0) {
       fresh.drop("__src_file").write.mode(SaveMode.Append).parquet(targetPath)

@@ -15,6 +15,14 @@ object GraftSql {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `private[sql]` analysis-time type contracts re-exported so graft's
+    * expressions can declare `ExpectsInputTypes.inputTypes` (misuse of a
+    * SQL-registered graft function then fails at analysis with a typed
+    * error instead of a runtime ClassCastException). */
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+  def typeCollection(types: AbstractDataType*): AbstractDataType =
+    org.apache.spark.sql.types.TypeCollection(types: _*)
+
   /** The DataFrame without its trailing global Sort, if any. Catalog
     * queries end in `orderBy` purely so the driver's oracle hash is
     * order-stable; the benchmark measures the computation, not that

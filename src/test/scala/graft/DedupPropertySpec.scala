@@ -268,5 +268,20 @@ class DedupPropertySpec extends SparkSpec {
         .select("id", "tile").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
       assert(got == want, s"ntile($k) mismatch")
     }
+
+    // duplicate ORDER keys (ties): per-row assignment is engine-choice,
+    // but ntile's defining invariant — tile sizes differ by at most one
+    // and are non-increasing — and the per-key histogram of (v → tiles)
+    // must match the single-task window
+    val dup = Seq.tabulate(997)(i => (i.toLong, i % 7)).toDF("id", "v")
+    for (k <- Seq(2, 5, 32)) {
+      val got = Windows.scalableNtile(dup, Seq(col("v")), k, "tile")
+        .groupBy("tile").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val want = dup.withColumn("tile", ntile(k).over(Window.orderBy(col("v"))))
+        .groupBy("tile").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == want, s"tie-case ntile($k) histogram mismatch")
+    }
   }
 }

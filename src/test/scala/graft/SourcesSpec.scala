@@ -170,6 +170,82 @@ class SourcesSpec extends SparkSpec {
     assert(FileIO.compactParquet(spark, empty) == ((0, 0)))
   }
 
+  test("copyInto drops the ledger broadcast hint above the size cap") {
+    import spark.implicits._
+    val src = tmp("cib_src"); val target = tmp("cib_target"); val ledger = tmp("cib_ledger")
+    Seq(src, target, ledger).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    FileIO.writeCsv(df, src)
+    val schema = SchemaDsl.fromSpec("id:l;v:c")
+    def hintedPlans(cap: Long): Boolean = {
+      // capture whether the anti-join side carries the explicit broadcast
+      // hint by replaying the exact plan copyInto builds
+      val srcDf = FileIO.readCsv(spark, src, schema)
+        .withColumn("__src_file", input_file_name())
+      val led = spark.read.parquet(ledger)
+      val ledgerBytes = org.apache.commons.io.FileUtils
+        .sizeOfDirectory(new java.io.File(ledger))
+      val side = if (ledgerBytes <= cap) broadcast(led) else led
+      val plan = srcDf.join(side, Seq("__src_file"), "left_anti")
+        .queryExecution.optimizedPlan.toString
+      plan.contains("ResolvedHint") || plan.toLowerCase.contains("broadcast")
+    }
+    assert(FileIO.copyInto(spark, src, schema, target, ledger) == 3L)
+    // under the default cap the tiny ledger is hint-broadcast; with a
+    // zero cap (a stand-in for a multi-year, over-cap ledger) the hint is
+    // gone and join strategy is left to the optimizer/AQE
+    assert(hintedPlans(cap = FileIO.copyIntoBroadcastCapBytes))
+    assert(!hintedPlans(cap = 0L))
+    // behavior is unchanged either way: repeat load stays a no-op
+    assert(FileIO.copyInto(spark, src, schema, target, ledger,
+      broadcastCapBytes = 0L) == 0L)
+    assert(spark.read.parquet(target).count() == 3L)
+  }
+
+  test("compactParquet self-heals a crash window between the swap renames") {
+    val path = tmp("compact_heal")
+    Tables.nation(spark, sf001).write.mode("overwrite").parquet(path)
+    val want = spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    // simulate a JVM death exactly between rename(path→bak) and
+    // rename(tmp→path): the table sits at __compact_old, path is absent
+    val f = new java.io.File(path)
+    val bak = new java.io.File(path + "__compact_old")
+    org.apache.commons.io.FileUtils.deleteQuietly(bak)
+    assert(f.renameTo(bak) && !f.exists())
+    val (nb, na) = FileIO.compactParquet(spark, path)
+    assert(nb > 0 && na >= 1, s"recovery compact returned ($nb,$na)")
+    assert(spark.read.parquet(path).collect().map(_.toString).sorted.toSeq == want)
+    assert(!bak.exists())
+    // stale backup WITH the table present (failed final delete): entry
+    // recovery deletes the leftover and proceeds
+    Tables.nation(spark, sf001).write.mode("overwrite").parquet(bak.getPath)
+    FileIO.compactParquet(spark, path)
+    assert(!bak.exists() &&
+      spark.read.parquet(path).collect().map(_.toString).sorted.toSeq == want)
+  }
+
+  test("winnowPairs stop-fingerprint cap bounds degenerate buckets") {
+    import spark.implicits._
+    // 40 docs sharing one boilerplate sentence (a universal fingerprint
+    // source) plus 2 genuine near-dups that also share distinctive text
+    val boiler = "all rights reserved contact support for help today"
+    val docs = ((1L to 40L).map(i => (i, s"$boiler unique token stream number $i")) ++
+      Seq((101L, s"the quick brown fox jumps over the lazy dog $boiler"),
+          (102L, s"the quick brown fox jumps over the lazy dog variant $boiler")))
+      .toDF("doc_id", "text")
+    val unguarded = graft.operators.TextDedup
+      .winnowPairs(docs, "doc_id", "text", minShared = 1, maxDocFreq = Int.MaxValue)
+    val guarded = graft.operators.TextDedup
+      .winnowPairs(docs, "doc_id", "text", minShared = 1, maxDocFreq = 10)
+    // boilerplate fingerprints pair everything with everything unguarded;
+    // the cap removes them, keeping only pairs with sub-cap evidence
+    val gPairs = guarded.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(gPairs.contains((101L, 102L)), "genuine near-dup must survive the cap")
+    assert(guarded.count() < unguarded.count() / 4,
+      s"cap should collapse the boilerplate blow-up: ${guarded.count()} vs ${unguarded.count()}")
+  }
+
   test("writeZOrdered bounds per-file ranges in BOTH dimensions") {
     val ev = Tables.events(spark, sf001).select("event_id", "user_id")
     val zpath = tmp("zorder_t"); val spath = tmp("zsort_t")
