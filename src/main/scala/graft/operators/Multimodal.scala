@@ -178,6 +178,30 @@ object Multimodal {
       })
   }
 
+  /** Per-frame pixel statistics — the numeric image a downstream plan
+    * keeps once payloads and pixel buffers are projected away: dimensions,
+    * pixel count, luminance sum, and a POSITION-WEIGHTED luminance sum
+    * (weight = row-major index + 1), which pins the full pixel ORDER, not
+    * just the value multiset — a decoder that flips rows or columns
+    * changes it even when the plain sum survives. Per-row arithmetic on
+    * the buffer, no shuffle. */
+  def frameStats(frames: org.apache.spark.sql.Dataset[Frame]): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.map { fr =>
+      var s = 0L; var ws = 0L; var i = 0
+      while (i < fr.pixels.length) {
+        val v = fr.pixels(i) & 0xFF
+        s += v
+        ws += v.toLong * (i + 1)
+        i += 1
+      }
+      (fr.asset_id, fr.frame_idx, fr.width.toLong, fr.height.toLong,
+        fr.pixels.length.toLong, s, ws)
+    }.toDF("asset_id", "frame_idx", "width", "height",
+      "n_px", "luma_sum", "luma_wsum")
+  }
+
   /** Thumbnail resize of a decoded frame by stride-sampling pixel rows
     * and columns down to ≤ side×side — the shape of any box-filter
     * resize: per-row arithmetic on the pixel buffer, no shuffle. */

@@ -228,4 +228,74 @@ object Pipelines {
     import spark.implicits._
     counts.toSeq.toDF("table_name", "n_rows")
   }
+
+  /** hive_to_hive_cte.py:42-158 shape — the reference's 8-CTE flexible-
+    * bundle migration, composed as one call: a JSON `metadata` blob per
+    * bundle is flag-filtered (`$.flexibleBundle = 'true'`), its
+    * `$.bundledItems` array is bracket-stripped / split / re-wrapped and
+    * exploded LATERAL-VIEW style (ref :59), each fragment re-parsed with
+    * get_json_object (ref :55-57); items resolve against a primary and a
+    * fallback catalog by a two-key (inventory, item number) left join with
+    * a three-way id coalesce (ref :96-104); legacy bundles union in with
+    * the reference's CASE discount normalization (ref :85-89); and four
+    * chained left-outer release-date lookups finish with coalesce defaults
+    * (ref :141-158).
+    *
+    * Scale notes: each lookup side is keyed-unique (the joins stay 1:≤1)
+    * and dimension-sized, so Catalyst broadcasts them under AQE while the
+    * exploded fact side never shuffles before its joins; the JSON
+    * re-parse per fragment is get_json_object (codegen'd), not a UDF.
+    *
+    * Inputs (column contracts):
+    *   - buyItems: (bundle_id string, metadata string)
+    *   - catalog: (inv int, item_num long, item_id string), item_num unique
+    *   - catalogNA: (inv int, item_num long, item_id_na string), unique
+    *   - oldBundles: (bundle_id string, item_id string, disc_rp int)
+    *   - bundle/item releases: (key string, rd date), key unique
+    * Output: (bundle_id, item_id, bundle_release_date, item_release_date,
+    * discount). */
+  def flexibleBundleMigrate(buyItems: DataFrame,
+                            catalog: DataFrame, catalogNA: DataFrame,
+                            oldBundles: DataFrame,
+                            bundleReleases: DataFrame, bundleReleasesNA: DataFrame,
+                            itemReleases: DataFrame, itemReleasesNA: DataFrame): DataFrame = {
+    // sib_partial: flag filter + array-text extraction + bracket strip
+    val sibPartial = buyItems
+      .filter(get_json_object(col("metadata"), "$.flexibleBundle") === "true")
+      .select(col("bundle_id"),
+        expr("substring(get_json_object(metadata, '$.bundledItems'), 3, " +
+          "length(get_json_object(metadata, '$.bundledItems')) - 4)").as("core"))
+    // sib: explode the item fragments, re-wrap each as an object, re-parse
+    def frag(path: String) =
+      get_json_object(concat(lit("{"), col("blob"), lit("}")), path)
+    val sib = sibPartial
+      .select(col("bundle_id"), explode(split(col("core"), "\\},\\{")).as("blob"))
+      .select(col("bundle_id"),
+        frag("$.itemId").cast("long").as("item_num"),
+        frag("$.discount").cast("double").as("discount"),
+        frag("$.inv").cast("int").as("inv"))
+    // sb: two-catalog resolution + legacy union (CASE normalization)
+    val resolved = sib
+      .join(catalog, Seq("inv", "item_num"), "left")
+      .join(catalogNA, Seq("inv", "item_num"), "left")
+      .select(col("bundle_id"),
+        coalesce(col("item_id"), col("item_id_na"), col("bundle_id")).as("item_id"),
+        col("discount"))
+    val legacy = oldBundles.select(col("bundle_id"), col("item_id"),
+      when(col("disc_rp") === 0, 1.0)
+        .otherwise(round(lit(1.0) - col("disc_rp") / 100.0, 2)).as("discount"))
+    val sb = resolved.unionByName(legacy)
+    // final: four chained left-outer release lookups + coalesce defaults
+    def rel(df: DataFrame, as: String) =
+      df.select(col("key").as(s"__k_$as"), col("rd").as(s"__rd_$as"))
+    sb
+      .join(rel(bundleReleases, "b"), col("bundle_id") === col("__k_b"), "left")
+      .join(rel(bundleReleasesNA, "bna"), col("bundle_id") === col("__k_bna"), "left")
+      .join(rel(itemReleases, "i"), col("item_id") === col("__k_i"), "left")
+      .join(rel(itemReleasesNA, "ina"), col("item_id") === col("__k_ina"), "left")
+      .select(col("bundle_id"), col("item_id"),
+        coalesce(col("__rd_b"), col("__rd_bna")).as("bundle_release_date"),
+        coalesce(col("__rd_i"), col("__rd_ina")).as("item_release_date"),
+        coalesce(col("discount"), lit(0.0)).as("discount"))
+  }
 }

@@ -277,6 +277,41 @@ object IoQueries {
         .orderBy(col("n_regionkey"))
     },
 
+    // Cursor-follow REST pagination (ref: graphql_to_postgres.py:53-70
+    // generalized to a paged endpoint): a fixture "API" serves the nation
+    // dim as envelopes {data:[...], next:"tok"} where each response
+    // carries the NEXT page's token — the loop must follow tokens to
+    // termination (a wrong follow loses or repeats pages, which the
+    // count/sum aggregate catches). Landed to parquet like io_rest_pages.
+    "io_rest_cursor" -> { (s, dir) =>
+      val path = scratch(dir, "rest_cursor_land")
+      import s.implicits._
+      val rowJson = Tables.nation(s, dir)
+        .orderBy("n_nationkey")
+        .select(to_json(struct(col("n_nationkey"), col("n_name"),
+          col("n_regionkey"))))
+        .as[String].collect()
+      val pageRows = rowJson.grouped(6).toVector
+      // endpoint fixture: page k names page k+1 via token "pg<k+1>"
+      val byToken: Map[Option[String], String] = pageRows.zipWithIndex.map {
+        case (rows, i) =>
+          val tok = if (i == 0) None else Some(s"pg$i")
+          val next =
+            if (i == pageRows.length - 1) ""
+            else s""","next":"pg${i + 1}""""
+          tok -> s"""{"data":${rows.mkString("[", ",", "]")}$next}"""
+      }.toMap
+      val incoming = RestSource.fromCursoredPages(s, byToken(_),
+        SchemaDsl.fromSpec("n_nationkey:i;n_name:c;n_regionkey:i"))
+      incoming.write.mode(SaveMode.Overwrite).parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_nationkey")).cast("long").as("key_sum"),
+          min(col("n_name")).as("min_name"))
+        .orderBy(col("n_regionkey"))
+    },
+
     // Drive-hosted-sheet ingest with revision pinning (ref:
     // gdriveutil.py:53-97 — fetch by name, resolve the revision at a
     // given time, stream, stage). The injected store holds three
@@ -442,6 +477,12 @@ object IoQueries {
 
     "io_drive_revision" ->
       """SELECT n_regionkey, COUNT(*) AS n, MAX(n_name) AS max_name,
+        |  MIN(n_name) AS min_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "io_rest_cursor" ->
+      """SELECT n_regionkey, COUNT(*) AS n,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
         |  MIN(n_name) AS min_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 

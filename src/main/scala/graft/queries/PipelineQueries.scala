@@ -155,6 +155,82 @@ object PipelineQueries {
       }
       Pipelines.catalogCopyRegister(s, "graft_src", "graft_tmp", root)
         .orderBy("table_name")
+    },
+
+    // hive_to_hive_cte port, composed end to end: construct the bundle
+    // metadata JSON arithmetically from orders (deterministic, so the
+    // oracle rebuilds the identical blobs), run the 8-CTE chain
+    // (Pipelines.flexibleBundleMigrate), then the notebook's INSERT
+    // OVERWRITE PARTITION — a junk batch is pre-loaded into the env=live
+    // partition and must be fully replaced by the pipeline output.
+    "pl_hive_cte" -> { (s, dir) =>
+      import graft.sources.FileIO
+      val target = scratchDir("pl", dir, "hive_cte")
+      rmrf(target)
+      val o = Tables.orders(s, dir)
+      // per-item JSON fragment j: itemId/inv always, discount omitted
+      // when its basis-point value is 0 (exercises coalesce(discount,0))
+      def item(j: Int) = {
+        val bp = lit(5) * ((col("o_orderkey") + j) % 7)
+        concat(lit("{\"itemId\":"), (col("o_orderkey") * 3 + j) % 300,
+          when(bp === 0, lit("")).otherwise(
+            concat(lit(",\"discount\":0."), lpad(bp.cast("string"), 2, "0"))),
+          lit(",\"inv\":"), (col("o_orderkey") + j) % 3, lit("}"))
+      }
+      val buyItems = o.filter(col("o_orderkey") % 5 === 0)
+        .select(concat(lit("BNDL_"), col("o_orderkey")).as("bundle_id"),
+          concat(lit("{\"flexibleBundle\":\""),
+            when(col("o_orderkey") % 2 === 0, "true").otherwise("false"),
+            lit("\",\"bundledItems\":["),
+            item(1), lit(","), item(2), lit(","), item(3),
+            lit("]}")).as("metadata"))
+      val p = Tables.part(s, dir)
+      val catalog = p.filter(col("p_partkey") < 300 && col("p_partkey") % 7 =!= 0)
+        .select((col("p_partkey") % 3).cast("int").as("inv"),
+          col("p_partkey").as("item_num"),
+          concat(lit("P_"), col("p_partkey")).as("item_id"))
+      val su = Tables.supplier(s, dir)
+      val catalogNA = su.filter(col("s_suppkey") < 150)
+        .select((col("s_suppkey") % 3).cast("int").as("inv"),
+          col("s_suppkey").as("item_num"),
+          concat(lit("S_"), col("s_suppkey")).as("item_id_na"))
+      val oldBundles = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 20 === 1)
+        .select(concat(lit("OLD_"), col("l_orderkey")).as("bundle_id"),
+          concat(lit("L_"), col("l_partkey")).as("item_id"),
+          (lit(25) * (col("l_linenumber") % 4)).cast("int").as("disc_rp"))
+      val bundleRel = o.filter(col("o_orderkey") % 4 === 0)
+        .select(concat(lit("BNDL_"), col("o_orderkey")).as("key"),
+          col("o_orderdate").cast("date").as("rd"))
+      val bundleRelNA = o.filter(col("o_orderkey") % 2 === 0)
+        .select(concat(lit("BNDL_"), col("o_orderkey")).as("key"),
+          date_add(col("o_orderdate").cast("date"), 7).as("rd"))
+      val itemRel = p.filter(col("p_partkey") % 2 === 0)
+        .select(concat(lit("P_"), col("p_partkey")).as("key"),
+          date_add(lit("1995-01-01").cast("date"),
+            (col("p_partkey") % 1000).cast("int")).as("rd"))
+      val itemRelNA = su
+        .select(concat(lit("S_"), col("s_suppkey")).as("key"),
+          date_add(lit("1996-01-01").cast("date"),
+            (col("s_suppkey") % 500).cast("int")).as("rd"))
+      val result = Pipelines.flexibleBundleMigrate(buyItems,
+          catalog, catalogNA, oldBundles,
+          bundleRel, bundleRelNA, itemRel, itemRelNA)
+        .withColumn("env", lit("live"))
+      // the notebook's target table with a stale env=live load in place
+      val junk = Tables.nation(s, dir).select(
+        concat(lit("JUNK_"), col("n_nationkey")).as("bundle_id"),
+        lit("X").as("item_id"),
+        lit(null).cast("date").as("bundle_release_date"),
+        lit(null).cast("date").as("item_release_date"),
+        lit(-1.0).as("discount"),
+        lit("live").as("env"))
+      FileIO.writePartitioned(junk, target, Seq("env"))
+      FileIO.overwritePartitions(result, target, Seq("env"))
+      s.read.parquet(target)
+        .select("bundle_id", "item_id", "bundle_release_date",
+          "item_release_date", "discount", "env")
+        .orderBy("bundle_id", "item_id", "item_release_date", "discount")
     }
   )
 
@@ -275,6 +351,87 @@ object PipelineQueries {
         |                                strftime(l_shipdate, '%Y-%m-%d') DESC,
         |                                l_quantity DESC) AS rn
         |  FROM lineitem)
-        |SELECT id, ln, qty, sd FROM ranked WHERE rn = 1 ORDER BY id""".stripMargin
+        |SELECT id, ln, qty, sd FROM ranked WHERE rn = 1 ORDER BY id""".stripMargin,
+
+    // rebuilds the identical metadata JSON, replays the 8-CTE chain, and
+    // (junk batch overwritten) selects exactly the pipeline output
+    "pl_hive_cte" ->
+      """WITH buy AS (
+        |  SELECT 'BNDL_' || o_orderkey AS bundle_id,
+        |    '{"flexibleBundle":"' ||
+        |      CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'false' END ||
+        |    '","bundledItems":[' ||
+        |    '{"itemId":' || ((o_orderkey*3+1) % 300) ||
+        |      CASE WHEN 5*((o_orderkey+1) % 7) = 0 THEN '' ELSE
+        |        ',"discount":0.' || lpad(CAST(5*((o_orderkey+1) % 7) AS VARCHAR), 2, '0') END ||
+        |      ',"inv":' || ((o_orderkey+1) % 3) || '},' ||
+        |    '{"itemId":' || ((o_orderkey*3+2) % 300) ||
+        |      CASE WHEN 5*((o_orderkey+2) % 7) = 0 THEN '' ELSE
+        |        ',"discount":0.' || lpad(CAST(5*((o_orderkey+2) % 7) AS VARCHAR), 2, '0') END ||
+        |      ',"inv":' || ((o_orderkey+2) % 3) || '},' ||
+        |    '{"itemId":' || ((o_orderkey*3+3) % 300) ||
+        |      CASE WHEN 5*((o_orderkey+3) % 7) = 0 THEN '' ELSE
+        |        ',"discount":0.' || lpad(CAST(5*((o_orderkey+3) % 7) AS VARCHAR), 2, '0') END ||
+        |      ',"inv":' || ((o_orderkey+3) % 3) || '}' ||
+        |    ']}' AS metadata
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |sib_partial AS (
+        |  SELECT bundle_id,
+        |    substring(json_extract_string(metadata, '$.bundledItems'), 3,
+        |      length(json_extract_string(metadata, '$.bundledItems')) - 4) AS core
+        |  FROM buy
+        |  WHERE json_extract_string(metadata, '$.flexibleBundle') = 'true'),
+        |sib AS (
+        |  SELECT bundle_id,
+        |    CAST(json_extract_string('{' || blob || '}', '$.itemId') AS BIGINT) AS item_num,
+        |    CAST(json_extract_string('{' || blob || '}', '$.discount') AS DOUBLE) AS discount,
+        |    CAST(json_extract_string('{' || blob || '}', '$.inv') AS INT) AS inv
+        |  FROM (SELECT bundle_id, unnest(string_split(core, '},{')) AS blob
+        |        FROM sib_partial)),
+        |cat AS (
+        |  SELECT CAST(p_partkey % 3 AS INT) AS inv, p_partkey AS item_num,
+        |    'P_' || p_partkey AS item_id
+        |  FROM part WHERE p_partkey < 300 AND p_partkey % 7 <> 0),
+        |catna AS (
+        |  SELECT CAST(s_suppkey % 3 AS INT) AS inv, s_suppkey AS item_num,
+        |    'S_' || s_suppkey AS item_id_na
+        |  FROM supplier WHERE s_suppkey < 150),
+        |sb AS (
+        |  SELECT sib.bundle_id,
+        |    coalesce(cat.item_id, catna.item_id_na, sib.bundle_id) AS item_id,
+        |    sib.discount
+        |  FROM sib
+        |  LEFT JOIN cat ON cat.inv = sib.inv AND cat.item_num = sib.item_num
+        |  LEFT JOIN catna ON catna.inv = sib.inv AND catna.item_num = sib.item_num
+        |  UNION ALL
+        |  SELECT 'OLD_' || l_orderkey, 'L_' || l_partkey,
+        |    CASE WHEN 25*(l_linenumber % 4) = 0 THEN 1.0
+        |         ELSE round(1 - CAST(25*(l_linenumber % 4) AS DOUBLE)/100.0, 2) END
+        |  FROM lineitem WHERE l_orderkey % 20 = 1),
+        |sirb AS (
+        |  SELECT 'BNDL_' || o_orderkey AS key, CAST(o_orderdate AS DATE) AS rd
+        |  FROM orders WHERE o_orderkey % 4 = 0),
+        |sirbna AS (
+        |  SELECT 'BNDL_' || o_orderkey AS key, CAST(o_orderdate AS DATE) + 7 AS rd
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |siri AS (
+        |  SELECT 'P_' || p_partkey AS key,
+        |    DATE '1995-01-01' + CAST(p_partkey % 1000 AS INT) AS rd
+        |  FROM part WHERE p_partkey % 2 = 0),
+        |sirina AS (
+        |  SELECT 'S_' || s_suppkey AS key,
+        |    DATE '1996-01-01' + CAST(s_suppkey % 500 AS INT) AS rd
+        |  FROM supplier)
+        |SELECT sb.bundle_id, sb.item_id,
+        |  coalesce(b.rd, bna.rd) AS bundle_release_date,
+        |  coalesce(i.rd, ina.rd) AS item_release_date,
+        |  coalesce(sb.discount, 0.0) AS discount,
+        |  'live' AS env
+        |FROM sb
+        |LEFT JOIN sirb b ON b.key = sb.bundle_id
+        |LEFT JOIN sirbna bna ON bna.key = sb.bundle_id
+        |LEFT JOIN siri i ON i.key = sb.item_id
+        |LEFT JOIN sirina ina ON ina.key = sb.item_id
+        |ORDER BY sb.bundle_id, sb.item_id, item_release_date, discount""".stripMargin
   )
 }

@@ -23,4 +23,54 @@ object RestSource {
     val ds: Dataset[String] = spark.createDataset(pages.toSeq)
     spark.read.schema(schema).json(ds)
   }
+
+  /** Cursor-follow pagination (the GraphQL/REST `pageInfo` shape —
+    * ref: dags/airflow/graphql_to_postgres.py:53-70's client generalized
+    * to a paged endpoint): each response envelope carries the page's row
+    * array under `rowsField` plus the next-page token under
+    * `cursorField`; the token is absent/null on the final page.
+    * `fetch(None)` returns the first page, `fetch(Some(token))` the page
+    * at that cursor.
+    *
+    * The follow loop is inherently driver-side and sequential — each
+    * request needs the previous response's token — which is exactly why
+    * the reference lands API payloads to a columnar staging table before
+    * any analytics. Row parsing still runs distributed: the driver only
+    * accumulates raw page strings; the schema-checked JSON decode of the
+    * row arrays happens on executors. `maxPages` bounds a server that
+    * keeps handing out tokens (a loop guard, not a truncation: hitting
+    * it throws rather than returning a silently partial frame). */
+  def fromCursoredPages(spark: SparkSession, fetch: Option[String] => String,
+                        schema: StructType, rowsField: String = "data",
+                        cursorField: String = "next",
+                        maxPages: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode}
+    import org.apache.spark.sql.types.ArrayType
+    // jackson ships with Spark; the driver parses only the tiny envelope
+    // head for the token, never the row payloads
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def nextToken(body: String): Option[String] = {
+      val node = mapper.readTree(body).get(cursorField)
+      if (node == null || node.isNull) None else Some(node.asText())
+    }
+    val bodies = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cursor: Option[String] = None
+    var more = true
+    while (more) {
+      if (bodies.length >= maxPages)
+        throw new IllegalStateException(
+          s"cursor pagination exceeded maxPages=$maxPages (endpoint loop?)")
+      val body = fetch(cursor)
+      bodies += body
+      cursor = nextToken(body)
+      more = cursor.isDefined
+    }
+    import spark.implicits._
+    val ds: Dataset[String] = spark.createDataset(bodies.toSeq)
+    spark.read
+      .schema(new StructType().add(rowsField, ArrayType(schema)))
+      .json(ds)
+      .select(explode(col(rowsField)).as("__row"))
+      .select("__row.*")
+  }
 }
