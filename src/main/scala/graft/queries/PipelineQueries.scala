@@ -157,6 +157,45 @@ object PipelineQueries {
         .orderBy("table_name")
     },
 
+    // graphql_to_postgres DAG, composed end to end: a cursored GraphQL-
+    // style endpoint (fixture envelopes {data:[{team_id,headcount}],
+    // next}) is followed to termination, landed into a JDBC warehouse
+    // table (Derby stands in for postgres), and consumed back over a
+    // partitioned JDBC scan — the reference's API → relational-landing →
+    // analytics path as one call chain.
+    "pl_graphql_ingest" -> { (s, dir) =>
+      import graft.sources.{JdbcIO, RestSource}
+      import s.implicits._
+      // endpoint fixture: per-customer "team headcount" rows derived
+      // arithmetically from the customer dim, 40 rows per page
+      val rows = Tables.customer(s, dir).orderBy("c_custkey")
+        .select(to_json(struct(
+          col("c_custkey").as("team_id"),
+          (col("c_custkey") % 97 + 1).cast("int").as("headcount"),
+          col("c_mktsegment").as("segment"))))
+        .as[String].collect()
+      val pageRows = rows.grouped(40).toVector
+      val byToken: Map[Option[String], String] = pageRows.zipWithIndex.map {
+        case (rs, i) =>
+          val tok = if (i == 0) None else Some(s"cur$i")
+          val next =
+            if (i == pageRows.length - 1) ""
+            else s""","next":"cur${i + 1}""""
+          tok -> s"""{"data":${rs.mkString("[", ",", "]")}$next}"""
+      }.toMap
+      val incoming = RestSource.fromCursoredPages(s, byToken(_),
+        graft.core.SchemaDsl.fromSpec("team_id:l;headcount:i;segment:c"))
+      val url = s"jdbc:derby:memory:graft_gql_${new java.io.File(dir).getName
+        .replace('.', '_')};create=true"
+      JdbcIO.write(incoming, url, "teams_headcount")
+      JdbcIO.read(s, url, "teams_headcount",
+          partitionColumn = Some(("team_id", 0L, 200000L, 4)))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_teams"),
+          sum(col("headcount")).cast("long").as("headcount_sum"))
+        .orderBy(col("segment"))
+    },
+
     // hive_to_hive_cte port, composed end to end: construct the bundle
     // metadata JSON arithmetically from orders (deterministic, so the
     // oracle rebuilds the identical blobs), run the 8-CTE chain
@@ -352,6 +391,11 @@ object PipelineQueries {
         |                                l_quantity DESC) AS rn
         |  FROM lineitem)
         |SELECT id, ln, qty, sd FROM ranked WHERE rn = 1 ORDER BY id""".stripMargin,
+
+    "pl_graphql_ingest" ->
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n_teams,
+        |  CAST(SUM(c_custkey % 97 + 1) AS BIGINT) AS headcount_sum
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // rebuilds the identical metadata JSON, replays the 8-CTE chain, and
     // (junk batch overwritten) selects exactly the pipeline output
