@@ -111,6 +111,37 @@ class CapabilitiesSpec extends SparkSpec {
     assert(model.transform(df).count() == df.count())
   }
 
+  test("runtime bloom filter prunes the fact side of a shuffle join") {
+    // the row-level runtime-filtering half of the pruning story (io_dpp
+    // proves PARTITION-level dynamic pruning): a selective filter on the
+    // dim side of a shuffle join should inject a bloom filter into the
+    // fact scan, so at 100 TB the fact side drops non-joining rows
+    // before the exchange instead of shuffling them
+    import org.apache.spark.sql.functions._
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = graft.core.Tables.lineitem(spark, sf001)
+        .select("l_orderkey", "l_extendedprice")
+      val dim = graft.core.Tables.orders(spark, sf001)
+        .filter(col("o_orderstatus") === "P") // selective creation side
+        .select("o_orderkey", "o_totalprice")
+      val q = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("s"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no bloom filter injected, plan:\n${optimized.take(4000)}")
+      assert(q.collect().head.getLong(0) > 0L)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in plan)") {
     // the runtime half of the skew story: j13 proves MANUAL salting,
     // this proves the AQE skew-join re-plan the brief's scale design
