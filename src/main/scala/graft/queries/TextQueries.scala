@@ -107,6 +107,33 @@ object TextQueries {
         .orderBy(col("doc_id"), col("rnk"))
     },
 
+    // Cross-document duplicated-passage fraction: for each doc, the share
+    // of its distinct word 4-grams that also appear in ANOTHER document —
+    // the corpus-level quality signal behind passage-dedup filters
+    // (within-doc repetition is t_repetition; this is the cross-doc
+    // complement, the "duplicate n-gram fraction" family of web-corpus
+    // filters). Plan: shingle explode → df count → join back on the same
+    // shingle key (co-partitioned) → per-doc ratio → per-source rollup;
+    // nothing is pairwise, so it scales as two keyed shuffles at any
+    // corpus size.
+    "t_boilerplate" -> { (s, dir) =>
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), explode(
+          graft.operators.TextDedup.wordShingles(col("text"), 4)).as("sh"))
+      // wordShingles is distinct-per-doc, so count(*) IS doc frequency
+      val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      sh.join(df, "sh")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_sh")).cast("long").as("shingles_sum"),
+          sum(col("n_shared")).cast("long").as("shared_sum"),
+          davg(col("n_shared").cast("double") / col("n_sh")).as("shared_frac"))
+        .orderBy(col("source"))
+    },
+
     // Per-domain quota cap: keep the K best docs per source so one crawl
     // domain cannot dominate the training mixture — a partitioned window
     // (one shuffle on source, no global sort; a pathologically heavy
@@ -373,6 +400,25 @@ object TextQueries {
         |  FROM counts)
         |SELECT lang, bigram, n, rnk FROM ranked WHERE rnk <= 5
         |ORDER BY lang, rnk""".stripMargin,
+
+    // same distinct 4-gram construction as the Spark side (wordShingles
+    // parity with string_split is already proven by t_top_ngrams)
+    "t_boilerplate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_distinct(list_transform(generate_series(1, len(ws) - 3),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS sh
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents)),
+         |df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1),
+         |per_doc AS (
+         |  SELECT s.doc_id, s.source, COUNT(*) AS n_sh,
+         |    SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS n_shared
+         |  FROM sh s JOIN df USING (sh) GROUP BY 1, 2)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_sh) AS BIGINT) AS shingles_sum,
+         |  CAST(SUM(n_shared) AS BIGINT) AS shared_sum,
+         |  ${sqlDavg("CAST(n_shared AS DOUBLE) / n_sh")} AS shared_frac
+         |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
 
     "t_doc_terms" ->
       """WITH toks AS (
