@@ -134,15 +134,16 @@ object TextDedup {
                   maxDocFreq: Int = 10000): DataFrame = {
     val all = docs.select(col(idCol),
         explode(winnowFingerprints(col(textCol), k, w)).as("__fp"))
-    // document frequency per fingerprint, computed on the same __fp
-    // shuffle key the self-join uses; the filter bounds every join
-    // bucket to maxDocFreq rows, so the worst case is maxDocFreq² per
-    // stop value instead of corpus²
-    val fp = all
-      .withColumn("__df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
+    // document frequencies via groupBy (NOT a window over __fp: map-side
+    // partial counts mean one row per fingerprint per mapper crosses the
+    // wire, where a window would buffer EVERY row of a hot fingerprint
+    // in a single task — the exact blow-up this cap exists to stop);
+    // the semi join back keeps only sub-cap fingerprints, bounding the
+    // worst self-join bucket at maxDocFreq² per stop value, not corpus²
+    val keep = all.groupBy(col("__fp")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocFreq)
-      .drop("__df")
+      .select("__fp")
+    val fp = all.join(keep, Seq("__fp"), "left_semi")
     val x = fp.alias("__wn_x"); val y = fp.alias("__wn_y")
     x.join(y, col("__wn_x.__fp") === col("__wn_y.__fp") &&
         col(s"__wn_x.$idCol") < col(s"__wn_y.$idCol"))

@@ -117,7 +117,7 @@ object IoQueries {
       // under test — materialize them once per sf dir (deterministic
       // content) instead of rewriting 2× orders per warm run
       def ensureSrc(path: String, df: org.apache.spark.sql.DataFrame): Unit =
-        ensureOnce(path) { FileIO.writeCsv(df, path) }
+        ensureOnce(path, s"$dir/orders.parquet") { FileIO.writeCsv(df, path) }
       ensureSrc(src1, o.filter(col("o_orderkey") % 2 === 0))
       ensureSrc(src2, o.filter(col("o_orderkey") % 2 =!= 0))
       val schema = SchemaDsl.fromSpec(ordersSpec)
@@ -291,16 +291,8 @@ object IoQueries {
         .select(to_json(struct(col("n_nationkey"), col("n_name"),
           col("n_regionkey"))))
         .as[String].collect()
-      val pageRows = rowJson.grouped(6).toVector
       // endpoint fixture: page k names page k+1 via token "pg<k+1>"
-      val byToken: Map[Option[String], String] = pageRows.zipWithIndex.map {
-        case (rows, i) =>
-          val tok = if (i == 0) None else Some(s"pg$i")
-          val next =
-            if (i == pageRows.length - 1) ""
-            else s""","next":"pg${i + 1}""""
-          tok -> s"""{"data":${rows.mkString("[", ",", "]")}$next}"""
-      }.toMap
+      val byToken = cursorPageFixture(rowJson.toSeq, pageSize = 6, tokenPrefix = "pg")
       val incoming = RestSource.fromCursoredPages(s, byToken(_),
         SchemaDsl.fromSpec("n_nationkey:i;n_name:c;n_regionkey:i"))
       incoming.write.mode(SaveMode.Overwrite).parquet(path)

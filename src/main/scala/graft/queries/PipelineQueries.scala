@@ -174,15 +174,7 @@ object PipelineQueries {
           (col("c_custkey") % 97 + 1).cast("int").as("headcount"),
           col("c_mktsegment").as("segment"))))
         .as[String].collect()
-      val pageRows = rows.grouped(40).toVector
-      val byToken: Map[Option[String], String] = pageRows.zipWithIndex.map {
-        case (rs, i) =>
-          val tok = if (i == 0) None else Some(s"cur$i")
-          val next =
-            if (i == pageRows.length - 1) ""
-            else s""","next":"cur${i + 1}""""
-          tok -> s"""{"data":${rs.mkString("[", ",", "]")}$next}"""
-      }.toMap
+      val byToken = cursorPageFixture(rows.toSeq, pageSize = 40, tokenPrefix = "cur")
       val incoming = RestSource.fromCursoredPages(s, byToken(_),
         graft.core.SchemaDsl.fromSpec("team_id:l;headcount:i;segment:c"))
       val url = s"jdbc:derby:memory:graft_gql_${new java.io.File(dir).getName

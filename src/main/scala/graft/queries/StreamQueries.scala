@@ -48,7 +48,7 @@ object StreamQueries {
       val in = scratch(dir, "etl_in"); val out = scratch(dir, "etl_out")
       val ckpt = scratch(dir, "etl_ckpt")
       Seq(out, ckpt).foreach(rmrf)
-      ensureOnce(in) {
+      ensureOnce(in, s"$dir/events.parquet") {
         Tables.events(s, dir)
           .select(col("event_id"), col("ts").cast("string").as("ts"),
             col("user_id"), col("event_type"), col("value"))
@@ -141,7 +141,7 @@ object StreamQueries {
       val in = scratch(dir, "dd_in"); val out = scratch(dir, "dd_out")
       val ckpt = scratch(dir, "dd_ckpt")
       Seq(out, ckpt).foreach(rmrf)
-      ensureOnce(in) {
+      ensureOnce(in, s"$dir/events.parquet") {
         val ev = Tables.events(s, dir)
           .select(col("event_id"), col("event_type"), col("value"))
         ev.unionAll(ev).repartition(6).write.json(in)
@@ -174,7 +174,7 @@ object StreamQueries {
       val in = scratch(dir, "enr_in"); val out = scratch(dir, "enr_out")
       val ckpt = scratch(dir, "enr_ckpt")
       Seq(out, ckpt).foreach(rmrf)
-      ensureOnce(in) {
+      ensureOnce(in, s"$dir/events.parquet") {
         Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
           .repartition(4).write.json(in)
@@ -214,10 +214,10 @@ object StreamQueries {
       def ev = Tables.events(s, dir)
         .select(col("event_id"), col("ts").cast("string").as("ts"),
           col("user_id"), col("event_type"), col("value"))
-      ensureOnce(inV) {
+      ensureOnce(inV, s"$dir/events.parquet") {
         ev.filter(col("event_type") === "view").repartition(2).write.json(inV)
       }
-      ensureOnce(inC) {
+      ensureOnce(inC, s"$dir/events.parquet") {
         ev.filter(col("event_type") === "click").repartition(2).write.json(inC)
       }
       val schema = graft.core.SchemaDsl.fromSpec(

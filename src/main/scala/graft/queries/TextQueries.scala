@@ -120,7 +120,12 @@ object TextQueries {
       val sh = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), explode(
           graft.operators.TextDedup.wordShingles(col("text"), 4)).as("sh"))
-      // wordShingles is distinct-per-doc, so count(*) IS doc frequency
+      // wordShingles is distinct-per-doc, so count(*) IS doc frequency.
+      // Deliberately groupBy + join-back (two scans of the table) rather
+      // than a window over sh: at web scale boilerplate shingles are
+      // exactly the hot keys a window would buffer in one task, while
+      // re-scanning parquet streams; the df aggregate gets map-side
+      // partials and the join is AQE-skew-splittable.
       val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       sh.join(df, "sh")
         .groupBy(col("doc_id"), col("source"))

@@ -35,13 +35,43 @@ package object queries {
     s"${System.getProperty("java.io.tmpdir")}/graft_${family}_${new java.io.File(sfDir).getName}/$leaf"
 
   /** Materialize a deterministic landing directory at most once per
-    * process lifetime AND per scratch dir: landing files that are a pure
-    * function of the testdata are a query's INPUT, not the operation
-    * under test, so warm bench runs must not pay the rewrite. `_SUCCESS`
-    * (written by the hadoop committer) marks a complete prior write; a
-    * partial dir from an interrupted run is rebuilt. */
-  def ensureOnce(path: String)(write: => Unit): Unit =
-    if (!new java.io.File(path, "_SUCCESS").exists()) { rmrf(path); write }
+    * scratch dir: landing files that are a pure function of the testdata
+    * are a query's INPUT, not the operation under test, so warm bench
+    * runs must not pay the rewrite. `_SUCCESS` (written by the hadoop
+    * committer) marks a complete prior write; a partial dir from an
+    * interrupted run is rebuilt. `srcPath` (the testdata table the
+    * landing derives from) guards against staleness across testdata
+    * regeneration: a source newer than the landing's `_SUCCESS` forces a
+    * rebuild — without it, regenerated testdata would leave the query
+    * reading old landed data while the oracle reads the new tables. */
+  def ensureOnce(path: String, srcPath: String = "")(write: => Unit): Unit = {
+    val marker = new java.io.File(path, "_SUCCESS")
+    def newestUnder(f: java.io.File): Long =
+      if (f.isDirectory)
+        (f.lastModified() +: Option(f.listFiles()).toSeq.flatten.map(newestUnder))
+          .max
+      else f.lastModified()
+    val srcTs =
+      if (srcPath.isEmpty) 0L else newestUnder(new java.io.File(srcPath))
+    if (!marker.exists() || marker.lastModified() < srcTs) { rmrf(path); write }
+  }
+
+  /** Token-chained page fixture for [[graft.sources.RestSource
+    * .fromCursoredPages]]: `rows` (one JSON object each) split into pages
+    * of `pageSize`, page k reachable at token "<tokenPrefix>k", the last
+    * page omitting `next`. Keyed by Option so `fixture(_)` IS the fetch
+    * function. */
+  def cursorPageFixture(rows: Seq[String], pageSize: Int,
+                        tokenPrefix: String): Map[Option[String], String] = {
+    val pages = rows.grouped(pageSize).toVector
+    pages.zipWithIndex.map { case (rs, i) =>
+      val tok = if (i == 0) None else Some(s"$tokenPrefix$i")
+      val next =
+        if (i == pages.length - 1) ""
+        else s""","next":"$tokenPrefix${i + 1}""""
+      tok -> s"""{"data":${rs.mkString("[", ",", "]")}$next}"""
+    }.toMap
+  }
 
   /** Local-FS recursive delete for scratch dirs (delete failures surface
     * on the subsequent write, which every caller performs). */

@@ -281,14 +281,23 @@ object FileIO {
       .withColumn("__src_file", input_file_name())
     val lPath = new org.apache.hadoop.fs.Path(ledgerPath)
     val lfs = lPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ledgerBytes =
-      if (lfs.exists(lPath)) lfs.getContentSummary(lPath).getLength else -1L
-    val ledger: DataFrame =
-      if (ledgerBytes < 0)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(org.apache.spark.sql.types.StructField("__src_file",
-            org.apache.spark.sql.types.StringType))))
-      else spark.read.parquet(ledgerPath)
+    // a missing ledger AND a present-but-unreadable one (a crash during
+    // the very first append leaves only _temporary debris, no committed
+    // footer) both mean "no ledger committed yet" — fall back to the
+    // empty ledger rather than wedging every subsequent run. As in any
+    // non-transactional two-append design, a crash exactly between the
+    // data append and the ledger append re-loads that batch on retry;
+    // exactly-once across that window is table-format territory.
+    val loaded: Option[(DataFrame, Long)] =
+      if (!lfs.exists(lPath)) None
+      else try {
+        val df = spark.read.parquet(ledgerPath)
+        Some((df, lfs.getContentSummary(lPath).getLength))
+      } catch { case _: Exception => None }
+    val (ledger, ledgerBytes) = loaded.getOrElse((
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(org.apache.spark.sql.types.StructField("__src_file",
+          org.apache.spark.sql.types.StringType)))), 0L))
     val antiSide =
       if (ledgerBytes <= broadcastCapBytes) broadcast(ledger) else ledger
     val fresh = src.join(antiSide, Seq("__src_file"), "left_anti").cache()

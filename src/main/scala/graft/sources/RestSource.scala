@@ -46,12 +46,21 @@ object RestSource {
                         maxPages: Int = 100000): DataFrame = {
     import org.apache.spark.sql.functions.{col, explode}
     import org.apache.spark.sql.types.ArrayType
-    // jackson ships with Spark; the driver parses only the tiny envelope
-    // head for the token, never the row payloads
+    // jackson ships with Spark. The driver necessarily holds each page it
+    // fetched; readTree re-walks it once for the token and the row-array
+    // VALIDATION below — O(page) driver work per page, while the typed
+    // row decode still runs on executors.
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    def nextToken(body: String): Option[String] = {
-      val node = mapper.readTree(body).get(cursorField)
-      if (node == null || node.isNull) None else Some(node.asText())
+    // (token, hasRows): a 200-OK envelope WITHOUT the row array — the
+    // standard GraphQL error shape is {"errors":[...]} with no "data" —
+    // must fail loudly here; letting it through would return a silently
+    // partial frame, the exact failure mode this source guards against
+    def envelope(body: String): (Option[String], Boolean) = {
+      val root = mapper.readTree(body)
+      val cur = root.get(cursorField)
+      val rows = root.get(rowsField)
+      (if (cur == null || cur.isNull) None else Some(cur.asText()),
+        rows != null && rows.isArray)
     }
     val bodies = scala.collection.mutable.ArrayBuffer.empty[String]
     var cursor: Option[String] = None
@@ -61,8 +70,13 @@ object RestSource {
         throw new IllegalStateException(
           s"cursor pagination exceeded maxPages=$maxPages (endpoint loop?)")
       val body = fetch(cursor)
+      val (next, hasRows) = envelope(body)
+      if (!hasRows)
+        throw new IllegalStateException(
+          s"cursored page ${bodies.length} carries no '$rowsField' array " +
+            s"(error envelope?): ${body.take(200)}")
       bodies += body
-      cursor = nextToken(body)
+      cursor = next
       more = cursor.isDefined
     }
     import spark.implicits._

@@ -270,18 +270,20 @@ class DedupPropertySpec extends SparkSpec {
     }
 
     // duplicate ORDER keys (ties): per-row assignment is engine-choice,
-    // but ntile's defining invariant — tile sizes differ by at most one
-    // and are non-increasing — and the per-key histogram of (v → tiles)
-    // must match the single-task window
+    // but rows of equal v occupy a contiguous index range under any
+    // stable order, so the per-KEY histogram of (v, tile) counts is
+    // fully determined — compare it, not just tile sizes (tile sizes
+    // alone are a function of n and k and would pass a ntile that
+    // routes the wrong keys into each tile)
     val dup = Seq.tabulate(997)(i => (i.toLong, i % 7)).toDF("id", "v")
     for (k <- Seq(2, 5, 32)) {
-      val got = Windows.scalableNtile(dup, Seq(col("v")), k, "tile")
-        .groupBy("tile").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val want = dup.withColumn("tile", ntile(k).over(Window.orderBy(col("v"))))
-        .groupBy("tile").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      assert(got == want, s"tie-case ntile($k) histogram mismatch")
+      def hist(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("v", "tile").count().collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val got = hist(Windows.scalableNtile(dup, Seq(col("v")), k, "tile"))
+      val want = hist(dup.withColumn("tile",
+        ntile(k).over(Window.orderBy(col("v")))))
+      assert(got == want, s"tie-case ntile($k) (v, tile) histogram mismatch")
     }
   }
 }
