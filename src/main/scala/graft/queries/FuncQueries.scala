@@ -87,6 +87,27 @@ object FuncQueries {
         .orderBy("k_val")
     },
 
+    // Array higher-order functions — sequence → transform → filter →
+    // aggregate, the codegen'd lambda surface that replaces per-row UDF
+    // loops over array columns. Arrays are constructed arithmetically so
+    // the oracle rebuilds them with DuckDB's list_* twins.
+    "f_array_hof" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("arr",
+          sequence(lit(1), (col("o_orderkey") % 5 + 3).cast("int")))
+        .withColumn("evens",
+          filter(transform(col("arr"), x => x * (col("o_orderkey") % 7 + 1)),
+            x => x % 2 === 0))
+        .select((col("o_orderkey") % 5).as("len_class"),
+          size(col("evens")).as("n_even"),
+          aggregate(col("evens"), lit(0L), (a, x) => a + x).as("even_sum"))
+        .groupBy(col("len_class"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_even")).cast("long").as("even_count_sum"),
+          sum(col("even_sum")).cast("long").as("even_sum_sum"))
+        .orderBy(col("len_class"))
+    },
+
     // Generator family: explode(split(...)) = LATERAL VIEW word expansion
     // (ref: hive_to_hive_cte.py:59; gcp_test.py:82-97 wordcount).
     "f_explode_wordcount" -> { (s, dir) =>
@@ -188,6 +209,19 @@ object FuncQueries {
     "f_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_val, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY k_val""".stripMargin,
+
+    "f_array_hof" ->
+      """WITH t AS (
+        |  SELECT o_orderkey % 5 AS len_class,
+        |    list_filter(
+        |      list_transform(generate_series(1, CAST(o_orderkey % 5 + 3 AS INT)),
+        |        x -> x * (o_orderkey % 7 + 1)),
+        |      x -> x % 2 = 0) AS evens
+        |  FROM orders)
+        |SELECT len_class, COUNT(*) AS n,
+        |  CAST(SUM(len(evens)) AS BIGINT) AS even_count_sum,
+        |  CAST(SUM(list_aggregate(evens, 'sum')) AS BIGINT) AS even_sum_sum
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "f_explode_wordcount" ->
       """SELECT word, COUNT(*) AS cnt

@@ -37,6 +37,23 @@ object OlapQueries {
           "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
         .agg(dsum(col("o_totalprice")))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // GROUPING SETS with an explicit set list (rollup/cube cover only the
+    // prefix/powerset shapes; arbitrary sets are the general form) —
+    // detail, per-status subtotal, and grand total in ONE pass over the
+    // fact, disambiguated by grouping() flags.
+    "a18_grouping_sets" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("gs_orders")
+      s.sql(
+        s"""SELECT o_orderstatus, o_orderpriority,
+           |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+           |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+           |FROM gs_orders
+           |GROUP BY GROUPING SETS (
+           |  (o_orderstatus, o_orderpriority), (o_orderstatus), ())
+           |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin)
     }
   )
 
@@ -63,6 +80,16 @@ object OlapQueries {
          |  ${sqlDsum("CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END")} AS "3-MEDIUM",
          |  ${sqlDsum("CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END")} AS "4-NOT SPECIFIED",
          |  ${sqlDsum("CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END")} AS "5-LOW"
-         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "a18_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+         |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+         |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY GROUPING SETS (
+         |  (o_orderstatus, o_orderpriority), (o_orderstatus), ())
+         |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin
   )
 }

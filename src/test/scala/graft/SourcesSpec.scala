@@ -203,6 +203,47 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == 3L)
   }
 
+  test("fromCursoredPages fails loudly on loops and error envelopes") {
+    import graft.sources.RestSource
+    val schema = SchemaDsl.fromSpec("id:l")
+    // a server that keeps handing out tokens must hit the maxPages guard,
+    // not return a partial frame
+    val loop = intercept[IllegalStateException] {
+      RestSource.fromCursoredPages(spark,
+        _ => """{"data":[{"id":1}],"next":"again"}""", schema, maxPages = 5)
+    }
+    assert(loop.getMessage.contains("maxPages"))
+    // a 200-OK GraphQL-style error envelope (no data array) must throw,
+    // not silently contribute zero rows
+    val err = intercept[IllegalStateException] {
+      RestSource.fromCursoredPages(spark,
+        _ => """{"errors":[{"message":"rate limited"}]}""", schema)
+    }
+    assert(err.getMessage.contains("no 'data' array"))
+    // happy path: two pages chained by one token
+    val pages = Map[Option[String], String](
+      None -> """{"data":[{"id":1},{"id":2}],"next":"t1"}""",
+      Some("t1") -> """{"data":[{"id":3}]}""")
+    val got = RestSource.fromCursoredPages(spark, pages(_), schema)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  test("copyInto recovers from an uncommitted ledger directory") {
+    import spark.implicits._
+    val src = tmp("cil_src"); val target = tmp("cil_target"); val ledger = tmp("cil_ledger")
+    Seq(src, target, ledger).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    FileIO.writeCsv(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src)
+    // simulate a crash during the FIRST ledger append: the dir exists but
+    // holds no committed parquet footer
+    val debris = new java.io.File(ledger, "_temporary"); debris.mkdirs()
+    val schema = SchemaDsl.fromSpec("id:l;v:c")
+    assert(FileIO.copyInto(spark, src, schema, target, ledger) == 2L)
+    assert(FileIO.copyInto(spark, src, schema, target, ledger) == 0L)
+    assert(spark.read.parquet(target).count() == 2L)
+  }
+
   test("compactParquet self-heals a crash window between the swap renames") {
     val path = tmp("compact_heal")
     Tables.nation(spark, sf001).write.mode("overwrite").parquet(path)
