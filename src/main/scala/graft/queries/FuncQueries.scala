@@ -87,6 +87,17 @@ object FuncQueries {
         .orderBy("k_val")
     },
 
+    // Deterministic LISTAGG: collect_list is unordered by contract, so
+    // the report-formatting shape sorts the array before joining —
+    // parallelism-invariant output, the only safe form at any scale.
+    "f_string_agg" -> { (s, dir) =>
+      Tables.nation(s, dir)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"),
+          array_join(array_sort(collect_list(col("n_name"))), ",").as("names"))
+        .orderBy(col("n_regionkey"))
+    },
+
     // Array higher-order functions — sequence → transform → filter →
     // aggregate, the codegen'd lambda surface that replaces per-row UDF
     // loops over array columns. Arrays are constructed arithmetically so
@@ -209,6 +220,11 @@ object FuncQueries {
     "f_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_val, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY k_val""".stripMargin,
+
+    "f_string_agg" ->
+      """SELECT n_regionkey, COUNT(*) AS n,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "f_array_hof" ->
       """WITH t AS (

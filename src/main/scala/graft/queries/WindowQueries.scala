@@ -161,6 +161,23 @@ object WindowQueries {
         .orderBy(col("user_id"))
     },
 
+    // W11 percent_rank / cume_dist: relative-position statistics per
+    // partition — a total tiebreaker makes both exact rationals, so the
+    // IEEE division is bit-identical across engines. The window is
+    // business-key partitioned (one shuffle, no global sort); the thin
+    // filter runs after it, as it must.
+    "w11_percent_rank" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .filter(col("c_custkey") % 100 === 0)
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    },
+
     // Date-spine resample: a sparse daily series (1/997 of events)
     // zero-filled over the FULL min-max day range of the fact — the
     // gap-filling join every reporting pipeline needs. The spine is one
@@ -197,6 +214,18 @@ object WindowQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
         |SELECT user_id, first_type, second_type, last_type
         |FROM v WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "w11_percent_rank" ->
+      """WITH v AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    PERCENT_RANK() OVER w AS pr,
+        |    CUME_DIST() OVER w AS cd
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment
+        |               ORDER BY c_acctbal, c_custkey))
+        |SELECT c_mktsegment, c_custkey, pr, cd
+        |FROM v WHERE c_custkey % 100 = 0
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
 
     "w9_date_spine" ->
       s"""WITH b AS (
