@@ -197,6 +197,43 @@ object WindowQueries {
           coalesce(col("n"), lit(0L)).as("n"),
           coalesce(col("value_sum"), lit(0.0)).as("value_sum"))
         .orderBy(col("day"))
+    },
+
+    // W12 linear interpolation over the spine: sparse daily observations
+    // → nearest known value before/after (ignoreNulls frame edges) →
+    // lerp by day distance; spine edges clamp to the nearest
+    // observation. The windows are global but run over the
+    // POST-AGGREGATION day frame (≤ one row per day — the documented
+    // small-global-window pattern, same as w5/w9), never the fact table.
+    "w12_interpolate" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_id"), col("value"))
+      val daily = ev.filter(col("event_id") % 997 === 0)
+        .groupBy(col("day")).agg(dsum(col("value")).as("obs"))
+      val spine = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val before = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val after = Window.orderBy(col("day"))
+        .rowsBetween(0, Window.unboundedFollowing)
+      spine.join(daily, Seq("day"), "left")
+        .withColumn("prev_day", last(when(col("obs").isNotNull, col("day")),
+          ignoreNulls = true).over(before))
+        .withColumn("prev_obs", last(col("obs"), ignoreNulls = true).over(before))
+        .withColumn("next_day", first(when(col("obs").isNotNull, col("day")),
+          ignoreNulls = true).over(after))
+        .withColumn("next_obs", first(col("obs"), ignoreNulls = true).over(after))
+        .withColumn("interp",
+          when(col("obs").isNotNull, col("obs"))
+            .when(col("prev_obs").isNull, col("next_obs"))
+            .when(col("next_obs").isNull, col("prev_obs"))
+            .otherwise(col("prev_obs") +
+              (col("next_obs") - col("prev_obs")) *
+                datediff(col("day"), col("prev_day")) /
+                datediff(col("next_day"), col("prev_day"))))
+        .select(col("day"), col("obs"), col("interp"))
+        .orderBy(col("day"))
     }
   )
 
@@ -243,6 +280,42 @@ object WindowQueries {
          |  COALESCE(d.value_sum, 0.0) AS value_sum
          |FROM spine s LEFT JOIN daily d ON s.day = d.day
          |ORDER BY s.day""".stripMargin,
+
+    // identical lerp parenthesization (prev + (next-prev)*d1/d2) so the
+    // IEEE operation sequence matches Spark's bit for bit
+    "w12_interpolate" ->
+      s"""WITH b AS (
+         |  SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS lo,
+         |         CAST(date_trunc('day', MAX(ts)) AS DATE) AS hi
+         |  FROM events),
+         |spine AS (
+         |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+         |  FROM b),
+         |daily AS (
+         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    ${sqlDsum("value")} AS obs
+         |  FROM events WHERE event_id % 997 = 0 GROUP BY 1),
+         |j AS (
+         |  SELECT s.day, d.obs,
+         |    last_value(CASE WHEN d.obs IS NOT NULL THEN s.day END IGNORE NULLS)
+         |      OVER wb AS prev_day,
+         |    last_value(d.obs IGNORE NULLS) OVER wb AS prev_obs,
+         |    first_value(CASE WHEN d.obs IS NOT NULL THEN s.day END IGNORE NULLS)
+         |      OVER wa AS next_day,
+         |    first_value(d.obs IGNORE NULLS) OVER wa AS next_obs
+         |  FROM spine s LEFT JOIN daily d ON s.day = d.day
+         |  WINDOW
+         |    wb AS (ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wa AS (ORDER BY s.day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT day, obs,
+         |  CASE
+         |    WHEN obs IS NOT NULL THEN obs
+         |    WHEN prev_obs IS NULL THEN next_obs
+         |    WHEN next_obs IS NULL THEN prev_obs
+         |    ELSE prev_obs + (next_obs - prev_obs)
+         |      * CAST(day - prev_day AS INT) / CAST(next_day - prev_day AS INT)
+         |  END AS interp
+         |FROM j ORDER BY day""".stripMargin,
     "w2_dedup_latest_event" ->
       """WITH ranked AS (
         |  SELECT user_id, event_type, event_id, value,
