@@ -129,6 +129,53 @@ object StreamQueries {
         .orderBy("win_start", "event_type")
     },
 
+    // Stateful SESSION windows in append mode: per-account sessions
+    // split on >=30 min inactivity, windows merging as events arrive and
+    // finalizing only when the watermark passes their (moving) end — the
+    // hardest stateful streaming aggregation shape. Same two-drain /
+    // far-future-sentinel horizon close as st_tumbling_watermark; the
+    // oracle replays the identical session algebra as batch
+    // gaps-and-islands (Spark merges while next_ts < end, so the break
+    // condition is diff >= gap, end-exclusive).
+    "st_session_window" -> { (s, dir) =>
+      import graft.streaming.FileStreams
+      val in = scratch(dir, "sw_in"); val out = scratch(dir, "sw_out")
+      val ckpt = scratch(dir, "sw_ckpt")
+      Seq(in, out, ckpt).foreach(rmrf) // sentinel appends → rebuild per run
+      val drainCutoff = "2024-01-08"
+      Tables.events(s, dir)
+        .filter(col("ts") < drainCutoff)
+        .select((col("user_id") % 20).as("acct"),
+          col("ts").cast("string").as("ts"), col("value"))
+        .repartition(4).write.json(in)
+      val schema = graft.core.SchemaDsl.fromSpec("acct:l;ts:c;value:d")
+      def windowed(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("ts", to_timestamp(col("ts")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("acct"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        .select(col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("acct"), col("n"),
+          col("value_sum"))
+      def drain(): Unit = FileStreams.startPartitionedParquetSink(
+        windowed(FileStreams.jsonFileStream(s, in, schema,
+          maxFilesPerTrigger = 4)),
+        out, ckpt, Seq.empty).awaitTermination()
+      val partKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partKey)
+      s.conf.set(partKey, "8")
+      try {
+        drain()
+        import s.implicits._
+        Seq((-1L, "2030-01-01 00:00:00", 0.0)).toDF("acct", "ts", "value")
+          .coalesce(1).write.mode(SaveMode.Append).json(in)
+        drain() // checkpoint-recovered state flushes the remaining sessions
+      } finally s.conf.set(partKey, prevParts)
+      s.read.parquet(out)
+        .select("session_start", "session_end", "acct", "n", "value_sum")
+        .orderBy("acct", "session_start")
+    },
+
     // Stateful streaming dedup: the landing data carries every event
     // TWICE (an at-least-once delivery); dropDuplicates on the event key
     // holds seen-key state across micro-batches so replays are dropped
@@ -311,6 +358,30 @@ object StreamQueries {
          |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS value_sum
          |FROM events WHERE ts < TIMESTAMP '2024-01-08'
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // batch gaps-and-islands replica of session_window: break when the
+    // inactivity gap reaches 30 min (>= — Spark windows are
+    // end-exclusive); session end = last event + gap
+    "st_session_window" ->
+      s"""WITH ev AS (
+         |  SELECT user_id % 20 AS acct, ts, value
+         |  FROM events WHERE ts < TIMESTAMP '2024-01-08'),
+         |flagged AS (
+         |  SELECT acct, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM ev WINDOW w AS (PARTITION BY acct ORDER BY ts)),
+         |sessions AS (
+         |  SELECT acct, ts, value,
+         |    SUM(brk) OVER (PARTITION BY acct ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM flagged)
+         |SELECT MIN(ts) AS session_start,
+         |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         |  acct, COUNT(*) AS n, ${sqlDsum("value")} AS value_sum
+         |FROM sessions GROUP BY acct, sid
+         |ORDER BY acct, session_start""".stripMargin,
 
     // the duplicated landing collapses back to the distinct fact
     "st_stream_dedup" ->
