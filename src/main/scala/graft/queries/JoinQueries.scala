@@ -185,6 +185,25 @@ object JoinQueries {
         .orderBy("event_id")
     },
 
+    // LATERAL correlated subquery join (beyond reference — the SQL
+    // surface for per-row top-k that window row_number expresses
+    // relationally): Catalyst decorrelates the correlated LIMIT subquery
+    // into a ranked join, so the per-customer scan never loops.
+    "j20_lateral_topk" -> { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("lat_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("lat_orders")
+      s.sql(
+        """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+          |FROM lat_customer c JOIN LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM lat_orders
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey
+          |  LIMIT 2
+          |) l
+          |WHERE c.c_custkey % 50 = 0
+          |ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey""".stripMargin)
+    },
+
     // J10 interval-overlap self join (ref: overlap_query_no_recursive_cte_
     // needed.sql:7-17): pairs of orders by the same customer within 7 days.
     "j10_interval_overlap_self" -> { (s, dir) =>
@@ -201,12 +220,25 @@ object JoinQueries {
     }
   )
 
+  private def lateralTopkOracle: String =
+    """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+      |FROM customer c JOIN LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey
+      |  LIMIT 2
+      |) l ON true
+      |WHERE c.c_custkey % 50 = 0
+      |ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey""".stripMargin
+
   private def saltedJoinOracle: String =
     s"""SELECT o.o_orderpriority, COUNT(*) AS n_lines, ${sqlDsum("l.l_quantity")} AS qty
        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "j20_lateral_topk" -> lateralTopkOracle,
+
     "j1_star_revenue" ->
       s"""SELECT r.r_name, n.n_name, c.c_mktsegment,
          |  ${sqlDsum("o.o_totalprice")} AS revenue, COUNT(*) AS n_orders

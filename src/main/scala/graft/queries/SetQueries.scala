@@ -48,6 +48,28 @@ object SetQueries {
       val all = o.select("o_custkey").distinct()
       val f   = o.filter(col("o_orderstatus") === "F").select("o_custkey").distinct()
       all.except(f).orderBy("o_custkey")
+    },
+
+    // Multiset (ALL) forms — duplicate-count subtraction/minimum, not
+    // set membership: a customer with three orders and one F order keeps
+    // TWO copies under EXCEPT ALL. The bag semantics are what dedup
+    // ledgers and reconciliation diffs actually need; the aggregated
+    // read-back pins the per-key multiplicities.
+    "u6_except_all" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      o.select("o_custkey")
+        .exceptAll(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_copies"))
+        .orderBy("o_custkey")
+    },
+
+    "u7_intersect_all" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_totalprice") > 100000.0).select("o_custkey")
+        .intersectAll(o.filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey"))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_copies"))
+        .orderBy("o_custkey")
     }
   )
 
@@ -80,6 +102,22 @@ object SetQueries {
       """SELECT DISTINCT o_custkey FROM orders
         |EXCEPT
         |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    "u6_except_all" ->
+      """WITH d AS (
+        |  SELECT o_custkey FROM orders
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT o_custkey, COUNT(*) AS n_copies
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "u7_intersect_all" ->
+      """WITH d AS (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_custkey, COUNT(*) AS n_copies
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

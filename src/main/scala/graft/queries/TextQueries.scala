@@ -107,6 +107,32 @@ object TextQueries {
         .orderBy(col("doc_id"), col("rnk"))
     },
 
+    // Vocabulary coverage curve — the tokenizer-design question "how many
+    // distinct tokens cover 50/90/99% of all token occurrences": rank
+    // tokens by corpus frequency, cumulative share, smallest rank at each
+    // coverage level. The global windows run over the POST-AGGREGATION
+    // vocabulary frame (distinct tokens), never the token stream.
+    "t_vocab_coverage" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("tok"))
+      counts
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("cnt"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+        .withColumn("share", col("cum").cast("double") / col("total"))
+        .agg(
+          min(when(col("share") >= 0.5, col("rnk"))).as("k50"),
+          min(when(col("share") >= 0.9, col("rnk"))).as("k90"),
+          min(when(col("share") >= 0.99, col("rnk"))).as("k99"),
+          count(lit(1)).as("vocab_size"),
+          max(col("total")).as("total_tokens"))
+    },
+
     // Cross-document duplicated-passage fraction: for each doc, the share
     // of its distinct word 4-grams that also appear in ANOTHER document —
     // the corpus-level quality signal behind passage-dedup filters
@@ -405,6 +431,27 @@ object TextQueries {
         |  FROM counts)
         |SELECT lang, bigram, n, rnk FROM ranked WHERE rnk <= 5
         |ORDER BY lang, rnk""".stripMargin,
+
+    "t_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |counts AS (
+        |  SELECT tok, COUNT(*) AS cnt FROM toks
+        |  WHERE length(tok) > 0 GROUP BY 1),
+        |ranked AS (
+        |  SELECT cnt,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rnk,
+        |    SUM(cnt) OVER (ORDER BY cnt DESC, tok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER () AS total
+        |  FROM counts)
+        |SELECT
+        |  MIN(CASE WHEN CAST(cum AS DOUBLE) / total >= 0.5 THEN rnk END) AS k50,
+        |  MIN(CASE WHEN CAST(cum AS DOUBLE) / total >= 0.9 THEN rnk END) AS k90,
+        |  MIN(CASE WHEN CAST(cum AS DOUBLE) / total >= 0.99 THEN rnk END) AS k99,
+        |  COUNT(*) AS vocab_size,
+        |  CAST(MAX(total) AS BIGINT) AS total_tokens
+        |FROM ranked""".stripMargin,
 
     // same distinct 4-gram construction as the Spark side (wordShingles
     // parity with string_split is already proven by t_top_ngrams)
