@@ -105,4 +105,55 @@ object Components {
     }
     labels.select(col("node"), col("component"))
   }
+
+  /** Weighted PageRank over an edge list by power iteration through
+    * [[FixedPoint.iterate]] (each generation materializes to parquet —
+    * one-step lineage, the recursive-CTE substitute of SURVEY §4). Per
+    * iteration: one join of ranks to edges + one aggregation — both
+    * shuffle on the node key, nothing is quadratic; the driver holds
+    * only the node count and the iteration index.
+    *
+    * Deterministic at any parallelism: per-edge contributions are exact
+    * per-row doubles (`(rank * w) / out`, pinned parenthesization) and
+    * the per-node sum goes through the engine's decimal-exact image
+    * ([[graft.queries.dec]]), so results are bit-reproducible and
+    * cross-engine comparable. Simplified model: no dangling-node
+    * redistribution (rank leaks from sink nodes) — fine for link
+    * analysis over transition graphs where every node has out-edges.
+    *
+    * @param nodes  one `node` column — passed explicitly so isolated
+    *               nodes (no edges) still receive the base rank
+    * @param iters  fixed power-iteration count (PageRank converges
+    *               geometrically; counts never change, so count-based
+    *               convergence does not apply) */
+  def pageRank(edges: DataFrame, nodes: DataFrame,
+               fromCol: String, toCol: String, weightCol: String,
+               damping: Double = 0.85, iters: Int = 10,
+               tmpDir: Option[String] = None): DataFrame = {
+    import graft.queries.dec
+    // materialize the (possibly expensive) edge/node plans ONCE — every
+    // iteration joins against them, and an unmaterialized lineage would
+    // recompute the upstream aggregation per generation. localCheckpoint:
+    // first action materializes, the context cleaner reclaims the blocks.
+    val nodesM = nodes.select(col("node")).localCheckpoint(false)
+    val nNodes = nodesM.count() // driver scalar — documented boundary
+    val out = edges.groupBy(col(fromCol))
+      .agg(sum(col(weightCol)).as("__out"))
+    val e = edges.join(out, fromCol).localCheckpoint(false)
+    val init = nodesM.select(col("node"), lit(1.0 / nNodes).as("rank"))
+    var it = 0
+    FixedPoint.iterate(init, cur => {
+      val contrib = cur.join(e, cur("node") === e(fromCol))
+        .select(col(toCol).as("node"),
+          dec((col("rank") * col(weightCol)) / col("__out")).as("__c"))
+        .groupBy(col("node"))
+        .agg(sum(col("__c")).cast("double").as("__contrib"))
+      nodesM.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / nNodes) +
+            lit(damping) * coalesce(col("__contrib"), lit(0.0))).as("rank"))
+    }, maxIter = iters + 1, tmpDir,
+      convergedWhen = (_, _) => { it += 1; it >= iters },
+      trackCounts = false) // fixed schedule — counts never inform convergence
+  }
 }

@@ -22,22 +22,28 @@ object FixedPoint {
     * @param maxIter      hard bound — a step that never converges throws
     * @param tmpDir       generation storage (a fresh temp dir if None)
     * @param convergedWhen (prevCount, newCount) => done; default: equal
+    * @param trackCounts  false skips the per-generation count job and
+    *                     feeds (0, 0) to the predicate — for fixed-step
+    *                     schedules (power iteration) where counts never
+    *                     inform convergence, halving the actions per
+    *                     generation
     * @return the converged frame (reads from the last generation) */
   def iterate(init: DataFrame, step: DataFrame => DataFrame, maxIter: Int,
               tmpDir: Option[String] = None,
-              convergedWhen: (Long, Long) => Boolean = _ == _): DataFrame = {
+              convergedWhen: (Long, Long) => Boolean = _ == _,
+              trackCounts: Boolean = true): DataFrame = {
     val spark = init.sparkSession
     val dir = tmpDir.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-fixpoint").toString)
     var cur = init
-    var n = cur.count()
+    var n = if (trackCounts) cur.count() else 0L
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
       val path = s"$dir/iter$iter"
       step(cur).write.mode(SaveMode.Overwrite).parquet(path)
       cur = spark.read.parquet(path)
-      val n2 = cur.count()
+      val n2 = if (trackCounts) cur.count() else 0L
       done = convergedWhen(n, n2)
       n = n2
       iter += 1

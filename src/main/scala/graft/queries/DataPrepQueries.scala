@@ -85,6 +85,26 @@ object DataPrepQueries {
         .orderBy(col("prev"), col("curr"))
     },
 
+    // PageRank over the event-type transition graph (edges = e_transitions'
+    // matrix) — the fixed-point/recursive-CTE substitute of SURVEY §4 as a
+    // GREEN row: 8 power iterations through FixedPoint.iterate, each
+    // generation materialized (one-step lineage). The oracle unrolls the
+    // identical 8 iterations as chained CTEs with the same decimal-exact
+    // per-node sums, so the double ranks hash-match bit for bit.
+    "e_pagerank" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = Tables.events(s, dir)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("curr"))
+        .agg(count(lit(1)).as("n"))
+      val nodes = Tables.events(s, dir)
+        .select(col("event_type").as("node")).distinct()
+      graft.operators.Components.pageRank(edges, nodes,
+          "prev", "curr", "n", damping = 0.85, iters = 8)
+        .orderBy("node")
+    },
+
     // Deterministic stratified sampling: arithmetic hash on the id (both
     // engines reproduce it exactly — no rand()), per-lang rates. The
     // sampling decision is a pure per-row expression: fully distributed,
@@ -254,6 +274,39 @@ object DataPrepQueries {
         |SELECT prev, event_type AS curr, COUNT(*) AS n
         |FROM lagged WHERE prev IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the same 8 power iterations unrolled as chained CTEs; (1.0 - 0.85)
+    // is spelled out (not 0.15) so the IEEE base-rank constant is the
+    // identical double the Scala side computes
+    "e_pagerank" -> {
+      val head =
+        """WITH lagged AS (
+          |  SELECT user_id, event_type,
+          |    LAG(event_type) OVER (PARTITION BY user_id
+          |                          ORDER BY ts, event_id) AS prev
+          |  FROM events),
+          |edges AS (
+          |  SELECT prev, event_type AS curr, COUNT(*) AS n
+          |  FROM lagged WHERE prev IS NOT NULL GROUP BY 1, 2),
+          |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+          |nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+          |outd AS (SELECT prev, SUM(n) AS out FROM edges GROUP BY 1),
+          |e AS (SELECT edges.prev, edges.curr, edges.n, outd.out
+          |      FROM edges JOIN outd USING (prev)),
+          |r0 AS (SELECT node, 1.0 / (SELECT n_nodes FROM nn) AS rank FROM nodes)""".stripMargin
+      val steps = (1 to 8).map { k =>
+        s"""r$k AS (
+           |  SELECT n.node,
+           |    (1.0 - 0.85) / (SELECT n_nodes FROM nn)
+           |      + 0.85 * COALESCE(c.contrib, 0.0) AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.curr AS node,
+           |      CAST(SUM(CAST((r.rank * e.n) / e.out AS DECIMAL(18,6))) AS DOUBLE) AS contrib
+           |    FROM r${k - 1} r JOIN e ON e.prev = r.node
+           |    GROUP BY 1) c ON c.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      head + ",\n" + steps + "\nSELECT node, rank FROM r8 ORDER BY node"
+    },
 
     "t_stratified_sample" ->
       """SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS chars
