@@ -124,8 +124,10 @@ object Components {
     * @param nodes  one `node` column — passed explicitly so isolated
     *               nodes (no edges) still receive the base rank
     * @param iters  fixed power-iteration count (PageRank converges
-    *               geometrically; counts never change, so count-based
-    *               convergence does not apply) */
+    *               geometrically; counts never change, so the fixed-step
+    *               [[FixedPoint.iterateSteps]] schedule applies)
+    * @param tmpDir generation storage — pass a stable dir in repeated
+    *               contexts (the fallback temp dir is never cleaned) */
   def pageRank(edges: DataFrame, nodes: DataFrame,
                fromCol: String, toCol: String, weightCol: String,
                damping: Double = 0.85, iters: Int = 10,
@@ -141,8 +143,7 @@ object Components {
       .agg(sum(col(weightCol)).as("__out"))
     val e = edges.join(out, fromCol).localCheckpoint(false)
     val init = nodesM.select(col("node"), lit(1.0 / nNodes).as("rank"))
-    var it = 0
-    FixedPoint.iterate(init, cur => {
+    FixedPoint.iterateSteps(init, cur => {
       val contrib = cur.join(e, cur("node") === e(fromCol))
         .select(col(toCol).as("node"),
           dec((col("rank") * col(weightCol)) / col("__out")).as("__c"))
@@ -152,8 +153,6 @@ object Components {
         .select(col("node"),
           (lit((1.0 - damping) / nNodes) +
             lit(damping) * coalesce(col("__contrib"), lit(0.0))).as("rank"))
-    }, maxIter = iters + 1, tmpDir,
-      convergedWhen = (_, _) => { it += 1; it >= iters },
-      trackCounts = false) // fixed schedule — counts never inform convergence
+    }, numSteps = iters, tmpDir = tmpDir)
   }
 }

@@ -22,28 +22,21 @@ object FixedPoint {
     * @param maxIter      hard bound — a step that never converges throws
     * @param tmpDir       generation storage (a fresh temp dir if None)
     * @param convergedWhen (prevCount, newCount) => done; default: equal
-    * @param trackCounts  false skips the per-generation count job and
-    *                     feeds (0, 0) to the predicate — for fixed-step
-    *                     schedules (power iteration) where counts never
-    *                     inform convergence, halving the actions per
-    *                     generation
     * @return the converged frame (reads from the last generation) */
   def iterate(init: DataFrame, step: DataFrame => DataFrame, maxIter: Int,
               tmpDir: Option[String] = None,
-              convergedWhen: (Long, Long) => Boolean = _ == _,
-              trackCounts: Boolean = true): DataFrame = {
+              convergedWhen: (Long, Long) => Boolean = _ == _): DataFrame = {
     val spark = init.sparkSession
-    val dir = tmpDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-fixpoint").toString)
+    val dir = genDir(tmpDir)
     var cur = init
-    var n = if (trackCounts) cur.count() else 0L
+    var n = cur.count()
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
       val path = s"$dir/iter$iter"
       step(cur).write.mode(SaveMode.Overwrite).parquet(path)
       cur = spark.read.parquet(path)
-      val n2 = if (trackCounts) cur.count() else 0L
+      val n2 = cur.count()
       done = convergedWhen(n, n2)
       n = n2
       iter += 1
@@ -52,4 +45,33 @@ object FixedPoint {
       s"fixed-point iteration did not converge in $maxIter steps")
     cur
   }
+
+  /** Exactly `numSteps` materialized generations — the FIXED-STEP
+    * schedule (power iteration and friends) where convergence is
+    * analytic, not count-based: no per-generation count job runs and no
+    * convergence predicate applies. Kept separate from [[iterate]] so a
+    * fixed-step intent can never silently interact with count-based
+    * convergence. */
+  def iterateSteps(init: DataFrame, step: DataFrame => DataFrame,
+                   numSteps: Int, tmpDir: Option[String] = None): DataFrame = {
+    require(numSteps > 0, "numSteps must be positive")
+    val spark = init.sparkSession
+    val dir = genDir(tmpDir)
+    var cur = init
+    var i = 0
+    while (i < numSteps) {
+      val path = s"$dir/iter$i"
+      step(cur).write.mode(SaveMode.Overwrite).parquet(path)
+      cur = spark.read.parquet(path)
+      i += 1
+    }
+    cur
+  }
+
+  /** Generation storage root. Callers in any repeated context (query
+    * catalog, tests) should pass `tmpDir` — the fresh-dir fallback is
+    * never cleaned up by this process and is meant for one-shot
+    * interactive use. */
+  private def genDir(tmpDir: Option[String]): String = tmpDir.getOrElse(
+    java.nio.file.Files.createTempDirectory("graft-fixpoint").toString)
 }

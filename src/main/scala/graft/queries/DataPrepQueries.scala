@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.operators.Windows
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,6 +13,18 @@ import org.apache.spark.sql.functions._
 object DataPrepQueries {
 
   private val Knuth = 2654435761L
+
+  /** The event-type transition edge list — shared by `e_transitions`
+    * (which publishes it as the matrix) and `e_pagerank` (which ranks
+    * over it), so the two rows can never desynchronize. */
+  private def transitionEdges(s: SparkSession, dir: String) = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("curr"))
+      .agg(count(lit(1)).as("n"))
+  }
 
   val queries: Map[String, Q] = Map(
     // Sessionization: per-user sessions split on >30 min inactivity
@@ -76,32 +89,26 @@ object DataPrepQueries {
     // Event-transition matrix: consecutive event-type pairs per user
     // (one lag window, one rollup — never a self-join on the stream).
     "e_transitions" -> { (s, dir) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      Tables.events(s, dir)
-        .withColumn("prev", lag(col("event_type"), 1).over(w))
-        .filter(col("prev").isNotNull)
-        .groupBy(col("prev"), col("event_type").as("curr"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("prev"), col("curr"))
+      transitionEdges(s, dir).orderBy(col("prev"), col("curr"))
     },
 
-    // PageRank over the event-type transition graph (edges = e_transitions'
-    // matrix) — the fixed-point/recursive-CTE substitute of SURVEY §4 as a
-    // GREEN row: 8 power iterations through FixedPoint.iterate, each
-    // generation materialized (one-step lineage). The oracle unrolls the
-    // identical 8 iterations as chained CTEs with the same decimal-exact
-    // per-node sums, so the double ranks hash-match bit for bit.
+    // PageRank over the event-type transition graph (edges shared with
+    // e_transitions via transitionEdges) — the fixed-point/recursive-CTE
+    // substitute of SURVEY §4 as a GREEN row: 8 power iterations through
+    // FixedPoint.iterateSteps, each generation materialized (one-step
+    // lineage) under a stable scratch dir that reruns overwrite. The
+    // oracle unrolls the identical 8 iterations as chained CTEs with the
+    // same decimal-exact per-node sums and explicit DOUBLE casts on
+    // every constant, so both engines execute the same IEEE operation
+    // sequence.
     "e_pagerank" -> { (s, dir) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val edges = Tables.events(s, dir)
-        .withColumn("prev", lag(col("event_type"), 1).over(w))
-        .filter(col("prev").isNotNull)
-        .groupBy(col("prev"), col("event_type").as("curr"))
-        .agg(count(lit(1)).as("n"))
+      val gen = scratchDir("prep", dir, "pagerank_gen")
+      rmrf(gen)
       val nodes = Tables.events(s, dir)
         .select(col("event_type").as("node")).distinct()
-      graft.operators.Components.pageRank(edges, nodes,
-          "prev", "curr", "n", damping = 0.85, iters = 8)
+      graft.operators.Components.pageRank(transitionEdges(s, dir), nodes,
+          "prev", "curr", "n", damping = 0.85, iters = 8,
+          tmpDir = Some(gen))
         .orderBy("node")
     },
 
@@ -275,9 +282,14 @@ object DataPrepQueries {
         |FROM lagged WHERE prev IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    // the same 8 power iterations unrolled as chained CTEs; (1.0 - 0.85)
-    // is spelled out (not 0.15) so the IEEE base-rank constant is the
-    // identical double the Scala side computes
+    // the same 8 power iterations unrolled as chained CTEs. Every
+    // numeric constant is CAST to DOUBLE explicitly: DuckDB otherwise
+    // treats literals as DECIMAL and computes 1.0 - 0.85 exactly (0.15),
+    // while Scala's IEEE subtraction gives 0.15000000000000002 — an
+    // ulp-level divergence that would ride on the driver's 6-significant-
+    // digit rounding instead of genuine operation-sequence parity. The
+    // subtraction itself is spelled out (not 0.15) to mirror Scala's
+    // (1.0 - damping).
     "e_pagerank" -> {
       val head =
         """WITH lagged AS (
@@ -293,12 +305,13 @@ object DataPrepQueries {
           |outd AS (SELECT prev, SUM(n) AS out FROM edges GROUP BY 1),
           |e AS (SELECT edges.prev, edges.curr, edges.n, outd.out
           |      FROM edges JOIN outd USING (prev)),
-          |r0 AS (SELECT node, 1.0 / (SELECT n_nodes FROM nn) AS rank FROM nodes)""".stripMargin
+          |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n_nodes FROM nn) AS rank
+          |       FROM nodes)""".stripMargin
       val steps = (1 to 8).map { k =>
         s"""r$k AS (
            |  SELECT n.node,
-           |    (1.0 - 0.85) / (SELECT n_nodes FROM nn)
-           |      + 0.85 * COALESCE(c.contrib, 0.0) AS rank
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n_nodes FROM nn)
+           |      + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
            |  FROM nodes n LEFT JOIN (
            |    SELECT e.curr AS node,
            |      CAST(SUM(CAST((r.rank * e.n) / e.out AS DECIMAL(18,6))) AS DOUBLE) AS contrib
