@@ -90,4 +90,23 @@ object DataQuality {
         sum(when(col("__in_l").isNotNull && col("__in_r").isNotNull, 1).otherwise(0))
           .as("common"))
   }
+
+  /** Per-partition freshness monitor: each group's newest event time,
+    * its whole-hours lag behind the table-wide newest, and a staleness
+    * flag at `maxLagHours` — the standing "did every feed land?" check
+    * of any continuously-ingested table. One aggregation; the global
+    * maximum joins back as a broadcast scalar, so the fact scans once.
+    * Lag is exact integer arithmetic (floor-divided epoch microseconds),
+    * engine-portable by construction. */
+  def freshness(df: DataFrame, groupCol: String, tsCol: String,
+                maxLagHours: Int): DataFrame = {
+    val latest = df.groupBy(col(groupCol))
+      .agg(max(col(tsCol)).as("latest_ts"), count(lit(1)).as("n_rows"))
+    val global = df.agg(max(col(tsCol)).as("__global_ts"))
+    latest.crossJoin(broadcast(global))
+      .withColumn("lag_hours",
+        expr("(unix_micros(__global_ts) - unix_micros(latest_ts)) DIV 3600000000"))
+      .select(col(groupCol), col("latest_ts"), col("n_rows"),
+        col("lag_hours"), (col("lag_hours") >= maxLagHours).as("stale"))
+  }
 }

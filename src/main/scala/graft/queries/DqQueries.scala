@@ -35,6 +35,17 @@ object DqQueries {
         .orderBy("o_custkey")
     },
 
+    // Per-feed freshness monitor: each event type's newest event vs the
+    // table-wide newest, whole-hours lag, staleness flag at 24 h — the
+    // standing "did every feed land?" check of a continuously-ingested
+    // table. Exact integer lag (floor-divided epoch µs), so both engines
+    // agree bit for bit.
+    "dq_freshness" -> { (s, dir) =>
+      DataQuality.freshness(Tables.events(s, dir),
+          groupCol = "event_type", tsCol = "ts", maxLagHours = 24)
+        .orderBy("event_type")
+    },
+
     // Key reconciliation validator: lineitem orderkeys vs orders.
     "dq_reconcile_keys" -> { (s, dir) =>
       DataQuality.reconcileKeys(
@@ -97,6 +108,17 @@ object DqQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_freshness" ->
+      """WITH g AS (SELECT MAX(ts) AS gts FROM events),
+        |latest AS (
+        |  SELECT event_type, MAX(ts) AS latest_ts, COUNT(*) AS n_rows
+        |  FROM events GROUP BY 1)
+        |SELECT l.event_type, l.latest_ts, l.n_rows,
+        |  (epoch_us(g.gts) - epoch_us(l.latest_ts)) // 3600000000 AS lag_hours,
+        |  ((epoch_us(g.gts) - epoch_us(l.latest_ts)) // 3600000000) >= 24 AS stale
+        |FROM latest l CROSS JOIN g
+        |ORDER BY l.event_type""".stripMargin,
+
     "dq_audit_violations" ->
       """WITH flagged AS (
         |  SELECT * FROM orders
