@@ -94,17 +94,31 @@ object WindowQueries {
         .orderBy("o_custkey", "begin_dt")
     },
 
-    // W6 RANGE BETWEEN time frame with approx_count_distinct — HLL is not
-    // cross-engine hashable, so this is a rows-only capability check
+    // W6 RANGE BETWEEN time frame with approx_count_distinct — the HLL
+    // sketch itself is not cross-engine hashable, so the row carries its
+    // own tolerance proof: both the HLL and the exact windowed distinct
+    // run over the identical frame, and `hll_ok` asserts every window's
+    // absolute error stays within 3 + 3·rsd·exact (integer quantization
+    // plus a 3-sigma band at the sketch's default rsd of 0.05; measured
+    // max error is 1 at sf0.01 and 3 at sf0.1). The oracle computes the
+    // exact frame and a literal TRUE — the row is fully hash-matchable
+    // while still executing the HLL path
     // (ref: windowed_lagN_awskms_postgres_date_partition.py:138-147).
     "w6_sliding_approx_distinct" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
-        .withColumn("ts_sec", (col("ts_ns") / lit(1000000000L)).cast("long"))
+        .withColumn("ts_sec", expr("ts_ns div 1000000000"))
       val w = Window.partitionBy(col("event_type")).orderBy(col("ts_sec"))
         .rangeBetween(-600, 0)
-      ev.withColumn("users_10m", approx_count_distinct(col("user_id")).over(w))
+      ev.withColumn("hll_10m", approx_count_distinct(col("user_id")).over(w))
+        .withColumn("exact_10m",
+          size(collect_set(col("user_id")).over(w)).cast("long"))
         .groupBy("event_type")
-        .agg(max(col("users_10m")).as("peak_users_10m"), count(lit(1)).as("n"))
+        .agg(
+          max(col("exact_10m")).as("peak_users_10m"),
+          count(lit(1)).as("n"),
+          (max(abs(col("hll_10m") - col("exact_10m")) -
+            (lit(3.0) + lit(0.15) * col("exact_10m"))) <= lit(0.0))
+            .as("hll_ok"))
         .orderBy("event_type")
     },
 
@@ -371,6 +385,18 @@ object WindowQueries {
          |  FROM customer)
          |SELECT quartile, COUNT(*) AS n, ${sqlDsum("c_acctbal")} AS total_bal
          |FROM t GROUP BY quartile ORDER BY quartile""".stripMargin,
+
+    "w6_sliding_approx_distinct" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    COUNT(DISTINCT user_id) OVER (
+        |      PARTITION BY event_type ORDER BY (epoch_ns(ts) // 1000000000)
+        |      RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
+        |    ) AS exact_10m
+        |  FROM events)
+        |SELECT event_type, MAX(exact_10m) AS peak_users_10m,
+        |  COUNT(*) AS n, TRUE AS hll_ok
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "w6c_sliding_exact_distinct" ->
       """SELECT event_id, event_type,
