@@ -84,6 +84,45 @@ object Windows {
       .drop("__pid", "__lrn")
   }
 
+  /** Global row_number PLUS a running sum of `value` in `orderBy` order,
+    * with no unpartitioned window over the relation — the 100 TB form of
+    * `sum(v).over(Window.orderBy(...))` cumulative shares (e.g. the
+    * vocabulary-coverage curve, where the "frame" is every distinct token
+    * of a web corpus — itself hundreds of millions of rows). Same range
+    * partition + broadcast offsets scheme as [[globalRowNumber]]; the
+    * in-partition prefix sum runs under a window KEYED by the partition
+    * id, so the only whole-relation exchanges are the range partition and
+    * the pid hash — both bounded at |relation|/P rows per task. Exact when
+    * `orderBy` is a strict total order. */
+  def globalOrderedCumSum(df: DataFrame, orderBy: Seq[Column], value: Column,
+                          rankCol: String, cumCol: String,
+                          numParts: Int = 0): DataFrame = {
+    val parts = if (numParts > 0) numParts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val mask = (1L << 33) - 1
+    val withLocal = df.repartitionByRange(parts, orderBy: _*)
+      .sortWithinPartitions(orderBy: _*)
+      .withColumn("__val", value)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", call_function("shiftright", col("__mid"), lit(33)))
+      .withColumn("__lrn", col("__mid").bitwiseAND(lit(mask)) + 1)
+      .drop("__mid")
+    val counts = withLocal.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__val")).as("__vsum"))
+    val cum = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts // P rows — the global window here is tiny by design
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(cum), lit(0L)))
+      .withColumn("__voff", sum(col("__vsum")).over(cum))
+      .select(col("__pid"), col("__off"), col("__voff"))
+    val local = Window.partitionBy(col("__pid")).orderBy(col("__lrn"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withLocal.join(broadcast(offsets), "__pid")
+      .withColumn(rankCol, col("__lrn") + col("__off"))
+      .withColumn(cumCol,
+        sum(col("__val")).over(local) + coalesce(col("__voff"), lit(0)))
+      .drop("__pid", "__lrn", "__val", "__off", "__voff")
+  }
+
   /** Exact NTILE(k) built on [[globalRowNumber]] — same tile assignment as
     * `ntile(k).over(Window.orderBy(...))` (first n%k tiles are one row
     * larger), with no single-task global sort. */

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
+import graft.operators.Windows
 import org.apache.spark.sql.functions._
 
 /** Text-analysis catalog over `documents` — language-ID heuristic, quality
@@ -110,20 +111,21 @@ object TextQueries {
     // Vocabulary coverage curve — the tokenizer-design question "how many
     // distinct tokens cover 50/90/99% of all token occurrences": rank
     // tokens by corpus frequency, cumulative share, smallest rank at each
-    // coverage level. The global windows run over the POST-AGGREGATION
-    // vocabulary frame (distinct tokens), never the token stream.
+    // coverage level. The vocabulary frame of a web corpus is itself
+    // hundreds of millions of rows (typos, URLs, numerals), so the rank
+    // and running sum come from Windows.globalOrderedCumSum (range
+    // partition + broadcast offsets — no unpartitioned WindowExec ever
+    // touches the vocabulary), and the corpus total is a one-row
+    // broadcast, not a partitionBy() window.
     "t_vocab_coverage" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val counts = Tables.documents(s, dir)
         .select(explode(split(col("text"), " ")).as("tok"))
         .filter(length(col("tok")) > 0)
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy(col("cnt").desc, col("tok"))
-      counts
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .withColumn("cum", sum(col("cnt"))
-          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      Windows.globalOrderedCumSum(counts,
+          Seq(col("cnt").desc, col("tok")), col("cnt"), "rnk", "cum")
+        .crossJoin(broadcast(total))
         .withColumn("share", col("cum").cast("double") / col("total"))
         .agg(
           min(when(col("share") >= 0.5, col("rnk"))).as("k50"),

@@ -218,6 +218,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("whole catalog: unpartitioned Windows only over post-aggregation frames") {
+    // A Window with no partitionBy funnels its whole input into ONE task.
+    // That is only acceptable over a frame that aggregation has already
+    // collapsed (daily revenue, per-partition offsets — rows bounded by
+    // group count, not data size). Any other global window is a 100 TB
+    // scale-killer, so the rule is blanket: every unpartitioned logical
+    // Window in every catalog query must have an Aggregate beneath it.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val pure = SparkEntry.queries.keys.filterNot(n =>
+      n.startsWith("io_") || n.startsWith("st_"))
+    val bad = for {
+      name <- pure.toSeq
+      w <- SparkEntry.queries(name)(spark, sf001)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+      if w.child.collectFirst { case a: Aggregate => a }.isEmpty
+    } yield name
+    assert(bad.isEmpty,
+      s"unpartitioned Window over a non-aggregated frame in: ${bad.distinct.sorted.mkString(", ")}")
+  }
+
   test("j13: salted join replicates only the dim side, fact scans once") {
     val p = plan("j13_salted_join")
     assert("FileScan parquet".r.findAllIn(p).size == 2,
