@@ -8,6 +8,35 @@ import org.apache.spark.sql.functions._
   * program's re-expression, not a single operator. */
 object PipelineQueries {
 
+  // Shared resource-ingest fixtures (pl_resource_ingest + pl_dag_run run
+  // the SAME chain — once as a call sequence, once under the §3.4 DAG
+  // runner — so the fixture builders live here, not in either query).
+  import graft.pipelines.Pipelines.ResourceSpec
+
+  private def rawLinesJson(df: org.apache.spark.sql.DataFrame) = df.select(
+    to_json(struct(col("l_orderkey").as("id"), col("l_linenumber").as("ln"),
+      col("l_quantity").as("qty"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd").as("sd"))).as("json_value"),
+    lit("lines").as("resource_name"))
+
+  private def rawOrdersJson(df: org.apache.spark.sql.DataFrame) = df.select(
+    to_json(struct(col("o_orderkey").as("id"),
+      col("o_orderstatus").as("status"))).as("json_value"),
+    lit("orders").as("resource_name"))
+
+  private val lineSpec = ResourceSpec("lines",
+    Seq(("id", "$.id", "bigint"), ("ln", "$.ln", "int"),
+      ("qty", "$.qty", "double"), ("sd", "$.sd", "string")),
+    // the synthetic lineitem has duplicate linenumbers per order —
+    // pin the tie (SURVEY §7.4-3: version order must be total)
+    "id", Seq(col("ln"), col("sd"), col("qty")))
+
+  private val orderSpec = ResourceSpec("orders",
+    Seq(("id", "$.id", "bigint"), ("status", "$.status", "string")),
+    "id", Seq(col("status")))
+
+  private val ingestCutoff = "1995-01-01"
+
   val queries: Map[String, Q] = Map(
     // usage_analysis port: windowed spend rollup + cumulative spend.
     "pl_usage_analysis" -> { (s, dir) =>
@@ -102,38 +131,87 @@ object PipelineQueries {
     // snapshot merge; output is the 'lines' resource snapshot (latest
     // linenumber per order wins).
     "pl_resource_ingest" -> { (s, dir) =>
-      import graft.pipelines.Pipelines.ResourceSpec
-      def rawLines(df: org.apache.spark.sql.DataFrame) = df.select(
-        to_json(struct(col("l_orderkey").as("id"), col("l_linenumber").as("ln"),
-          col("l_quantity").as("qty"),
-          date_format(col("l_shipdate"), "yyyy-MM-dd").as("sd"))).as("json_value"),
-        lit("lines").as("resource_name"))
-      val ordersRaw = Tables.orders(s, dir).select(
-        to_json(struct(col("o_orderkey").as("id"),
-          col("o_orderstatus").as("status"))).as("json_value"),
-        lit("orders").as("resource_name"))
-      val lineSpec = ResourceSpec("lines",
-        Seq(("id", "$.id", "bigint"), ("ln", "$.ln", "int"),
-          ("qty", "$.qty", "double"), ("sd", "$.sd", "string")),
-        // the synthetic lineitem has duplicate linenumbers per order —
-        // pin the tie (SURVEY §7.4-3: version order must be total)
-        "id", Seq(col("ln"), col("sd"), col("qty")))
-      val orderSpec = ResourceSpec("orders",
-        Seq(("id", "$.id", "bigint"), ("status", "$.status", "string")),
-        "id", Seq(col("status")))
-      val cutoff = "1995-01-01"
       val li = Tables.lineitem(s, dir)
+      val ordersRaw = rawOrdersJson(Tables.orders(s, dir))
       // day 1: full build from the pre-cutoff partition (both resources
       // staged through the same shared raw table, as in the reference DAG)
-      val day1Raw = rawLines(li.filter(col("l_shipdate") < cutoff))
+      val day1Raw = rawLinesJson(li.filter(col("l_shipdate") < ingestCutoff))
         .unionByName(ordersRaw)
       val prev = graft.pipelines.Pipelines.resourceIngest(day1Raw, lineSpec, None)
       graft.pipelines.Pipelines.resourceIngest(ordersRaw, orderSpec, None)
         .count() // run the loop's second resource too (orders snapshot)
       // day 2: merge the post-cutoff staging against the day-1 snapshot
-      val day2Raw = rawLines(li.filter(col("l_shipdate") >= cutoff))
+      val day2Raw = rawLinesJson(li.filter(col("l_shipdate") >= ingestCutoff))
       graft.pipelines.Pipelines.resourceIngest(day2Raw, lineSpec, Some(prev))
         .orderBy("id")
+    },
+
+    // §3.4 stage/DAG runner driving the SAME resource-ingest chain as
+    // pl_resource_ingest, but as the reference actually runs it: a
+    // dep_list DAG with a landing-dir create stage, raw fetch stages
+    // that land parquet, a file-arrival sensor gating each day's load,
+    // an A9 count reconciliation between raw and snapshot, and the
+    // day-2 merge as the terminal stage (ref:
+    // servicenow_api_extract.py:2220-2368 chain, :78-117 sensor;
+    // graphql_to_postgres.py:86-167). Output must hash-match
+    // pl_resource_ingest — the runner adds orchestration, never
+    // changes data semantics.
+    "pl_dag_run" -> { (s, dir) =>
+      import graft.pipelines.{Dag, Pipelines}
+      import org.apache.spark.sql.DataFrame
+      val root = scratchDir("pl", dir, "dag_run")
+      val li = Tables.lineitem(s, dir)
+      val d = Dag("resource_ingest")
+      d.stage("create_landing_dir") { _ =>
+        new java.io.File(root).mkdirs(); ()
+      }
+      // fetch stages land the shared raw table as parquet — the landing
+      // is a pure function of the testdata, so warm runs reuse it
+      d.stage("fetch_day1", deps = Seq("create_landing_dir"),
+          maxRetry = 2, backoffMs = 10L) { _ =>
+        ensureOnce(s"$root/raw_day1", s"$dir/lineitem.parquet") {
+          rawLinesJson(li.filter(col("l_shipdate") < ingestCutoff))
+            .unionByName(rawOrdersJson(Tables.orders(s, dir)))
+            .write.mode("overwrite").parquet(s"$root/raw_day1")
+        }
+      }
+      d.sensor("wait_day1", deps = Seq("fetch_day1"),
+          pollMs = 20L, timeoutMs = 60000L) { _ =>
+        new java.io.File(s"$root/raw_day1/_SUCCESS").exists()
+      }
+      d.stage("load_day1_lines", deps = Seq("wait_day1")) { ctx =>
+        val raw = s.read.parquet(s"$root/raw_day1")
+        ctx.put("prev", Pipelines.resourceIngest(raw, lineSpec, None))
+      }
+      d.stage("load_day1_orders", deps = Seq("wait_day1")) { ctx =>
+        val raw = s.read.parquet(s"$root/raw_day1")
+        ctx.put("orders_n",
+          Pipelines.resourceIngest(raw, orderSpec, None).count())
+      }
+      // A9: the orders snapshot must hold exactly one row per order key
+      d.reconcile("reconcile_day1", deps = Seq("load_day1_orders")) { ctx =>
+        Seq(("orders snapshot rows", Tables.orders(s, dir).count(),
+          ctx[Long]("orders_n")))
+      }
+      d.stage("fetch_day2", deps = Seq("reconcile_day1"),
+          maxRetry = 2, backoffMs = 10L) { _ =>
+        ensureOnce(s"$root/raw_day2", s"$dir/lineitem.parquet") {
+          rawLinesJson(li.filter(col("l_shipdate") >= ingestCutoff))
+            .write.mode("overwrite").parquet(s"$root/raw_day2")
+        }
+      }
+      d.sensor("wait_day2", deps = Seq("fetch_day2"),
+          pollMs = 20L, timeoutMs = 60000L) { _ =>
+        new java.io.File(s"$root/raw_day2/_SUCCESS").exists()
+      }
+      d.stage("merge_day2", deps = Seq("wait_day2", "load_day1_lines")) { ctx =>
+        val raw = s.read.parquet(s"$root/raw_day2")
+        ctx.put("snapshot", Pipelines.resourceIngest(raw, lineSpec,
+          Some(ctx[DataFrame]("prev"))))
+      }
+      val (report, ctx) = d.runCtx()
+      require(report.succeeded, s"dag failed: ${report.results}")
+      ctx[DataFrame]("snapshot").orderBy("id")
     },
 
     // glue catalog copy/register port: managed source db → parquet copy →
@@ -374,6 +452,19 @@ object PipelineQueries {
         |ORDER BY table_name""".stripMargin,
 
     "pl_resource_ingest" ->
+      """WITH ranked AS (
+        |  SELECT l_orderkey AS id, l_linenumber AS ln, l_quantity AS qty,
+        |    strftime(l_shipdate, '%Y-%m-%d') AS sd,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |                       ORDER BY l_linenumber DESC,
+        |                                strftime(l_shipdate, '%Y-%m-%d') DESC,
+        |                                l_quantity DESC) AS rn
+        |  FROM lineitem)
+        |SELECT id, ln, qty, sd FROM ranked WHERE rn = 1 ORDER BY id""".stripMargin,
+
+    // same chain as pl_resource_ingest, driven by the DAG runner — the
+    // oracle is identical by construction
+    "pl_dag_run" ->
       """WITH ranked AS (
         |  SELECT l_orderkey AS id, l_linenumber AS ln, l_quantity AS qty,
         |    strftime(l_shipdate, '%Y-%m-%d') AS sd,
