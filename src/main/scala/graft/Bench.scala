@@ -77,18 +77,22 @@ object Bench {
     // (see build.sbt showSuccess notes): report the slowest queries up
     // to a character budget on the line, and write the complete
     // per-query detail (warm + cold + errors) to bench_detail.json.
+    // explicit ROOT locale: the f interpolator honors the JVM default
+    // locale, and a comma-decimal locale would emit invalid JSON
+    def num(pat: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, pat, Double.box(v))
     def fmt(entries: Seq[(String, Double)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      entries.map { case (k, v) => "\"" + k + "\":" + num("%.2f", v) }
         .mkString("{", ",", "}")
     val bySlowest = ok.map { case (k, _, w) => (k, w) }.sortBy(-_._2)
     var used = 0
     val keep = bySlowest.takeWhile { case (k, v) =>
-      val c = k.length + 8 + f"$v%.2f".length
+      val c = k.length + 8 + num("%.2f", v).length
       if (used + c <= 1600) { used += c; true } else false
     }
     val runsJson = runLog.map { case (k, rs) =>
       "\"" + k + "\":[" + rs.map { case (t, g) =>
-        f"[$t%.3f,$g%.3f]" }.mkString(",") + "]"
+        "[" + num("%.3f", t) + "," + num("%.3f", g) + "]" }.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},
@@ -99,6 +103,6 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail)
     spark.stop()
-    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${ok.size},"queries":${fmt(keep)},"errors":$es,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","n_queries":${ok.size},"queries":${fmt(keep)},"errors":$es,"detail":"bench_detail.json","sf":"$sfDir"}""")
   }
 }

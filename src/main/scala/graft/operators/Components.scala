@@ -139,14 +139,19 @@ object Components {
     // first action materializes, the context cleaner reclaims the blocks.
     val nodesM = nodes.select(col("node")).localCheckpoint(false)
     val nNodes = nodesM.count() // driver scalar — documented boundary
-    val out = edges.groupBy(col(fromCol))
-      .agg(sum(col(weightCol)).as("__out"))
-    val e = edges.join(out, fromCol).localCheckpoint(false)
+    // reserved internal edge names up front: a caller whose from/to/weight
+    // columns are named 'node', 'rank', or '__out' would otherwise hit
+    // ambiguous or silently-wrong name resolution in the iteration joins
+    val e0 = edges.select(col(fromCol).as("__from"), col(toCol).as("__to"),
+      col(weightCol).as("__w"))
+    val out = e0.groupBy(col("__from"))
+      .agg(sum(col("__w")).as("__out"))
+    val e = e0.join(out, "__from").localCheckpoint(false)
     val init = nodesM.select(col("node"), lit(1.0 / nNodes).as("rank"))
     FixedPoint.iterateSteps(init, cur => {
-      val contrib = cur.join(e, cur("node") === e(fromCol))
-        .select(col(toCol).as("node"),
-          dec((col("rank") * col(weightCol)) / col("__out")).as("__c"))
+      val contrib = cur.join(e, cur("node") === col("__from"))
+        .select(col("__to").as("node"),
+          dec((col("rank") * col("__w")) / col("__out")).as("__c"))
         .groupBy(col("node"))
         .agg(sum(col("__c")).cast("double").as("__contrib"))
       nodesM.join(contrib, Seq("node"), "left")

@@ -53,7 +53,9 @@ package object queries {
       else f.lastModified()
     val srcTs =
       if (srcPath.isEmpty) 0L else newestUnder(new java.io.File(srcPath))
-    if (!marker.exists() || marker.lastModified() < srcTs) { rmrf(path); write }
+    // <= : filesystem mtime granularity can be a full second, so a source
+    // regenerated within the same tick as the marker must count as newer
+    if (!marker.exists() || marker.lastModified() <= srcTs) { rmrf(path); write }
   }
 
   /** Token-chained page fixture for [[graft.sources.RestSource
@@ -63,6 +65,10 @@ package object queries {
     * function. */
   def cursorPageFixture(rows: Seq[String], pageSize: Int,
                         tokenPrefix: String): Map[Option[String], String] = {
+    // an empty feed is one tokenless empty page — grouped() on empty
+    // yields nothing, and a Map without the None key would fail the
+    // initial fetch with a bare NoSuchElementException
+    if (rows.isEmpty) return Map(Option.empty[String] -> """{"data":[]}""")
     val pages = rows.grouped(pageSize).toVector
     pages.zipWithIndex.map { case (rs, i) =>
       val tok = if (i == 0) None else Some(s"$tokenPrefix$i")

@@ -176,4 +176,39 @@ class CapabilitiesSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("J6: the reference's 10-way rank-offset self-join ≡ the lag-window form") {
+    // The literal join form (ref: automl_linearreg_process_stocks.py:100-211):
+    // row_number over Date desc, then ten chained inner self-joins at
+    // rank+k, each contributing a vKDayAgo column. The modern form is ONE
+    // window sort (Windows.lagFeatures) — this test pins their frame
+    // equality, so w4_lag_features stands in for J6 with the literal
+    // capability proven, not asserted. Inner joins drop rows missing a
+    // k-days-ago predecessor; the window form replicates that by
+    // filtering lag-10 nulls (rank is dense, so both keep exactly the
+    // rows with 10 predecessors).
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val daily = graft.core.Tables.orders(spark, sf001)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("v"))
+    val lags = 1 to 10
+    val ranked = daily.withColumn("rn",
+      row_number().over(Window.orderBy(col("d").desc)))
+    val joinForm = lags.foldLeft(ranked) { (acc, k) =>
+      acc.join(ranked.select(col("v").as(s"v_$k"), col("rn").as(s"rn_$k")),
+          col(s"rn_$k") === col("rn") + k, "inner")
+        .drop(s"rn_$k")
+    }.drop("rn")
+    // rank+k under a DESC rank walks toward OLDER dates — that is lag(k)
+    // under an ASC date order
+    val windowForm = graft.operators.Windows.lagFeatures(daily, col("v"),
+        Seq(col("d").asc), lags, "v_")
+      .filter(col("v_10").isNotNull)
+    val cols = ("d" +: "v" +: lags.map(k => s"v_$k")).map(col)
+    val a = joinForm.select(cols: _*)
+    val b = windowForm.select(cols: _*)
+    assert(a.count() == b.count() && a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
