@@ -81,9 +81,12 @@ object StreamQueries {
     // the real-event windows.
     "st_tumbling_watermark" -> { (s, dir) =>
       import graft.streaming.FileStreams
-      val in = scratch(dir, "wm_in"); val out = scratch(dir, "wm_out")
+      val in = scratch(dir, "wm_land"); val out = scratch(dir, "wm_out")
       val ckpt = scratch(dir, "wm_ckpt")
-      Seq(in, out, ckpt).foreach(rmrf)
+      // landing split as in st_session_window: base/ built once per
+      // testdata, extra/ takes this run's sentinel, stream reads the glob
+      val base = s"$in/base"; val extra = s"$in/extra"
+      Seq(extra, out, ckpt).foreach(rmrf)
       val schema = graft.core.SchemaDsl.fromSpec(
         "event_id:l;ts:c;event_type:c;value:d")
       // one week of the landing data: the windowed-state machinery
@@ -91,11 +94,13 @@ object StreamQueries {
       // identical at any drain volume, so the query proves ST7 on a
       // quarter of the month and the oracle applies the same bound
       val drainCutoff = "2024-01-08"
-      Tables.events(s, dir)
-        .filter(col("ts") < drainCutoff)
-        .select(col("event_id"), col("ts").cast("string").as("ts"),
-          col("event_type"), col("value"))
-        .repartition(4).write.json(in)
+      ensureOnce(base, s"$dir/events.parquet") {
+        Tables.events(s, dir)
+          .filter(col("ts") < drainCutoff)
+          .select(col("event_id"), col("ts").cast("string").as("ts"),
+            col("event_type"), col("value"))
+          .repartition(4).write.json(base)
+      }
       def windowed(df: org.apache.spark.sql.DataFrame) = df
         .withColumn("ts", to_timestamp(col("ts")))
         .withWatermark("ts", "1 hour")
@@ -106,7 +111,7 @@ object StreamQueries {
       // several-microbatch behavior is proven by st_stream_etl; here one
       // batch per drain keeps the state-commit rounds minimal
       def drain(): Unit = FileStreams.startPartitionedParquetSink(
-        windowed(FileStreams.jsonFileStream(s, in, schema,
+        windowed(FileStreams.jsonFileStream(s, s"$in/*", schema,
           maxFilesPerTrigger = 4)),
         out, ckpt, Seq("event_type")).awaitTermination()
       // streaming state partition count is fixed at checkpoint creation;
@@ -121,7 +126,7 @@ object StreamQueries {
         import s.implicits._
         Seq((-1L, "2030-01-01 00:00:00", "zz_sentinel", 0.0))
           .toDF("event_id", "ts", "event_type", "value")
-          .coalesce(1).write.mode(SaveMode.Append).json(in)
+          .coalesce(1).write.mode(SaveMode.Append).json(extra)
         drain()
       } finally s.conf.set(partKey, prevParts)
       s.read.parquet(out)
@@ -139,15 +144,24 @@ object StreamQueries {
     // condition is diff >= gap, end-exclusive).
     "st_session_window" -> { (s, dir) =>
       import graft.streaming.FileStreams
-      val in = scratch(dir, "sw_in"); val out = scratch(dir, "sw_out")
+      // "sw_land", not the pre-split "sw_in": a leftover flat-layout dir
+      // would double the stream under the glob
+      val in = scratch(dir, "sw_land"); val out = scratch(dir, "sw_out")
       val ckpt = scratch(dir, "sw_ckpt")
-      Seq(in, out, ckpt).foreach(rmrf) // sentinel appends → rebuild per run
+      // landing split: base/ is a pure function of the testdata (built
+      // once — warm runs must not pay the rewrite), extra/ holds this
+      // run's sentinel appends and is rebuilt per run; the stream reads
+      // the glob over both
+      val base = s"$in/base"; val extra = s"$in/extra"
+      Seq(extra, out, ckpt).foreach(rmrf)
       val drainCutoff = "2024-01-08"
-      Tables.events(s, dir)
-        .filter(col("ts") < drainCutoff)
-        .select((col("user_id") % 20).as("acct"),
-          col("ts").cast("string").as("ts"), col("value"))
-        .repartition(4).write.json(in)
+      ensureOnce(base, s"$dir/events.parquet") {
+        Tables.events(s, dir)
+          .filter(col("ts") < drainCutoff)
+          .select((col("user_id") % 20).as("acct"),
+            col("ts").cast("string").as("ts"), col("value"))
+          .repartition(4).write.json(base)
+      }
       val schema = graft.core.SchemaDsl.fromSpec("acct:l;ts:c;value:d")
       def windowed(df: org.apache.spark.sql.DataFrame) = df
         .withColumn("ts", to_timestamp(col("ts")))
@@ -158,7 +172,7 @@ object StreamQueries {
           col("w.end").as("session_end"), col("acct"), col("n"),
           col("value_sum"))
       def drain(): Unit = FileStreams.startPartitionedParquetSink(
-        windowed(FileStreams.jsonFileStream(s, in, schema,
+        windowed(FileStreams.jsonFileStream(s, s"$in/*", schema,
           maxFilesPerTrigger = 4)),
         out, ckpt, Seq.empty).awaitTermination()
       val partKey = "spark.sql.shuffle.partitions"
@@ -168,7 +182,7 @@ object StreamQueries {
         drain()
         import s.implicits._
         Seq((-1L, "2030-01-01 00:00:00", 0.0)).toDF("acct", "ts", "value")
-          .coalesce(1).write.mode(SaveMode.Append).json(in)
+          .coalesce(1).write.mode(SaveMode.Append).json(extra)
         drain() // checkpoint-recovered state flushes the remaining sessions
       } finally s.conf.set(partKey, prevParts)
       s.read.parquet(out)
@@ -305,17 +319,24 @@ object StreamQueries {
     // them in. The target must hold exactly the latest version per key.
     "st_upsert_merge" -> { (s, dir) =>
       import graft.streaming.Upsert
-      val in = scratch(dir, "ups_in"); val target = scratch(dir, "ups_target")
+      val in = scratch(dir, "ups_land"); val target = scratch(dir, "ups_target")
       val ckpt = scratch(dir, "ups_ckpt")
-      Seq(in, target, ckpt).foreach(rmrf)
+      // landing split: wave-1 (the full table) is a pure function of the
+      // testdata and lands once; wave-2 must appear only after drain 1,
+      // so it rebuilds per run — it is 1/10th of the rows in one file
+      val base = s"$in/base"; val wave2 = s"$in/wave2"
+      Seq(wave2, target, ckpt).foreach(rmrf)
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), lit(1L).as("ver"))
-      ev.repartition(4).write.parquet(in)
+      ensureOnce(base, s"$dir/events.parquet") {
+        ev.repartition(4).write.parquet(base)
+      }
       val schema = graft.core.SchemaDsl.fromSpec(
         "event_id:l;user_id:l;event_type:c;value:d;ver:l")
       def drain(): Unit = Upsert.startParquetUpsert(
-        s.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(in),
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 2)
+          .parquet(s"$in/*"),
         target, ckpt, keys = Seq("event_id"),
         orderCols = Seq("ver", "event_id")).awaitTermination()
       // state-light job: the merge is stateless per batch (state lives
@@ -328,7 +349,7 @@ object StreamQueries {
         ev.filter(col("event_id") % 10 === 0)
           .withColumn("value", col("value") * 2.0)
           .withColumn("ver", lit(2L))
-          .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+          .coalesce(1).write.mode(SaveMode.Append).parquet(wave2)
         drain()
       } finally s.conf.set(partKey, prevParts)
       s.read.parquet(target)
