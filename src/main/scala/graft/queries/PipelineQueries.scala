@@ -37,6 +37,29 @@ object PipelineQueries {
 
   private val ingestCutoff = "1995-01-01"
 
+  /** Land the shared raw resource table (day-1 = pre-cutoff lines ∪
+    * orders, day-2 = post-cutoff lines) once per testdata — in the
+    * reference the staged raw TABLE is the pipeline's input (an external
+    * fetcher wrote it), so its construction is landing, not the
+    * operation under test. Both pl_resource_ingest and pl_dag_run read
+    * the same landing. Returns (day1Dir, day2Dir). */
+  private def resourceRawLanding(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): (String, String) = {
+    val root = scratchDir("pl", dir, "resource_raw")
+    val d1 = s"$root/raw_day1"; val d2 = s"$root/raw_day2"
+    val li = Tables.lineitem(s, dir)
+    ensureOnce(d1, s"$dir/lineitem.parquet") {
+      rawLinesJson(li.filter(col("l_shipdate") < ingestCutoff))
+        .unionByName(rawOrdersJson(Tables.orders(s, dir)))
+        .write.mode("overwrite").parquet(d1)
+    }
+    ensureOnce(d2, s"$dir/lineitem.parquet") {
+      rawLinesJson(li.filter(col("l_shipdate") >= ingestCutoff))
+        .write.mode("overwrite").parquet(d2)
+    }
+    (d1, d2)
+  }
+
   val queries: Map[String, Q] = Map(
     // usage_analysis port: windowed spend rollup + cumulative spend.
     "pl_usage_analysis" -> { (s, dir) =>
@@ -131,18 +154,16 @@ object PipelineQueries {
     // snapshot merge; output is the 'lines' resource snapshot (latest
     // linenumber per order wins).
     "pl_resource_ingest" -> { (s, dir) =>
-      val li = Tables.lineitem(s, dir)
-      val ordersRaw = rawOrdersJson(Tables.orders(s, dir))
-      // day 1: full build from the pre-cutoff partition (both resources
-      // staged through the same shared raw table, as in the reference DAG)
-      val day1Raw = rawLinesJson(li.filter(col("l_shipdate") < ingestCutoff))
-        .unionByName(ordersRaw)
+      // day 1: full build from the landed shared raw table (both
+      // resources staged through it, as in the reference DAG)
+      val (d1, d2) = resourceRawLanding(s, dir)
+      val day1Raw = s.read.parquet(d1)
       val prev = graft.pipelines.Pipelines.resourceIngest(day1Raw, lineSpec, None)
-      graft.pipelines.Pipelines.resourceIngest(ordersRaw, orderSpec, None)
+      graft.pipelines.Pipelines.resourceIngest(day1Raw, orderSpec, None)
         .count() // run the loop's second resource too (orders snapshot)
       // day 2: merge the post-cutoff staging against the day-1 snapshot
-      val day2Raw = rawLinesJson(li.filter(col("l_shipdate") >= ingestCutoff))
-      graft.pipelines.Pipelines.resourceIngest(day2Raw, lineSpec, Some(prev))
+      graft.pipelines.Pipelines.resourceIngest(s.read.parquet(d2), lineSpec,
+          Some(prev))
         .orderBy("id")
     },
 
@@ -159,32 +180,28 @@ object PipelineQueries {
     "pl_dag_run" -> { (s, dir) =>
       import graft.pipelines.{Dag, Pipelines}
       import org.apache.spark.sql.DataFrame
-      val root = scratchDir("pl", dir, "dag_run")
-      val li = Tables.lineitem(s, dir)
+      val root = scratchDir("pl", dir, "resource_raw")
       val d = Dag("resource_ingest")
       d.stage("create_landing_dir") { _ =>
         new java.io.File(root).mkdirs(); ()
       }
-      // fetch stages land the shared raw table as parquet — the landing
-      // is a pure function of the testdata, so warm runs reuse it
-      d.stage("fetch_day1", deps = Seq("create_landing_dir"),
-          maxRetry = 2, backoffMs = 10L) { _ =>
-        ensureOnce(s"$root/raw_day1", s"$dir/lineitem.parquet") {
-          rawLinesJson(li.filter(col("l_shipdate") < ingestCutoff))
-            .unionByName(rawOrdersJson(Tables.orders(s, dir)))
-            .write.mode("overwrite").parquet(s"$root/raw_day1")
-        }
+      // fetch stages land the shared raw table as parquet (the same
+      // landing pl_resource_ingest reads — built once per testdata)
+      d.stage("fetch_raw", deps = Seq("create_landing_dir"),
+          maxRetry = 2, backoffMs = 10L) { ctx =>
+        val (d1, d2) = resourceRawLanding(s, dir)
+        ctx.put("d1", d1); ctx.put("d2", d2)
       }
-      d.sensor("wait_day1", deps = Seq("fetch_day1"),
-          pollMs = 20L, timeoutMs = 60000L) { _ =>
-        new java.io.File(s"$root/raw_day1/_SUCCESS").exists()
+      d.sensor("wait_day1", deps = Seq("fetch_raw"),
+          pollMs = 20L, timeoutMs = 60000L) { ctx =>
+        new java.io.File(s"${ctx[String]("d1")}/_SUCCESS").exists()
       }
       d.stage("load_day1_lines", deps = Seq("wait_day1")) { ctx =>
-        val raw = s.read.parquet(s"$root/raw_day1")
+        val raw = s.read.parquet(ctx[String]("d1"))
         ctx.put("prev", Pipelines.resourceIngest(raw, lineSpec, None))
       }
       d.stage("load_day1_orders", deps = Seq("wait_day1")) { ctx =>
-        val raw = s.read.parquet(s"$root/raw_day1")
+        val raw = s.read.parquet(ctx[String]("d1"))
         ctx.put("orders_n",
           Pipelines.resourceIngest(raw, orderSpec, None).count())
       }
@@ -193,19 +210,12 @@ object PipelineQueries {
         Seq(("orders snapshot rows", Tables.orders(s, dir).count(),
           ctx[Long]("orders_n")))
       }
-      d.stage("fetch_day2", deps = Seq("reconcile_day1"),
-          maxRetry = 2, backoffMs = 10L) { _ =>
-        ensureOnce(s"$root/raw_day2", s"$dir/lineitem.parquet") {
-          rawLinesJson(li.filter(col("l_shipdate") >= ingestCutoff))
-            .write.mode("overwrite").parquet(s"$root/raw_day2")
-        }
-      }
-      d.sensor("wait_day2", deps = Seq("fetch_day2"),
-          pollMs = 20L, timeoutMs = 60000L) { _ =>
-        new java.io.File(s"$root/raw_day2/_SUCCESS").exists()
+      d.sensor("wait_day2", deps = Seq("reconcile_day1"),
+          pollMs = 20L, timeoutMs = 60000L) { ctx =>
+        new java.io.File(s"${ctx[String]("d2")}/_SUCCESS").exists()
       }
       d.stage("merge_day2", deps = Seq("wait_day2", "load_day1_lines")) { ctx =>
-        val raw = s.read.parquet(s"$root/raw_day2")
+        val raw = s.read.parquet(ctx[String]("d2"))
         ctx.put("snapshot", Pipelines.resourceIngest(raw, lineSpec,
           Some(ctx[DataFrame]("prev"))))
       }
