@@ -60,20 +60,7 @@ object Windows {
     * into one task. */
   def globalRowNumber(df: DataFrame, orderBy: Seq[Column],
                       rankCol: String, numParts: Int = 0): DataFrame = {
-    val parts = if (numParts > 0) numParts
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // ONE shuffle: range partition + in-partition sort. The local rank
-    // comes from monotonically_increasing_id's documented layout
-    // (partition index << 33 | in-partition record offset) instead of a
-    // Window.partitionBy(pid), which would re-shuffle the whole relation
-    // a second time on pid.
-    val mask = (1L << 33) - 1
-    val withLocal = df.repartitionByRange(parts, orderBy: _*)
-      .sortWithinPartitions(orderBy: _*)
-      .withColumn("__mid", monotonically_increasing_id())
-      .withColumn("__pid", call_function("shiftright", col("__mid"), lit(33)))
-      .withColumn("__lrn", col("__mid").bitwiseAND(lit(mask)) + 1)
-      .drop("__mid")
+    val withLocal = localRanked(df, orderBy, resolveParts(df, numParts))
     val counts = withLocal.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
     val cum = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts // P rows — the global window here is tiny by design
@@ -82,6 +69,27 @@ object Windows {
     withLocal.join(broadcast(offsets), "__pid")
       .withColumn(rankCol, col("__lrn") + col("__off"))
       .drop("__pid", "__lrn")
+  }
+
+  private def resolveParts(df: DataFrame, numParts: Int): Int =
+    if (numParts > 0) numParts
+    else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+
+  /** Shared scaffold of the global-rank family. ONE shuffle: range
+    * partition + in-partition sort. The local rank (`__lrn`, 1-based, per
+    * range partition `__pid`) comes from monotonically_increasing_id's
+    * documented layout (partition index << 33 | in-partition record
+    * offset) instead of a Window.partitionBy(pid), which would re-shuffle
+    * the whole relation a second time on pid. */
+  private def localRanked(df: DataFrame, orderBy: Seq[Column],
+                          parts: Int): DataFrame = {
+    val mask = (1L << 33) - 1
+    df.repartitionByRange(parts, orderBy: _*)
+      .sortWithinPartitions(orderBy: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", call_function("shiftright", col("__mid"), lit(33)))
+      .withColumn("__lrn", col("__mid").bitwiseAND(lit(mask)) + 1)
+      .drop("__mid")
   }
 
   /** Global row_number PLUS a running sum of `value` in `orderBy` order,
@@ -93,20 +101,15 @@ object Windows {
     * in-partition prefix sum runs under a window KEYED by the partition
     * id, so the only whole-relation exchanges are the range partition and
     * the pid hash — both bounded at |relation|/P rows per task. Exact when
-    * `orderBy` is a strict total order. */
+    * `orderBy` is a strict total order. NULL `value`s count as zero in
+    * the running sum (the single-task window form would instead carry
+    * NULL until the first non-null — callers needing that distinction
+    * should filter or flag nulls first). */
   def globalOrderedCumSum(df: DataFrame, orderBy: Seq[Column], value: Column,
                           rankCol: String, cumCol: String,
                           numParts: Int = 0): DataFrame = {
-    val parts = if (numParts > 0) numParts
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val mask = (1L << 33) - 1
-    val withLocal = df.repartitionByRange(parts, orderBy: _*)
-      .sortWithinPartitions(orderBy: _*)
-      .withColumn("__val", value)
-      .withColumn("__mid", monotonically_increasing_id())
-      .withColumn("__pid", call_function("shiftright", col("__mid"), lit(33)))
-      .withColumn("__lrn", col("__mid").bitwiseAND(lit(mask)) + 1)
-      .drop("__mid")
+    val withLocal = localRanked(df, orderBy, resolveParts(df, numParts))
+      .withColumn("__val", coalesce(value, lit(0)))
     val counts = withLocal.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__cnt"), sum(col("__val")).as("__vsum"))
     val cum = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)

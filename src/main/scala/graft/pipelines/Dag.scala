@@ -68,9 +68,10 @@ object Dag {
     def stage(name: String, deps: Seq[String] = Nil, maxRetry: Int = 0,
               backoffMs: Long = 0L)(body: Ctx => Unit): this.type = {
       require(!stages.contains(name), s"duplicate stage '$name'")
-      deps.foreach(d => require(stages.contains(d),
+      val ds = deps.distinct // a repeated dep would skew Kahn's indegrees
+      ds.foreach(d => require(stages.contains(d),
         s"stage '$name' depends on undeclared '$d' — declare stages in dependency order"))
-      stages(name) = Stage(name, deps, maxRetry, backoffMs, body)
+      stages(name) = Stage(name, ds, maxRetry, backoffMs, body)
       this
     }
 

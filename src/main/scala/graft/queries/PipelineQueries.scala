@@ -48,7 +48,9 @@ object PipelineQueries {
     val root = scratchDir("pl", dir, "resource_raw")
     val d1 = s"$root/raw_day1"; val d2 = s"$root/raw_day2"
     val li = Tables.lineitem(s, dir)
-    ensureOnce(d1, s"$dir/lineitem.parquet") {
+    // d1 derives from lineitem AND orders — guard against the whole
+    // testdata dir so a regenerated orders table rebuilds the landing
+    ensureOnce(d1, dir) {
       rawLinesJson(li.filter(col("l_shipdate") < ingestCutoff))
         .unionByName(rawOrdersJson(Tables.orders(s, dir)))
         .write.mode("overwrite").parquet(d1)
@@ -219,8 +221,9 @@ object PipelineQueries {
         ctx.put("snapshot", Pipelines.resourceIngest(raw, lineSpec,
           Some(ctx[DataFrame]("prev"))))
       }
-      val (report, ctx) = d.runCtx()
-      require(report.succeeded, s"dag failed: ${report.results}")
+      // failFast run: any stage failure (sensor timeout, reconcile
+      // mismatch) throws StageFailed before runCtx returns
+      val (_, ctx) = d.runCtx()
       ctx[DataFrame]("snapshot").orderBy("id")
     },
 

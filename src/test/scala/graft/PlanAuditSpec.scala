@@ -206,36 +206,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!r.isNullAt(2) && !r.isNullAt(3))   // null elements skipped, no NPE
   }
 
-  test("whole catalog: no query ever plans a non-broadcast cartesian product") {
+  test("whole catalog: no cartesian products; global Windows only post-aggregation") {
+    // ONE catalog sweep, two blanket scale rules (constructing some
+    // queries runs real Spark work — pl_dag_run's whole DAG — so the
+    // catalog is executed once, not once per rule):
+    // 1. No query ever plans a non-broadcast cartesian product.
+    // 2. A Window with no partitionBy funnels its whole input into ONE
+    //    task; that is only acceptable over a frame aggregation has
+    //    already collapsed (daily revenue, per-partition offsets — rows
+    //    bounded by group count, not data size). Every unpartitioned
+    //    logical Window must have an Aggregate beneath it.
     // io_/st_ queries run real writes when constructed — their plans are
     // simple scans/aggs over their own output; skip the side effects here
-    val pure = SparkEntry.queries.keys.filterNot(n =>
-      n.startsWith("io_") || n.startsWith("st_"))
-    for (name <- pure) {
-      val p = plan(name)
-      assert(!p.contains("CartesianProduct"),
-        s"$name plans a CartesianProduct — an all-pairs shuffle at scale")
-    }
-  }
-
-  test("whole catalog: unpartitioned Windows only over post-aggregation frames") {
-    // A Window with no partitionBy funnels its whole input into ONE task.
-    // That is only acceptable over a frame that aggregation has already
-    // collapsed (daily revenue, per-partition offsets — rows bounded by
-    // group count, not data size). Any other global window is a 100 TB
-    // scale-killer, so the rule is blanket: every unpartitioned logical
-    // Window in every catalog query must have an Aggregate beneath it.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val pure = SparkEntry.queries.keys.filterNot(n =>
       n.startsWith("io_") || n.startsWith("st_"))
-    val bad = for {
-      name <- pure.toSeq
-      w <- SparkEntry.queries(name)(spark, sf001)
-        .queryExecution.optimizedPlan.collect {
-          case w: LWindow if w.partitionSpec.isEmpty => w
-        }
-      if w.child.collectFirst { case a: Aggregate => a }.isEmpty
-    } yield name
+    val badWindows = Seq.newBuilder[String]
+    for (name <- pure) {
+      val qe = SparkEntry.queries(name)(spark, sf001).queryExecution
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — an all-pairs shuffle at scale")
+      val bare = qe.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+      }
+      if (bare.nonEmpty) badWindows += name
+    }
+    val bad = badWindows.result()
     assert(bad.isEmpty,
       s"unpartitioned Window over a non-aggregated frame in: ${bad.distinct.sorted.mkString(", ")}")
   }
