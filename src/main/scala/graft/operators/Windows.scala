@@ -126,6 +126,34 @@ object Windows {
       .drop("__pid", "__lrn", "__val", "__off", "__voff")
   }
 
+  /** Exact sliding RANGE-frame sum for LOW-CARDINALITY partition keys —
+    * the two-level re-aggregation form of
+    * `sum(v).over(Window.partitionBy(keys).orderBy(ts).rangeBetween(-w, 0))`.
+    *
+    * A keyed window's parallelism is min(cores, distinct keys): with 5
+    * keys over 100 TB, five tasks would each buffer and scan billions of
+    * rows (SCALING.md ×100: the w6b 22.6× row). Here the only
+    * whole-relation shuffle is a hash aggregate to per-(key, tick)
+    * partial sums — fully parallel — and the keyed RANGE window then runs
+    * over that COLLAPSED frame, whose size per key is bounded by distinct
+    * time ticks (86 400/day at second granularity), not rows. The per-row
+    * result joins back on (key, tick). Exact because frame boundaries lie
+    * on tick granularity: a row's [t−w, t] frame contains whole ticks.
+    *
+    * `tsTickCol` must be an integral tick column (e.g. epoch seconds);
+    * `windowTicks` the frame width in the same unit. Use a decimal-image
+    * `value` (see [[graft.queries.dec]]) when bit-stable sums matter. */
+  def slidingRangeSum(df: DataFrame, keys: Seq[String], tsTickCol: String,
+                      value: Column, windowTicks: Long,
+                      outCol: String): DataFrame = {
+    val gcols = keys :+ tsTickCol
+    val perTick = df.groupBy(gcols.map(col): _*).agg(sum(value).as("__v"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsTickCol))
+      .rangeBetween(-windowTicks, 0)
+    val slid = perTick.withColumn(outCol, sum(col("__v")).over(w)).drop("__v")
+    df.join(slid, gcols)
+  }
+
   /** Exact NTILE(k) built on [[globalRowNumber]] — same tile assignment as
     * `ntile(k).over(Window.orderBy(...))` (first n%k tiles are one row
     * larger), with no single-task global sort. */

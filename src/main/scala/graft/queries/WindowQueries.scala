@@ -154,6 +154,24 @@ object WindowQueries {
         .orderBy("event_id")
     },
 
+    // W6 two-level scalable twin: the SAME 10-minute sliding sum as
+    // w6b/w6c, but through Windows.slidingRangeSum — per-(type, second)
+    // hash aggregate first (the only whole-relation shuffle, fully
+    // parallel), keyed RANGE window over the collapsed per-second frame
+    // (bounded by distinct seconds, not rows), join back per event. The
+    // 100 TB answer to a 5-key window: SCALING.md ×100 measured the
+    // direct form at 22.6× (five tasks carry everything); this form's
+    // window frame stays 86 400 rows/key/day at any corpus size.
+    "w6d_sliding_sum_scalable" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_sec", expr("ts_ns div 1000000000"))
+      Windows.slidingRangeSum(ev, Seq("event_type"), "ts_sec",
+          dec(col("value")), 600L, "__ss")
+        .select(col("event_id"), col("event_type"),
+          col("__ss").cast("double").as("sliding_sum"))
+        .orderBy("event_id")
+    },
+
     // first/last/nth over an unbounded frame: per user the first,
     // second, and last event type — the named-position window family
     // (first_value / nth_value / last_value) in one partitioned pass.
@@ -412,6 +430,14 @@ object WindowQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
         |    PARTITION BY event_type ORDER BY ts
         |    RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW
+        |  ) AS DOUBLE) AS sliding_sum
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "w6d_sliding_sum_scalable" ->
+      """SELECT event_id, event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY event_type ORDER BY (epoch_ns(ts) // 1000000000)
+        |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
         |  ) AS DOUBLE) AS sliding_sum
         |FROM events ORDER BY event_id""".stripMargin,
 
