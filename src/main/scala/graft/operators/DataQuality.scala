@@ -91,6 +91,60 @@ object DataQuality {
           .as("common"))
   }
 
+  /** One declarative expectation: `metric` is any aggregate expression
+    * over the table; `check` turns the observed metric into pass/fail.
+    * The suite compiles every expectation into ONE aggregate pass. */
+  final case class Expectation(name: String, metric: Column,
+                               check: Column => Column)
+
+  object Expectation {
+    /** Fraction of non-null values in `c` must be ≥ `minRate`. */
+    def notNull(c: String, minRate: Double = 1.0): Expectation =
+      Expectation(s"not_null:$c",
+        avg(col(c).isNotNull.cast("int")), _ >= minRate)
+
+    /** `c` must be unique across the table (distinct/total = 1). */
+    def unique(c: String): Expectation =
+      Expectation(s"unique:$c",
+        countDistinct(col(c)).cast("double") / count(lit(1)), _ === 1.0)
+
+    /** Minimum of `c` must be ≥ `lo`. */
+    def minAtLeast(c: String, lo: Double): Expectation =
+      Expectation(s"min:$c", min(col(c)).cast("double"), _ >= lo)
+
+    /** Maximum of `c` must be ≤ `hi`. */
+    def maxAtMost(c: String, hi: Double): Expectation =
+      Expectation(s"max:$c", max(col(c)).cast("double"), _ <= hi)
+
+    /** Count of values of `c` outside `allowed` must be 0. */
+    def valuesIn(c: String, allowed: Seq[String]): Expectation =
+      Expectation(s"values_in:$c",
+        sum(when(col(c).isInCollection(allowed), 0).otherwise(1))
+          .cast("double"), _ === 0.0)
+
+    /** Total row count must be ≥ `n`. */
+    def rowCountAtLeast(n: Long): Expectation =
+      Expectation("row_count", count(lit(1)).cast("double"), _ >= n.toDouble)
+  }
+
+  /** Single-pass expectation suite: every metric evaluates in ONE
+    * aggregate over the table (one scan, map-side partials — the shape
+    * that holds at 100 TB; N separate assertion queries would scan the
+    * fact N times), then the 1-row result unpivots to a row per
+    * expectation: (expectation, observed DOUBLE, ok BOOLEAN). */
+  def expectationSuite(df: DataFrame, exps: Seq[Expectation]): DataFrame = {
+    require(exps.nonEmpty, "expectationSuite needs at least one expectation")
+    val metrics = exps.zipWithIndex.map { case (e, i) =>
+      e.metric.cast("double").as(s"__m$i") }
+    val agged = df.agg(metrics.head, metrics.tail: _*)
+    val rows = array(exps.zipWithIndex.map { case (e, i) =>
+      struct(lit(e.name).as("expectation"),
+        col(s"__m$i").as("observed"),
+        e.check(col(s"__m$i")).as("ok"))
+    }: _*)
+    agged.select(explode(rows).as("__r")).select(col("__r.*"))
+  }
+
   /** Per-partition freshness monitor: each group's newest event time,
     * its whole-hours lag behind the table-wide newest, and a staleness
     * flag at `maxLagHours` — the standing "did every feed land?" check

@@ -96,6 +96,64 @@ object VectorSim {
       .select(col("q_id"), col("rnk"), col("nn_id"), col("cos"))
   }
 
+  /** Per-vector max |x| — the SQ8 quantization scale (and the zero-vector
+    * guard: a vector with maxAbs 0 has no direction and is excluded). */
+  private def maxAbs(v: Column): Column =
+    array_max(transform(asDouble(v), x => abs(x)))
+
+  /** SQ8 scalar quantization: symmetric per-vector int8 codes
+    * `floor(x·127/max|x| + 0.5)` — `floor(+0.5)` rather than `round` so
+    * both engines run the identical IEEE sequence (round() half-away /
+    * half-even varies by engine and type). The code array is
+    * `array<tinyint>`: 1 byte/element vs 4 for float32 — the compact
+    * index a 100 TB ANN pass scans instead of the fat vector column. */
+  def sq8(v: Column): Column = {
+    val vd = asDouble(v)
+    val mx = maxAbs(v)
+    transform(vd, x => floor(x * lit(127.0) / mx + lit(0.5)).cast("byte"))
+  }
+
+  /** Cosine over int8 code arrays. Every product and partial sum is an
+    * integer ≤ 127²·dim — exact in long AND in double at any association
+    * order, so the value is bit-identical across engines by construction
+    * (no sequential-sum contract needed, unlike the float path). */
+  def sq8Cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column = aggregate(
+      zip_with(x, y, (p, q) => p.cast("long") * q.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    dot(a, b).cast("double") /
+      (sqrt(dot(a, a).cast("double")) * sqrt(dot(b, b).cast("double")))
+  }
+
+  /** Quantized-index ANN: candidate generation runs ENTIRELY over the
+    * int8 code index (id + dim bytes/row — 4× less data moved than
+    * float32, the real 100 TB win), oversamples `oversample·k` candidates
+    * per query by quantized cosine, then an equi-join rerank fetches the
+    * full float vectors for ONLY those candidates and orders the final
+    * top-k by exact cosine. The fat vector column never rides through the
+    * candidate join; rerank input is ≤ oversample·k rows per query. */
+  def sq8CosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, oversample: Int = 3): DataFrame = {
+    val cIdx = corpus.filter(maxAbs(col(vecCol)) > 0)
+      .select(col(idCol).as("nn_id"), sq8(col(vecCol)).as("__c8"))
+    val qIdx = queries.filter(maxAbs(col(vecCol)) > 0)
+      .select(col(idCol).as("q_id"), sq8(col(vecCol)).as("__q8"))
+    val cand = cIdx.crossJoin(broadcast(qIdx))
+      .filter(col("nn_id") =!= col("q_id"))
+      .withColumn("__qcos", sq8Cosine(col("__q8"), col("__c8")))
+    val pool = topKPerQuery(cand, "q_id", "__qcos", "nn_id", k * oversample)
+      .select(col("q_id"), col("nn_id"))
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
+    val cv = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__cv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    pool.join(cv, "nn_id").join(broadcast(qv), "q_id")
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("nn_id"), col("cos"))
+  }
+
   /** Multi-probe IVF ANN: each query probes its `nprobe` closest cells
     * instead of only its own — the standard recall knob. Cells are
     * ranked per query by cosine against a per-cell REPRESENTATIVE

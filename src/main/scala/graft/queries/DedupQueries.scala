@@ -124,6 +124,35 @@ object DedupQueries {
         .orderBy(col("component"))
     },
 
+    // Leakage-safe train/valid/test split: assignment is BY NEAR-DUP
+    // CLUSTER, not by document — near-duplicates can never straddle
+    // train and test (the eval-contamination failure mode of naive
+    // per-doc splits). Clusters (LSH pairs → connected components,
+    // singletons = own id) route by cluster_id % 10 → 8/1/1. The split
+    // is a pure function of the cluster key: no sampling state, same
+    // assignment at any scale or re-run. No-straddle is readable off
+    // the output: per-split n_clusters sums to the global cluster count.
+    "d_leakage_safe_split" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.7)
+      val comp = graft.operators.Components
+        .connectedComponents(pairs.select("a", "b"))
+        .withColumnRenamed("node", "doc_id")
+      docs.select(col("doc_id"), col("n_chars"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+        .withColumn("split",
+          when(col("cluster") % 10 < 8, "train")
+            .when(col("cluster") % 10 === 8, "valid")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("split"))
+    },
+
     // Incremental dedup against a PERSISTED corpus index: the corpus's
     // MinHash band signatures + hashed shingles are built once and stored
     // (parquet round trip here — the artifact a standing pipeline keeps
@@ -214,6 +243,33 @@ object DedupQueries {
          |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node)
          |SELECT node, MIN(r) AS component
          |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+
+    // same recursive-CTE component oracle as d_dedup_clusters, with
+    // singleton clusters and the cluster-keyed split routing
+    "d_leakage_safe_split" ->
+      s"""WITH RECURSIVE $wordShingleCte,
+         |pairs AS (
+         |  SELECT a, b FROM inter
+         |  JOIN cnt ca ON ca.doc_id = a
+         |  JOIN cnt cb ON cb.doc_id = b
+         |  WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.7),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+         |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+         |lab AS (
+         |  SELECT d.doc_id, d.n_chars, COALESCE(c.component, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+         |SELECT CASE WHEN cluster % 10 < 8 THEN 'train'
+         |            WHEN cluster % 10 = 8 THEN 'valid'
+         |            ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT cluster) AS n_clusters,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same recursive-CTE component oracle as d_dedup_clusters, extended
     // with singleton clusters and a windowed survivor pick

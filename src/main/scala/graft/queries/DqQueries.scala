@@ -85,6 +85,24 @@ object DqQueries {
         .orderBy(col("rule_name"))
     },
 
+    // Declarative expectation suite compiled into ONE aggregate pass —
+    // six assertions (null rate, key uniqueness, value bounds, accepted
+    // set, row count) evaluate in a single scan with map-side partials,
+    // where naive per-assertion queries would scan the fact six times
+    // (the shape that matters at 100 TB). Output: a row per expectation
+    // with the observed metric and pass/fail.
+    "dq_expectations" -> { (s, dir) =>
+      import graft.operators.DataQuality.Expectation._
+      DataQuality.expectationSuite(Tables.orders(s, dir), Seq(
+          notNull("o_custkey"),
+          unique("o_orderkey"),
+          minAtLeast("o_totalprice", 0.0),
+          maxAtMost("o_totalprice", 600000.0),
+          valuesIn("o_orderstatus", Seq("O", "F", "P")),
+          rowCountAtLeast(1000)))
+        .orderBy("expectation")
+    },
+
     // Winsorization: clip values to exact per-group [p05, p95] bounds
     // from the shared distribution-form quantile kernel
     // (operators/Quantiles — shuffles (group, value) pairs, never
@@ -170,6 +188,30 @@ object DqQueries {
         |  SELECT 'qty_bounds', COUNT(*), COUNT(DISTINCT l_orderkey)
         |  FROM lineitem WHERE l_quantity < 1.0 OR l_quantity > 49.0)
         |ORDER BY rule_name""".stripMargin,
+
+    // all six metrics from one aggregate over orders, unpivoted; the
+    // doubles are exact (integer-valued or a single IEEE division both
+    // engines perform identically)
+    "dq_expectations" ->
+      """WITH m AS (
+        |  SELECT
+        |    AVG(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS m0,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(*) AS m1,
+        |    CAST(MIN(o_totalprice) AS DOUBLE) AS m2,
+        |    CAST(MAX(o_totalprice) AS DOUBLE) AS m3,
+        |    CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+        |      AS DOUBLE) AS m4,
+        |    CAST(COUNT(*) AS DOUBLE) AS m5
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'not_null:o_custkey' AS expectation, m0 AS observed,
+        |    m0 >= 1.0 AS ok FROM m
+        |  UNION ALL SELECT 'unique:o_orderkey', m1, m1 = 1.0 FROM m
+        |  UNION ALL SELECT 'min:o_totalprice', m2, m2 >= 0.0 FROM m
+        |  UNION ALL SELECT 'max:o_totalprice', m3, m3 <= 600000.0 FROM m
+        |  UNION ALL SELECT 'values_in:o_orderstatus', m4, m4 = 0.0 FROM m
+        |  UNION ALL SELECT 'row_count', m5, m5 >= 1000.0 FROM m)
+        |ORDER BY expectation""".stripMargin,
 
     "dq_winsorize" ->
       s"""WITH hist AS (

@@ -74,6 +74,24 @@ object SimQueries {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    // SQ8 quantized-index ANN: candidate generation scans only the
+    // int8 code index (1 byte/dim vs 4 — the pass that touches the
+    // whole corpus moves 4× fewer bytes), takes 3·k candidates per
+    // query by quantized cosine, then reranks exactly over the full
+    // float vectors fetched by equi-join for just those candidates.
+    // Fully deterministic (floor(x·127/mx + 0.5) quantization and
+    // integer-exact code dot products), so the oracle replicates the
+    // whole quantize→candidate→rerank pipeline bit for bit.
+    "s_ann_sq8" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+      VectorSim.sq8CosineTopK(emb, queries, "vec_id", "embedding",
+          k = 10, oversample = 3)
+        .select(col("q_id"), col("rnk"),
+          col("nn_id"), floor(col("cos") * 1e6).cast("long").as("cos_micro"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     // Multi-probe IVF ANN: nprobe=2 — each query ranks the 10 cells by
     // cosine against the cell's min-id representative and probes the
     // best two; exact top-3 within the probed pair of cells. The recall
@@ -117,6 +135,36 @@ object SimQueries {
         |WHERE list_dot_product(x.e, y.e) /
         |  (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) >= 0.4
         |ORDER BY a, b""".stripMargin,
+
+    // replicates quantize (floor(x·127/mx+0.5)) → 30-candidate pool by
+    // code cosine → exact float rerank; code dot products are
+    // integer-valued doubles, exact at any summation order
+    "s_ann_sq8" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |m AS (
+         |  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx
+         |  FROM v),
+         |c8 AS (
+         |  SELECT vec_id, e,
+         |    list_transform(e, x -> floor(x * 127.0 / mx + 0.5)) AS q8
+         |  FROM m WHERE mx > 0),
+         |q AS (SELECT vec_id AS q_id, e AS qv, q8 AS qq8 FROM c8 WHERE vec_id < 5),
+         |cand AS (
+         |  SELECT q_id, c.vec_id AS nn_id, qv, c.e AS cv,
+         |    list_dot_product(qq8, c.q8) /
+         |      (sqrt(list_dot_product(qq8, qq8)) * sqrt(list_dot_product(c.q8, c.q8)))
+         |      AS qcos
+         |  FROM q, c8 c WHERE c.vec_id <> q_id),
+         |pool AS (
+         |  SELECT q_id, nn_id, qv, cv,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, nn_id) AS prn
+         |  FROM cand),
+         |r AS (
+         |  SELECT q_id, nn_id, $cosSql AS cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY $cosSql DESC, nn_id) AS rnk
+         |  FROM pool WHERE prn <= 30)
+         |SELECT q_id, rnk, nn_id, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
+         |FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
 
     "s_cosine_ann_ivf" ->
       s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),

@@ -313,6 +313,51 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("sq8CosineTopK: oversampled rerank recovers exact top-k; codes are int8") {
+    import graft.operators.VectorSim
+    val emb = graft.core.Tables.embeddings(spark, sf001)
+    val queries = emb.filter(col("vec_id") < 3)
+    // codes really are tinyint in [-127, 127]
+    val codes = emb.select(VectorSim.sq8(col("embedding")).as("c"))
+    assert(codes.schema("c").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = true))
+    val bounds = codes.select(explode(col("c")).as("x"))
+      .agg(min("x"), max("x")).head()
+    assert(bounds.getByte(0) >= -127 && bounds.getByte(1) <= 127)
+    // with generous oversampling the quantized candidate pool contains the
+    // true top-k, so rerank output equals the exact brute force
+    val sq = VectorSim.sq8CosineTopK(emb, queries, "vec_id", "embedding",
+      k = 5, oversample = 6)
+    val bf = VectorSim.bruteForceCosineTopK(emb, queries, "vec_id", "embedding",
+      k = 5)
+    assert(sq.select("q_id", "rnk", "nn_id")
+      .except(bf.select("q_id", "rnk", "nn_id")).count() == 0)
+    assert(sq.count() == bf.count())
+  }
+
+  test("expectationSuite: one row per expectation, booleans reflect the data") {
+    import graft.operators.DataQuality
+    import graft.operators.DataQuality.Expectation._
+    val df = Seq((1, "a", 5.0), (2, "b", 7.0), (3, null, 9.0), (3, "a", 11.0))
+      .toDF("id", "tag", "v")
+    val got = DataQuality.expectationSuite(df, Seq(
+        notNull("tag", 0.5),   // 3/4 non-null → pass
+        unique("id"),          // id 3 repeats → fail
+        minAtLeast("v", 0.0),  // min 5.0 → pass
+        maxAtMost("v", 10.0),  // max 11.0 → fail
+        rowCountAtLeast(4)))   // exactly 4 → pass
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2))))
+      .toMap
+    val byName = got
+    assert(byName("not_null:tag") == (0.75, true))
+    assert(byName("unique:id")._2 == false)
+    assert(byName("min:v") == (5.0, true))
+    assert(byName("max:v") == (11.0, false))
+    assert(byName("row_count") == (4.0, true))
+  }
+
   test("Normalize: nullIfBlank / blankIfNull / isBlank") {
     import graft.operators.Normalize
     val df = Seq(("a"), (""), ("  "), (null: String)).toDF("v")
