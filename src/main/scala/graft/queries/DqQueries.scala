@@ -85,6 +85,41 @@ object DqQueries {
         .orderBy(col("rule_name"))
     },
 
+    // Mixture-drift monitor (PSI — population stability index): the
+    // event-type distribution of the newest window (ts ≥ Jan 24) vs the
+    // reference period before it, per-category PSI terms
+    // (p_cur − p_ref)·ln(p_cur/p_ref) in integer nano-units plus a
+    // __TOTAL__ row (PSI > 0.2 is the standard drift alarm). ONE scan
+    // builds both distributions via conditional aggregation; totals are
+    // a broadcast 1-row cross join; the per-category float term is
+    // floored at the category level so every sum is exact integer math.
+    // The corpus-mix version of this (lang/source shares of a training
+    // snapshot vs its predecessor) is the same plan over documents.
+    "dq_mixture_drift" -> { (s, dir) =>
+      val split = "2024-01-24"
+      val byType = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("ts") < lit(split), 1L).otherwise(0L)).as("n_ref"),
+             sum(when(col("ts") >= lit(split), 1L).otherwise(0L)).as("n_cur"))
+      val tot = byType.agg(sum(col("n_ref")).as("t_ref"),
+        sum(col("n_cur")).as("t_cur"))
+      val terms = byType.crossJoin(broadcast(tot))
+        .withColumn("p_ref",
+          col("n_ref").cast("double") / col("t_ref").cast("double"))
+        .withColumn("p_cur",
+          col("n_cur").cast("double") / col("t_cur").cast("double"))
+        .withColumn("psi_nano",
+          when(col("n_ref") > 0 && col("n_cur") > 0,
+            floor((col("p_cur") - col("p_ref")) *
+              log(col("p_cur") / col("p_ref")) * lit(1e9)).cast("long")))
+        .select(col("event_type"), col("n_ref"), col("n_cur"), col("psi_nano"))
+      val total = terms.agg(sum(col("n_ref")).as("n_ref"),
+          sum(col("n_cur")).as("n_cur"), sum(col("psi_nano")).as("psi_nano"))
+        .select(lit("__TOTAL__").as("event_type"), col("n_ref"),
+          col("n_cur"), col("psi_nano"))
+      terms.unionByName(total).orderBy(col("event_type"))
+    },
+
     // Declarative expectation suite compiled into ONE aggregate pass —
     // six assertions (null rate, key uniqueness, value bounds, accepted
     // set, row count) evaluate in a single scan with map-side partials,
@@ -188,6 +223,39 @@ object DqQueries {
         |  SELECT 'qty_bounds', COUNT(*), COUNT(DISTINCT l_orderkey)
         |  FROM lineitem WHERE l_quantity < 1.0 OR l_quantity > 49.0)
         |ORDER BY rule_name""".stripMargin,
+
+    // same conditional-aggregation split on the µs-truncated timestamp
+    // (CAST to TIMESTAMP matches Spark's µs view of the ns parquet);
+    // identical left-assoc float sequence (diff · ln(ratio) · 1e9)
+    "dq_mixture_drift" ->
+      """WITH byt AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-24'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-24'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+        |         CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM byt),
+        |terms AS (
+        |  SELECT event_type, n_ref, n_cur,
+        |    CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+        |      CAST(floor(
+        |        (CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE)
+        |          - CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE))
+        |        * ln((CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE))
+        |             / (CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)))
+        |        * 1e9) AS BIGINT)
+        |    END AS psi_nano
+        |  FROM byt, tot)
+        |SELECT * FROM (
+        |  SELECT event_type, n_ref, n_cur, psi_nano FROM terms
+        |  UNION ALL
+        |  SELECT '__TOTAL__', CAST(SUM(n_ref) AS BIGINT),
+        |    CAST(SUM(n_cur) AS BIGINT), CAST(SUM(psi_nano) AS BIGINT)
+        |  FROM terms)
+        |ORDER BY event_type""".stripMargin,
 
     // all six metrics from one aggregate over orders, unpivoted; the
     // doubles are exact (integer-valued or a single IEEE division both

@@ -135,6 +135,42 @@ object TextQueries {
           max(col("total")).as("total_tokens"))
     },
 
+    // Unigram log-probability scoring — the cheap LM-free perplexity
+    // proxy every corpus-quality pipeline runs: per-token
+    // ln(count/total) from the corpus's own unigram distribution,
+    // summed per document, rolled up per lang. The unigram table joins
+    // back onto the token stream on the SAME key the count shuffled on
+    // (exchange-reusable; AQE broadcasts it when it fits — a web
+    // corpus's vocab can be hundreds of millions of rows, so it is NOT
+    // force-broadcast); per-token
+    // log-probs are floored to integer micro-units at the vocab level,
+    // so every downstream sum is exact integer arithmetic — no
+    // float-association hazard at any parallelism.
+    "t_unigram_logprob" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = uni.agg(sum(col("cnt")).as("total"))
+      val lp = uni.crossJoin(broadcast(total))
+        .withColumn("logp_micro",
+          floor(log(col("cnt").cast("double") / col("total").cast("double"))
+            * lit(1e6)).cast("long"))
+        .select(col("tok"), col("logp_micro"))
+      toks.join(lp, "tok")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("logp_micro")).as("doc_logp"),
+          count(lit(1)).as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tok_sum"),
+          sum(col("doc_logp")).as("logp_micro_sum"),
+          min(col("doc_logp")).as("min_doc_logp"),
+          max(col("doc_logp")).as("max_doc_logp"))
+        .orderBy(col("lang"))
+    },
+
     // Cross-document duplicated-passage fraction: for each doc, the share
     // of its distinct word 4-grams that also appear in ANOTHER document —
     // the corpus-level quality signal behind passage-dedup filters
@@ -379,6 +415,32 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // ln() differs across libm implementations by ≤1 ulp; the floored
+    // micro value is vocab-level (one boundary flip chance ~1e-9 per
+    // distinct token), and every sum after it is exact integer math
+    "t_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, tok FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) WHERE len(tok) > 0),
+        |uni AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM uni),
+        |lp AS (
+        |  SELECT tok,
+        |    CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6)
+        |      AS BIGINT) AS logp_micro
+        |  FROM uni, t),
+        |pd AS (
+        |  SELECT doc_id, lang,
+        |    CAST(SUM(logp_micro) AS BIGINT) AS doc_logp, COUNT(*) AS n_tok
+        |  FROM toks JOIN lp USING (tok) GROUP BY 1, 2)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+        |  CAST(SUM(doc_logp) AS BIGINT) AS logp_micro_sum,
+        |  MIN(doc_logp) AS min_doc_logp,
+        |  MAX(doc_logp) AS max_doc_logp
+        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "t_token_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_sum,
