@@ -137,10 +137,13 @@ object DataQuality {
     val metrics = exps.zipWithIndex.map { case (e, i) =>
       e.metric.cast("double").as(s"__m$i") }
     val agged = df.agg(metrics.head, metrics.tail: _*)
+    // coalesce(ok, false): on an empty table avg/min/max/countDistinct
+    // are NULL, and a NULL verdict would slip past any `ok = false`
+    // consumer — an undefined metric FAILS its expectation (conservative)
     val rows = array(exps.zipWithIndex.map { case (e, i) =>
       struct(lit(e.name).as("expectation"),
         col(s"__m$i").as("observed"),
-        e.check(col(s"__m$i")).as("ok"))
+        coalesce(e.check(col(s"__m$i")), lit(false)).as("ok"))
     }: _*)
     agged.select(explode(rows).as("__r")).select(col("__r.*"))
   }

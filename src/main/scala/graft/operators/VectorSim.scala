@@ -109,8 +109,14 @@ object VectorSim {
     * index a 100 TB ANN pass scans instead of the fat vector column. */
   def sq8(v: Column): Column = {
     val vd = asDouble(v)
-    val mx = maxAbs(v)
-    transform(vd, x => floor(x * lit(127.0) / mx + lit(0.5)).cast("byte"))
+    // maxAbs must NOT appear inside the element lambda: HOF lambda bodies
+    // evaluate per element (no subexpression elimination), which would
+    // rescan the vector per element — O(dim²) per row on the whole-corpus
+    // index build. array_repeat evaluates it once per ROW; zip_with then
+    // reads it as a plain element — O(dim) total.
+    val mxArr = array_repeat(maxAbs(v), size(vd))
+    zip_with(vd, mxArr, (x, mx) =>
+      floor(x * lit(127.0) / mx + lit(0.5)).cast("byte"))
   }
 
   /** Cosine over int8 code arrays. Every product and partial sum is an

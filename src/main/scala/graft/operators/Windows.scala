@@ -150,8 +150,14 @@ object Windows {
     val perTick = df.groupBy(gcols.map(col): _*).agg(sum(value).as("__v"))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsTickCol))
       .rangeBetween(-windowTicks, 0)
-    val slid = perTick.withColumn(outCol, sum(col("__v")).over(w)).drop("__v")
-    df.join(slid, gcols)
+    val slid0 = perTick.withColumn(outCol, sum(col("__v")).over(w)).drop("__v")
+    // null-safe equi-join: groupBy and Window.partitionBy both treat NULL
+    // keys/ticks as a regular group, so the join-back must too — a plain
+    // equi-join would silently DROP null-keyed rows the direct window
+    // form emits (same shuffle: hash(<=>) co-partitions like hash(=))
+    val slid = gcols.foldLeft(slid0) { (d, c) => d.withColumnRenamed(c, s"__r_$c") }
+    val cond = gcols.map(c => df(c) <=> slid(s"__r_$c")).reduce(_ && _)
+    df.join(slid, cond).drop(gcols.map(c => s"__r_$c"): _*)
   }
 
   /** Exact NTILE(k) built on [[globalRowNumber]] — same tile assignment as

@@ -103,15 +103,19 @@ object DqQueries {
              sum(when(col("ts") >= lit(split), 1L).otherwise(0L)).as("n_cur"))
       val tot = byType.agg(sum(col("n_ref")).as("t_ref"),
         sum(col("n_cur")).as("t_cur"))
+      // ε-smoothing (the standard PSI zero-cell fix): a category present
+      // in only ONE window is the strongest drift signal — clamping its
+      // proportion to ε keeps ln finite so it contributes (hugely, as it
+      // should) instead of silently dropping out of __TOTAL__
+      val eps = lit(1e-6)
       val terms = byType.crossJoin(broadcast(tot))
-        .withColumn("p_ref",
-          col("n_ref").cast("double") / col("t_ref").cast("double"))
-        .withColumn("p_cur",
-          col("n_cur").cast("double") / col("t_cur").cast("double"))
+        .withColumn("p_ref", greatest(
+          col("n_ref").cast("double") / col("t_ref").cast("double"), eps))
+        .withColumn("p_cur", greatest(
+          col("n_cur").cast("double") / col("t_cur").cast("double"), eps))
         .withColumn("psi_nano",
-          when(col("n_ref") > 0 && col("n_cur") > 0,
-            floor((col("p_cur") - col("p_ref")) *
-              log(col("p_cur") / col("p_ref")) * lit(1e9)).cast("long")))
+          floor((col("p_cur") - col("p_ref")) *
+            log(col("p_cur") / col("p_ref")) * lit(1e9)).cast("long"))
         .select(col("event_type"), col("n_ref"), col("n_cur"), col("psi_nano"))
       val total = terms.agg(sum(col("n_ref")).as("n_ref"),
           sum(col("n_cur")).as("n_cur"), sum(col("psi_nano")).as("psi_nano"))
@@ -240,14 +244,12 @@ object DqQueries {
         |         CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM byt),
         |terms AS (
         |  SELECT event_type, n_ref, n_cur,
-        |    CASE WHEN n_ref > 0 AND n_cur > 0 THEN
-        |      CAST(floor(
-        |        (CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE)
-        |          - CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE))
-        |        * ln((CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE))
-        |             / (CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)))
-        |        * 1e9) AS BIGINT)
-        |    END AS psi_nano
+        |    CAST(floor(
+        |      (greatest(CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE), 1e-6)
+        |        - greatest(CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE), 1e-6))
+        |      * ln(greatest(CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE), 1e-6)
+        |           / greatest(CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE), 1e-6))
+        |      * 1e9) AS BIGINT) AS psi_nano
         |  FROM byt, tot)
         |SELECT * FROM (
         |  SELECT event_type, n_ref, n_cur, psi_nano FROM terms

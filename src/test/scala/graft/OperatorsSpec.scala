@@ -350,12 +350,34 @@ class OperatorsSpec extends SparkSpec {
       .collect()
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2))))
       .toMap
-    val byName = got
-    assert(byName("not_null:tag") == (0.75, true))
-    assert(byName("unique:id")._2 == false)
-    assert(byName("min:v") == (5.0, true))
-    assert(byName("max:v") == (11.0, false))
-    assert(byName("row_count") == (4.0, true))
+    assert(got("not_null:tag") == (0.75, true))
+    assert(got("unique:id")._2 == false)
+    assert(got("min:v") == (5.0, true))
+    assert(got("max:v") == (11.0, false))
+    assert(got("row_count") == (4.0, true))
+    // empty input: every verdict must be a definite FAIL, never NULL
+    val empty = DataQuality.expectationSuite(df.limit(0), Seq(
+        notNull("tag"), unique("id"), minAtLeast("v", 0.0)))
+      .collect().map(r => (r.isNullAt(1), r.getBoolean(2)))
+    assert(empty.toSeq == Seq((true, false), (true, false), (true, false)))
+  }
+
+  test("slidingRangeSum == direct keyed RANGE window, including NULL keys/ticks") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq[(Option[String], Option[Long], Long)](
+      (Some("a"), Some(10L), 1), (Some("a"), Some(15L), 2),
+      (Some("a"), Some(15L), 4), (Some("a"), Some(100L), 8),
+      (Some("b"), Some(10L), 16),
+      (None, Some(12L), 32), (None, Some(13L), 64),   // null key group
+      (Some("a"), None, 128), (None, None, 256)       // null ticks
+    ).toDF("k", "t", "v")
+    val direct = df.withColumn("s",
+      sum(col("v")).over(Window.partitionBy(col("k")).orderBy(col("t"))
+        .rangeBetween(-5, 0)))
+    val two = Windows.slidingRangeSum(df, Seq("k"), "t", col("v"), 5L, "s")
+    assert(direct.count() == 9 && two.count() == 9,
+      "two-level form dropped rows (null join keys?)")
+    assert(direct.except(two).count() == 0 && two.except(direct).count() == 0)
   }
 
   test("Normalize: nullIfBlank / blankIfNull / isBlank") {
