@@ -27,6 +27,22 @@ object DataPrepQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // EXACT heavy hitters via a two-pass Misra-Gries sketch: keys with
+    // frequency strictly above n/k (k=5 — discriminating on this data:
+    // the five event types sit within ±1% of uniform, so some clear the
+    // 20% bar and some miss it). The sketch pass bounds executor memory
+    // at k counters and the shuffle at partitions·k rows — the 100 TB
+    // answer when the key space is huge and only the hot keys matter
+    // (skew diagnosis before a join, abuse detection); the second pass
+    // exact-counts ONLY the candidates, so the sketch prunes work but
+    // never decides the answer. Eviction-path correctness is proven on
+    // a 100k-key skewed fixture in OperatorsSpec.
+    "e_heavy_hitters" -> { (s, dir) =>
+      graft.operators.Sketches.heavyHitters(
+          Tables.events(s, dir), "event_type", k = 5)
+        .orderBy(col("event_type"))
+    },
+
     // Sessionization: per-user sessions split on >30 min inactivity
     // (gaps-and-islands over event time, one shuffle on user_id).
     "e_sessionize" -> { (s, dir) =>
@@ -231,6 +247,12 @@ object DataPrepQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // exact heavy-hitter definition — cnt·k > n in integer arithmetic
+    "e_heavy_hitters" ->
+      """WITH c AS (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1),
+        |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+        |SELECT event_type, cnt FROM c, n
+        |WHERE cnt * 5 > n ORDER BY event_type""".stripMargin,
     "e_funnel" ->
       """WITH firsts AS (
         |  SELECT user_id,

@@ -105,6 +105,27 @@ object IoQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // GDPR tombstone delete propagation: a partitioned table loses every
+    // row of the tombstoned customers, with ONLY the affected partitions
+    // rewritten (FileIO.propagateDeletes: pruned semi join → anti join →
+    // dynamic overwrite + explicit delete of fully-emptied partitions).
+    // SourcesSpec proves the untouched-partition and emptied-partition
+    // file-level contracts; this row proves end-state content.
+    "io_delete_propagation" -> { (s, dir) =>
+      val path = scratch(dir, "delete_prop")
+      rmrf(path)
+      val o = Tables.orders(s, dir)
+      FileIO.writePartitioned(o, path, Seq("o_orderstatus"))
+      val tombstones = o.filter(col("o_custkey") % 97 === 0)
+        .select(col("o_custkey")).distinct()
+      FileIO.propagateDeletes(s, path, "o_custkey", tombstones, "o_orderstatus")
+      s.read.parquet(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // S4: COPY INTO analogue — two source loads plus a repeated load that
     // must be a no-op (file-ledger idempotence).
     "io_copy_into" -> { (s, dir) =>
@@ -432,6 +453,13 @@ object IoQueries {
       s"""SELECT o_orderpriority, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
          |FROM orders WHERE o_orderstatus = 'F'
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "io_delete_propagation" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${sqlDsum("o_totalprice")} AS total,
+         |  COUNT(DISTINCT o_custkey) AS n_cust
+         |FROM orders WHERE o_custkey % 97 <> 0
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "io_overwrite_partition" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,

@@ -260,6 +260,53 @@ object FileIO {
     (files.length, nOut)
   }
 
+  /** GDPR-style tombstone delete propagation over a partitioned parquet
+    * table: remove every row whose `keyCol` value appears in
+    * `tombstones`, rewriting ONLY the partitions that actually contain a
+    * tombstoned row. At 100 TB the delete set touches a sliver of the
+    * partitions — rewriting the whole table per deletion batch (or
+    * scanning it per request) is the anti-pattern; here:
+    *
+    * 1. a partition-pruned semi join finds the AFFECTED partition values
+    *    (collected — bounded by partition count, never row count);
+    * 2. survivors = affected partitions' rows ANTI-JOIN tombstones
+    *    (tombstone batches are request-sized → broadcast);
+    * 3. dynamic partition overwrite rewrites partitions with ≥1
+    *    survivor; partitions whose every row was tombstoned are deleted
+    *    explicitly — dynamic overwrite cannot write an empty partition,
+    *    and skipping them would silently RETAIN the deleted rows.
+    *
+    * Single string partition column (the common date-partition case).
+    * Not concurrency-safe against writers (same contract as
+    * [[compactParquet]]). Returns (affected, emptied) partition counts. */
+  def propagateDeletes(spark: SparkSession, path: String, keyCol: String,
+                       tombstones: DataFrame, partitionCol: String): (Int, Int) = {
+    val target = spark.read.parquet(path)
+    val affected = target
+      .join(broadcast(tombstones.select(keyCol).distinct()), Seq(keyCol), "left_semi")
+      .select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (affected.isEmpty) return (0, 0)
+    // localCheckpoint: the overwrite targets the same path the survivors
+    // are read from — materializing first both satisfies Spark's
+    // read-write-conflict check and pins the data before any dir is
+    // touched; the footprint is the affected SLIVER, not the table
+    val survivors = target
+      .filter(col(partitionCol).cast("string").isInCollection(affected))
+      .join(broadcast(tombstones.select(keyCol).distinct()), Seq(keyCol), "left_anti")
+      .localCheckpoint(true)
+    val kept = survivors.select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    overwritePartitions(survivors, path, Seq(partitionCol))
+    val emptied = affected.filterNot(kept)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    emptied.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partitionCol=$v"), true)
+    }
+    (affected.length, emptied.length)
+  }
+
   /** Ledger size (bytes on disk) above which [[copyInto]] stops forcing a
     * broadcast of the already-loaded-files ledger. The ledger grows with
     * every file ever ingested; a multi-year 100 TB ingest reaches millions

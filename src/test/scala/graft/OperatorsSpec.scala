@@ -362,6 +362,29 @@ class OperatorsSpec extends SparkSpec {
     assert(empty.toSeq == Seq((true, false), (true, false), (true, false)))
   }
 
+  test("heavyHitters: exact on a skewed 100k-key stream (eviction-heavy)") {
+    import graft.operators.Sketches
+    // 3 hot keys at 15% each + a 55% tail of ~55k UNIQUE keys: every
+    // tail arrival evicts (capacity 10 ≪ distinct keys), so the MG
+    // decrement path runs constantly; the answer must still be exactly
+    // the keys with cnt·k > n
+    val df = spark.range(100000).select(
+      when(col("id") % 100 < 15, lit("hot1"))
+        .when(col("id") % 100 < 30, lit("hot2"))
+        .when(col("id") % 100 < 45, lit("hot3"))
+        .otherwise(concat(lit("t"), col("id"))).as("key"))
+    val got = Sketches.heavyHitters(df, "key", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("hot1", 15000L), ("hot2", 15000L), ("hot3", 15000L)))
+    // NULL keys are ignored, not counted into n
+    import spark.implicits._
+    val withNulls = Seq(Some("x"), Some("x"), Some("x"), None, Some("y"))
+      .toDF("key")
+    val hh = Sketches.heavyHitters(withNulls, "key", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(hh == Set(("x", 3L))) // 3·2 > 4 (n excludes the NULL); y: 1·2 < 4
+  }
+
   test("slidingRangeSum == direct keyed RANGE window, including NULL keys/ticks") {
     import org.apache.spark.sql.expressions.Window
     val df = Seq[(Option[String], Option[Long], Long)](

@@ -142,6 +142,39 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("propagateDeletes rewrites only affected partitions; emptied dirs removed") {
+    import spark.implicits._
+    val path = tmp("del_prop")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val df = Seq(
+      (1L, "a", 10), (2L, "a", 20), (3L, "a", 30),
+      (4L, "b", 40), (5L, "b", 50),
+      (6L, "c", 60), (7L, "c", 70)).toDF("k", "p", "v")
+    FileIO.writePartitioned(df, path, Seq("p"))
+    def files(part: String): Map[String, Long] = {
+      val d = new java.io.File(s"$path/p=$part")
+      Option(d.listFiles()).toSeq.flatten.filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val bBefore = files("b")
+    assert(bBefore.nonEmpty)
+    // tombstones hit part of 'a' and ALL of 'c'; 'b' untouched
+    val tombstones = Seq(1L, 6L, 7L).toDF("k")
+    val (affected, emptied) =
+      FileIO.propagateDeletes(spark, path, "k", tombstones, "p")
+    assert((affected, emptied) == (2, 1))
+    // untouched partition: identical files, byte-level (name + mtime)
+    assert(files("b") == bBefore)
+    // fully-emptied partition directory is GONE (dynamic overwrite alone
+    // would have silently retained it)
+    assert(!new java.io.File(s"$path/p=c").exists())
+    val got = spark.read.parquet(path).select("k", "p", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set((2L, "a", 20), (3L, "a", 30), (4L, "b", 40), (5L, "b", 50)))
+    // idempotent: a second propagation with the same tombstones is a no-op
+    assert(FileIO.propagateDeletes(spark, path, "k", tombstones, "p") == ((0, 0)))
+  }
+
   test("synthetic generator is deterministic and distributed") {
     val a = Synthetic.table(spark, 1000L).collect().sortBy(_.getLong(0))
     val b = Synthetic.table(spark, 1000L).collect().sortBy(_.getLong(0))
