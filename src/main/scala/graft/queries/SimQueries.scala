@@ -2,6 +2,8 @@ package graft.queries
 
 import graft.core.Tables
 import graft.operators.VectorSim
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity-search catalog over the `embeddings` table (vec_id,
@@ -74,6 +76,71 @@ object SimQueries {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    // IVF centroid build: element-wise mean embedding per cell — the
+    // k-means update step and the pass that produces a real IVF index's
+    // centroids. Element-wise float aggregation is order-sensitive, so
+    // the mean runs in DISTRIBUTION form: posexplode to (cell, dim)
+    // pairs, decimal-exact mean per pair (one keyed shuffle with
+    // map-side partials, deterministic at any parallelism), NO
+    // collect_list of vectors anywhere. Output: one row per (cell, dim)
+    // — the exploded image of the centroid matrix (k·dim rows, tiny).
+    "s_centroids" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"),
+          posexplode(VectorSim.asDouble(col("embedding"))).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        // decimal-quotient scales differ across engines at half-micro
+        // boundaries, so the mean stays in EXACT integer micro domain:
+        // decimal sum ×1e6 is an exact long; one double division + floor
+        // is the only float op and is bit-identical everywhere
+        .agg(count(lit(1)).as("n"),
+          (sum(dec(col("x"))) * lit(1000000)).cast("long").as("__sm"))
+        .withColumn("centroid_micro",
+          floor(col("__sm").cast("double") / col("n")).cast("long"))
+        .drop("__sm")
+        .orderBy(col("label"), col("pos"))
+    },
+
+    // One k-means (Lloyd) iteration at scale: current centroids = the
+    // per-label means (s_centroids), each vector re-assigned to its
+    // nearest centroid by squared L2 (dot-product form da − 2·dab + db,
+    // the identical IEEE sequence in both engines; exact-tie break on
+    // centroid id), then the migration matrix (label_from, label_to)
+    // with per-pair inertia. The centroid table is k·dim and BROADCAST;
+    // the corpus never shuffles for the assignment — the plan shape
+    // that holds when the corpus is 100 TB and k is thousands.
+    "s_kmeans_step" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          VectorSim.asDouble(col("embedding")).as("v"))
+      val cent = emb
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        // same exact-micro mean as s_centroids (then /1e6 back to a
+        // double): centroids are bit-identical across engines by
+        // construction, so d2 inherits only the proven sequential-dot
+        // determinism contract
+        .agg((floor((sum(dec(col("x"))) * lit(1000000)).cast("long")
+            .cast("double") / count(lit(1))) / lit(1e6)).as("m"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e("m")).as("c"))
+        .select(col("label").as("c_label"), col("c"))
+      def dot(a: Column, b: Column): Column = aggregate(
+        zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2").asc, col("c_label").asc)
+      emb.crossJoin(broadcast(cent))
+        .withColumn("d2", dot(col("v"), col("v"))
+          - lit(2.0) * dot(col("v"), col("c")) + dot(col("c"), col("c")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("label").as("label_from"), col("c_label").as("label_to"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("d2") * lit(1e6)).cast("long")).as("inertia_micro"))
+        .orderBy(col("label_from"), col("label_to"))
+    },
+
     // SQ8 quantized-index ANN: candidate generation scans only the
     // int8 code index (1 byte/dim vs 4 — the pass that touches the
     // whole corpus moves 4× fewer bytes), takes 3·k candidates per
@@ -135,6 +202,48 @@ object SimQueries {
         |WHERE list_dot_product(x.e, y.e) /
         |  (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) >= 0.4
         |ORDER BY a, b""".stripMargin,
+
+    // 1-based DuckDB list index vs 0-based posexplode: pos only orders
+    // and groups within each engine, so the offset is harmless — but it
+    // IS part of the output here, so the oracle subtracts 1
+    "s_centroids" ->
+      s"""WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+         |pe AS (
+         |  SELECT label, unnest(generate_series(1, len(e))) - 1 AS pos,
+         |    unnest(e) AS x
+         |  FROM v)
+         |SELECT label, pos, COUNT(*) AS n,
+         |  CAST(floor(
+         |    CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE)
+         |    / COUNT(*)) AS BIGINT) AS centroid_micro
+         |FROM pe GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "s_kmeans_step" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         |pe AS (
+         |  SELECT label, unnest(generate_series(1, len(e))) AS pos,
+         |    unnest(e) AS x
+         |  FROM v),
+         |cm AS (
+         |  SELECT label, pos,
+         |    floor(
+         |      CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE)
+         |      / COUNT(*)) / 1e6 AS m
+         |  FROM pe GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT label AS c_label, list(m ORDER BY pos) AS c FROM cm GROUP BY 1),
+         |sc AS (
+         |  SELECT v.vec_id, v.label, ct.c_label,
+         |    list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, ct.c)
+         |      + list_dot_product(ct.c, ct.c) AS d2
+         |  FROM v, cent ct),
+         |a AS (
+         |  SELECT vec_id, label, c_label, d2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+         |  FROM sc)
+         |SELECT label AS label_from, c_label AS label_to, COUNT(*) AS n,
+         |  CAST(SUM(CAST(floor(d2 * 1e6) AS BIGINT)) AS BIGINT) AS inertia_micro
+         |FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // replicates quantize (floor(x·127/mx+0.5)) → 30-candidate pool by
     // code cosine → exact float rerank; code dot products are
