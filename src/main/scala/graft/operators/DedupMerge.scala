@@ -26,4 +26,54 @@ object DedupMerge {
       .agg(max(col(versionCol)).as(versionCol))
     df.join(latest, keys :+ versionCol)
   }
+
+  /** SCD Type-2 apply: merge an incoming snapshot into a versioned
+    * history table carrying `valid_from`/`valid_to` (NULL = current).
+    *
+    * Per business key, against the CURRENT slice of the history:
+    *  - attribute change → the old version closes (`valid_to` =
+    *    `effective`) and the incoming row inserts as the new current;
+    *  - key absent from the incoming snapshot → the version closes
+    *    (a full-snapshot feed implies deletion);
+    *  - new key → inserts as current; unchanged → carried as is.
+    * Already-closed versions pass through untouched.
+    *
+    * The merge is ONE full-outer join on the key (both sides should be
+    * key-partitioned at scale for exchange reuse) plus a null-safe
+    * any-attribute-differs comparison; history grows append-only, so
+    * the output is a plain union of closed ∪ carried ∪ inserted.
+    * `incoming` must be one row per key (a snapshot, not a changelog —
+    * run [[snapshotMerge]]'s dedup first for changelogs). */
+  def scd2Apply(history: DataFrame, incoming: DataFrame, keys: Seq[String],
+                attrs: Seq[String], effective: String): DataFrame = {
+    val cols = keys ++ attrs
+    val closedBefore = history.filter(col("valid_to").isNotNull)
+    val current = history.filter(col("valid_to").isNull)
+      .select((cols :+ "valid_from").map(col): _*)
+    val inc = incoming.select(cols.map(col): _*)
+    val h = current.alias("__h")
+    val i = inc.alias("__i")
+    val joined = h.join(i,
+      keys.map(k => col(s"__h.$k") <=> col(s"__i.$k")).reduce(_ && _),
+      "full_outer")
+    val presentH = keys.map(k => col(s"__h.$k").isNotNull).reduce(_ || _)
+    val presentI = keys.map(k => col(s"__i.$k").isNotNull).reduce(_ || _)
+    val changed = attrs.map(a => !(col(s"__h.$a") <=> col(s"__i.$a")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    // closes: current versions whose key vanished or whose attrs changed
+    val closes = joined.filter(presentH && (!presentI || changed))
+      .select(cols.map(c => col(s"__h.$c")) :+ col("__h.valid_from") :+
+        lit(effective).cast("date").as("valid_to"): _*)
+    // carries: unchanged current versions keep their open interval
+    val carries = joined.filter(presentH && presentI && !changed)
+      .select(cols.map(c => col(s"__h.$c")) :+ col("__h.valid_from") :+
+        lit(null).cast("date").as("valid_to"): _*)
+    // inserts: new keys and the new version of changed keys
+    val inserts = joined.filter(presentI && (!presentH || changed))
+      .select(cols.map(c => col(s"__i.$c")) :+
+        lit(effective).cast("date").as("valid_from") :+
+        lit(null).cast("date").as("valid_to"): _*)
+    closedBefore.select((cols :+ "valid_from" :+ "valid_to").map(col): _*)
+      .unionByName(closes).unionByName(carries).unionByName(inserts)
+  }
 }

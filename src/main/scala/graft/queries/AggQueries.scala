@@ -108,6 +108,31 @@ object AggQueries {
           Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99),
           countName = Some("n"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // A19 approximate-quantile capability, tolerance-proven like the w6
+    // HLL row: approx_percentile's sketch merge order makes the VALUE
+    // itself nondeterministic across runs, so the row asserts the GK
+    // rank-error GUARANTEE instead — the returned median's true rank
+    // must sit within n/accuracy (+2 slack for duplicate values) of
+    // n/2. The oracle computes the per-group n exactly and a literal
+    // TRUE, so the row stays fully hash-matchable while executing the
+    // sketch path. Exact quantiles remain a16 (distribution form).
+    "a19_approx_quantile_bound" -> { (s, dir) =>
+      val acc = 1000
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      val ap = ev.groupBy(col("event_type"))
+        .agg(expr(s"approx_percentile(value, 0.5D, $acc)").as("__apx"),
+          count(lit(1)).as("n"))
+      ev.join(ap, "event_type")
+        .groupBy(col("event_type"), col("n"))
+        .agg(sum(when(col("value") <= col("__apx"), 1L).otherwise(0L))
+          .as("__rank_le"))
+        .select(col("event_type"), col("n"),
+          (abs(col("__rank_le").cast("double") - col("n").cast("double") / 2)
+            <= col("n").cast("double") / acc + 2).as("ok"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -175,6 +200,13 @@ object AggQueries {
         |  MIN(CASE WHEN cum >= ceil(0.5 * total) THEN l_quantity END) AS p50,
         |  MIN(CASE WHEN cum >= ceil(0.9 * total) THEN l_quantity END) AS p90,
         |  MIN(CASE WHEN cum >= ceil(0.99 * total) THEN l_quantity END) AS p99
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the sketch's rank-error bound holds by the GK guarantee — the
+    // oracle pins n exactly and the verdict literally
+    "a19_approx_quantile_bound" ->
+      """SELECT event_type, COUNT(*) AS n, TRUE AS ok
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

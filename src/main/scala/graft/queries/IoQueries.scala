@@ -105,6 +105,23 @@ object IoQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // ORC round-trip: the other columnar format Spark ships natively —
+    // write orders as zlib ORC, read back with a pushed filter, verify
+    // content by aggregation. ORC carries the same stripe-level
+    // min/max indexes parquet has row groups for, so predicate
+    // pushdown semantics carry over unchanged.
+    "io_orc_roundtrip" -> { (s, dir) =>
+      val path = scratch(dir, "orc_rt")
+      rmrf(path)
+      Tables.orders(s, dir).write
+        .option("compression", "zlib").orc(path)
+      s.read.orc(path)
+        .filter(col("o_totalprice") > 100000.0)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // GDPR tombstone delete propagation: a partitioned table loses every
     // row of the tombstoned customers, with ONLY the affected partitions
     // rewritten (FileIO.propagateDeletes: pruned semi join → anti join →
@@ -452,6 +469,11 @@ object IoQueries {
     "io_partitioned_sink" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
          |FROM orders WHERE o_orderstatus = 'F'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "io_orc_roundtrip" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+         |FROM orders WHERE o_totalprice > 100000.0
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "io_delete_propagation" ->

@@ -63,6 +63,32 @@ object PipelineQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // SCD Type-2 history: the versioned-dimension pattern the
+    // reference's SCD1 snapshot merge (servicenow) stops short of —
+    // per-customer activity tier over two snapshot windows, merged into
+    // a valid_from/valid_to history by DedupMerge.scd2Apply (ONE
+    // full-outer key join + null-safe attr compare). The two windows
+    // exercise every transition: tier change (close+insert), unchanged
+    // (carry), new customer (insert), churned customer (close without
+    // replacement — a full-snapshot feed implies deletion).
+    "pl_scd2_history" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      def snap(lo: String, hi: String) = o
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("__n"))
+        .select(col("o_custkey"),
+          when(col("__n") <= 2, "low").when(col("__n") <= 5, "mid")
+            .otherwise("high").as("tier"))
+      val hist0 = snap("1993-01-01", "1995-01-01")
+        .withColumn("valid_from", lit("1995-01-01").cast("date"))
+        .withColumn("valid_to", lit(null).cast("date"))
+      graft.operators.DedupMerge.scd2Apply(hist0,
+          snap("1995-01-01", "1997-01-01"),
+          Seq("o_custkey"), Seq("tier"), "1997-01-01")
+        .orderBy(col("o_custkey"), col("valid_from"), col("tier"))
+    },
+
     // usage_analysis port: windowed spend rollup + cumulative spend.
     "pl_usage_analysis" -> { (s, dir) =>
       import s.implicits._
@@ -357,6 +383,40 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // reconstructs closes / carries / inserts arithmetically from the
+    // same two snapshot windows
+    "pl_scd2_history" ->
+      """WITH s1 AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN COUNT(*) <= 2 THEN 'low'
+        |         WHEN COUNT(*) <= 5 THEN 'mid' ELSE 'high' END AS tier
+        |  FROM orders
+        |  WHERE o_orderdate >= '1993-01-01' AND o_orderdate < '1995-01-01'
+        |  GROUP BY 1),
+        |s2 AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN COUNT(*) <= 2 THEN 'low'
+        |         WHEN COUNT(*) <= 5 THEN 'mid' ELSE 'high' END AS tier
+        |  FROM orders
+        |  WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1997-01-01'
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(s1.o_custkey, s2.o_custkey) AS k,
+        |    s1.tier AS t1, s2.tier AS t2,
+        |    s1.o_custkey IS NOT NULL AS inh, s2.o_custkey IS NOT NULL AS ini
+        |  FROM s1 FULL OUTER JOIN s2 ON s1.o_custkey = s2.o_custkey)
+        |SELECT * FROM (
+        |  SELECT k AS o_custkey, t1 AS tier, DATE '1995-01-01' AS valid_from,
+        |    DATE '1997-01-01' AS valid_to
+        |  FROM j WHERE inh AND (NOT ini OR t1 <> t2)
+        |  UNION ALL
+        |  SELECT k, t1, DATE '1995-01-01', NULL
+        |  FROM j WHERE inh AND ini AND t1 = t2
+        |  UNION ALL
+        |  SELECT k, t2, DATE '1997-01-01', NULL
+        |  FROM j WHERE ini AND (NOT inh OR t1 <> t2))
+        |ORDER BY o_custkey, valid_from, tier""".stripMargin,
+
     "pl_usage_analysis" ->
       s"""WITH rates(o_orderpriority, rate) AS (VALUES
          |  ('1-URGENT', 1.5), ('2-HIGH', 1.2), ('3-MEDIUM', 1.0),

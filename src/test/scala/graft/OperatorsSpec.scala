@@ -362,6 +362,31 @@ class OperatorsSpec extends SparkSpec {
     assert(empty.toSeq == Seq((true, false), (true, false), (true, false)))
   }
 
+  test("scd2Apply: change/carry/insert/delete transitions; closed rows pass through") {
+    import java.sql.Date
+    val d0 = Date.valueOf("2020-01-01"); val d1 = Date.valueOf("2021-01-01")
+    val history = Seq(
+      (1, "a", d0, Option(d1)),   // already-closed version: untouched
+      (1, "b", d1, Option.empty[Date]), // current, attr changes → close+insert
+      (2, "x", d0, Option.empty[Date]), // current, unchanged → carry
+      (3, "y", d0, Option.empty[Date])  // current, key churns → close
+    ).toDF("k", "attr", "valid_from", "valid_to")
+    val incoming = Seq((1, "c"), (2, "x"), (4, "n")).toDF("k", "attr")
+    val got = DedupMerge.scd2Apply(history, incoming, Seq("k"), Seq("attr"),
+        "2022-01-01")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString)))
+      .toSet
+    assert(got == Set(
+      (1, "a", "2020-01-01", Some("2021-01-01")),
+      (1, "b", "2021-01-01", Some("2022-01-01")),
+      (1, "c", "2022-01-01", None),
+      (2, "x", "2020-01-01", None),
+      (3, "y", "2020-01-01", Some("2022-01-01")),
+      (4, "n", "2022-01-01", None)))
+  }
+
   test("heavyHitters: exact on a skewed 100k-key stream (eviction-heavy)") {
     import graft.operators.Sketches
     // 3 hot keys at 15% each + a 55% tail of ~55k UNIQUE keys: every
