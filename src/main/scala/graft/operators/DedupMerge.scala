@@ -48,16 +48,22 @@ object DedupMerge {
                 attrs: Seq[String], effective: String): DataFrame = {
     val cols = keys ++ attrs
     val closedBefore = history.filter(col("valid_to").isNotNull)
+    // side presence comes from explicit marker columns, NOT key
+    // null-checks: the join is null-safe, so a legitimately null-keyed
+    // row would otherwise read as "absent" on its own side and fall
+    // through every branch — silently vanishing from the history
     val current = history.filter(col("valid_to").isNull)
       .select((cols :+ "valid_from").map(col): _*)
+      .withColumn("__in_h", lit(true))
     val inc = incoming.select(cols.map(col): _*)
+      .withColumn("__in_i", lit(true))
     val h = current.alias("__h")
     val i = inc.alias("__i")
     val joined = h.join(i,
       keys.map(k => col(s"__h.$k") <=> col(s"__i.$k")).reduce(_ && _),
       "full_outer")
-    val presentH = keys.map(k => col(s"__h.$k").isNotNull).reduce(_ || _)
-    val presentI = keys.map(k => col(s"__i.$k").isNotNull).reduce(_ || _)
+    val presentH = col("__h.__in_h").isNotNull
+    val presentI = col("__i.__in_i").isNotNull
     val changed = attrs.map(a => !(col(s"__h.$a") <=> col(s"__i.$a")))
       .reduceOption(_ || _).getOrElse(lit(false))
     // closes: current versions whose key vanished or whose attrs changed

@@ -96,6 +96,27 @@ object VectorSim {
       .select(col("q_id"), col("rnk"), col("nn_id"), col("cos"))
   }
 
+  /** Element-wise EXACT-integer-micro means per (cell, dim) — the
+    * k-means/IVF centroid kernel, in distribution form (posexplode, one
+    * keyed shuffle with map-side partials, never a collect_list of
+    * vectors). The mean must stay in integer micro domain: decimal sum
+    * ×1e6 is an exact long and the single double floor-division is
+    * bit-identical in any engine, whereas decimal-QUOTIENT scales
+    * differ across engines at half-micro boundaries (measured: a
+    * 1-micro cross-engine mismatch). Both centroid catalog queries
+    * share this ONE implementation so the expression cannot drift.
+    * Output: (cellCol, pos, n, mean_micro). */
+  def dimMicroMeans(df: DataFrame, cellCol: String, vecCol: String): DataFrame =
+    df.select(col(cellCol),
+        posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy(col(cellCol), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          * lit(1000000)).cast("long").as("__sm"))
+      .withColumn("mean_micro",
+        floor(col("__sm").cast("double") / col("n")).cast("long"))
+      .drop("__sm")
+
   /** Per-vector max |x| — the SQ8 quantization scale (and the zero-vector
     * guard: a vector with maxAbs 0 has no direction and is excluded). */
   private def maxAbs(v: Column): Column =

@@ -113,11 +113,13 @@ object AggQueries {
     // A19 approximate-quantile capability, tolerance-proven like the w6
     // HLL row: approx_percentile's sketch merge order makes the VALUE
     // itself nondeterministic across runs, so the row asserts the GK
-    // rank-error GUARANTEE instead — the returned median's true rank
-    // must sit within n/accuracy (+2 slack for duplicate values) of
-    // n/2. The oracle computes the per-group n exactly and a literal
-    // TRUE, so the row stays fully hash-matchable while executing the
-    // sketch path. Exact quantiles remain a16 (distribution form).
+    // rank-error GUARANTEE instead. A returned value with duplicates
+    // occupies a rank INTERVAL (rank_lt, rank_le] — the guarantee says
+    // SOME rank in that interval sits within n/accuracy of n/2, so the
+    // check is interval-intersects-window, never a point check (a point
+    // check with constant slack flakes when a long duplicate run sits
+    // at the guarantee's edge). The oracle computes per-group n exactly
+    // and a literal TRUE; exact quantiles remain a16.
     "a19_approx_quantile_bound" -> { (s, dir) =>
       val acc = 1000
       val ev = Tables.events(s, dir).filter(col("value").isNotNull)
@@ -125,13 +127,19 @@ object AggQueries {
       val ap = ev.groupBy(col("event_type"))
         .agg(expr(s"approx_percentile(value, 0.5D, $acc)").as("__apx"),
           count(lit(1)).as("n"))
+      val nD = col("n").cast("double")
+      val lo = nD / 2 - nD / acc - 1
+      val hi = nD / 2 + nD / acc + 1
       ev.join(ap, "event_type")
         .groupBy(col("event_type"), col("n"))
-        .agg(sum(when(col("value") <= col("__apx"), 1L).otherwise(0L))
-          .as("__rank_le"))
+        .agg(
+          sum(when(col("value") <= col("__apx"), 1L).otherwise(0L))
+            .as("__rank_le"),
+          sum(when(col("value") < col("__apx"), 1L).otherwise(0L))
+            .as("__rank_lt"))
         .select(col("event_type"), col("n"),
-          (abs(col("__rank_le").cast("double") - col("n").cast("double") / 2)
-            <= col("n").cast("double") / acc + 2).as("ok"))
+          (col("__rank_le").cast("double") >= lo &&
+            (col("__rank_lt") + 1).cast("double") <= hi).as("ok"))
         .orderBy(col("event_type"))
     }
   )

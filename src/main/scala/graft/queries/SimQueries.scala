@@ -85,19 +85,8 @@ object SimQueries {
     // collect_list of vectors anywhere. Output: one row per (cell, dim)
     // — the exploded image of the centroid matrix (k·dim rows, tiny).
     "s_centroids" -> { (s, dir) =>
-      Tables.embeddings(s, dir)
-        .select(col("label"),
-          posexplode(VectorSim.asDouble(col("embedding"))).as(Seq("pos", "x")))
-        .groupBy(col("label"), col("pos"))
-        // decimal-quotient scales differ across engines at half-micro
-        // boundaries, so the mean stays in EXACT integer micro domain:
-        // decimal sum ×1e6 is an exact long; one double division + floor
-        // is the only float op and is bit-identical everywhere
-        .agg(count(lit(1)).as("n"),
-          (sum(dec(col("x"))) * lit(1000000)).cast("long").as("__sm"))
-        .withColumn("centroid_micro",
-          floor(col("__sm").cast("double") / col("n")).cast("long"))
-        .drop("__sm")
+      VectorSim.dimMicroMeans(Tables.embeddings(s, dir), "label", "embedding")
+        .withColumnRenamed("mean_micro", "centroid_micro")
         .orderBy(col("label"), col("pos"))
     },
 
@@ -113,15 +102,12 @@ object SimQueries {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"),
           VectorSim.asDouble(col("embedding")).as("v"))
-      val cent = emb
-        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("label"), col("pos"))
-        // same exact-micro mean as s_centroids (then /1e6 back to a
-        // double): centroids are bit-identical across engines by
-        // construction, so d2 inherits only the proven sequential-dot
-        // determinism contract
-        .agg((floor((sum(dec(col("x"))) * lit(1000000)).cast("long")
-            .cast("double") / count(lit(1))) / lit(1e6)).as("m"))
+      // the shared exact-micro mean kernel (then /1e6 back to a double):
+      // centroids are bit-identical across engines by construction, so
+      // d2 inherits only the proven sequential-dot determinism contract
+      val cent = VectorSim.dimMicroMeans(
+          Tables.embeddings(s, dir), "label", "embedding")
+        .withColumn("m", col("mean_micro").cast("double") / lit(1e6))
         .groupBy(col("label"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e("m")).as("c"))

@@ -282,29 +282,66 @@ object FileIO {
   def propagateDeletes(spark: SparkSession, path: String, keyCol: String,
                        tombstones: DataFrame, partitionCol: String): (Int, Int) = {
     val target = spark.read.parquet(path)
-    val affected = target
-      .join(broadcast(tombstones.select(keyCol).distinct()), Seq(keyCol), "left_semi")
+    val ts = broadcast(tombstones.select(keyCol).distinct())
+    // Option-valued partition values: a nullable partition column lands
+    // in Hive's default partition, and its tombstoned rows must be
+    // rewritten like any other partition's
+    val affected = target.join(ts, Seq(keyCol), "left_semi")
       .select(col(partitionCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted
+      .collect().map(r => Option(r.getString(0)))
     if (affected.isEmpty) return (0, 0)
+    val nonNull = affected.flatten.toSeq
+    val pc = col(partitionCol).cast("string")
+    val partPred = {
+      val in = if (nonNull.nonEmpty) pc.isInCollection(nonNull) else lit(false)
+      if (affected.exists(_.isEmpty)) in || pc.isNull else in
+    }
     // localCheckpoint: the overwrite targets the same path the survivors
     // are read from — materializing first both satisfies Spark's
     // read-write-conflict check and pins the data before any dir is
     // touched; the footprint is the affected SLIVER, not the table
-    val survivors = target
-      .filter(col(partitionCol).cast("string").isInCollection(affected))
-      .join(broadcast(tombstones.select(keyCol).distinct()), Seq(keyCol), "left_anti")
+    val survivors = target.filter(partPred)
+      .join(ts, Seq(keyCol), "left_anti")
       .localCheckpoint(true)
-    val kept = survivors.select(col(partitionCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val kept = survivors.select(pc).distinct()
+      .collect().map(r => Option(r.getString(0))).toSet
     overwritePartitions(survivors, path, Seq(partitionCol))
     val emptied = affected.filterNot(kept)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    emptied.foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partitionCol=$v"), true)
-    }
+    // Spark writes HIVE-ESCAPED directory names (null →
+    // __HIVE_DEFAULT_PARTITION__, special chars → %XX); resolve each
+    // emptied VALUE to its on-disk dir by decoding the actual directory
+    // names — rebuilding "$partitionCol=$v" from the raw value would
+    // miss escaped dirs and silently RETAIN the tombstoned rows
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val byValue: Map[Option[String], org.apache.hadoop.fs.Path] =
+      fs.listStatus(hPath).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith(partitionCol + "="))
+        .map { p =>
+          val enc = p.getName.substring(partitionCol.length + 1)
+          val v = if (enc == "__HIVE_DEFAULT_PARTITION__") None
+                  else Some(unescapePathName(enc))
+          v -> p
+        }.toMap
+    emptied.foreach(v => byValue.get(v).foreach(fs.delete(_, true)))
     (affected.length, emptied.length)
+  }
+
+  /** Inverse of Hive's escapePathName: decode %XX sequences in a
+    * partition directory name back to the raw value. */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Ledger size (bytes on disk) above which [[copyInto]] stops forcing a

@@ -385,6 +385,18 @@ class OperatorsSpec extends SparkSpec {
       (2, "x", "2020-01-01", None),
       (3, "y", "2020-01-01", Some("2022-01-01")),
       (4, "n", "2022-01-01", None)))
+    // a NULL business key is a real key under the null-safe join: its
+    // current version must close on churn, never silently vanish
+    val nullKeyHist = Seq((Option.empty[Int], "z", d0, Option.empty[Date]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val afterChurn = DedupMerge.scd2Apply(nullKeyHist,
+        Seq((Option(9), "w")).toDF("k", "attr"),
+        Seq("k"), Seq("attr"), "2022-01-01")
+      .collect().map(r => (Option(r.get(0)), r.getString(1),
+        Option(r.getDate(3)).map(_.toString))).toSet
+    assert(afterChurn == Set(
+      (None, "z", Some("2022-01-01")),   // closed, not dropped
+      (Some(9), "w", None)))
   }
 
   test("heavyHitters: exact on a skewed 100k-key stream (eviction-heavy)") {

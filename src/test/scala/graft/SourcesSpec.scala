@@ -175,6 +175,28 @@ class SourcesSpec extends SparkSpec {
     assert(FileIO.propagateDeletes(spark, path, "k", tombstones, "p") == ((0, 0)))
   }
 
+  test("propagateDeletes handles NULL and Hive-escaped partition values") {
+    import spark.implicits._
+    val path = tmp("del_prop_esc")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    // 'a:b' lands on disk Hive-escaped (p=a%3Ab); NULL lands in
+    // __HIVE_DEFAULT_PARTITION__ — both must be rewritten/deleted, not
+    // silently retained
+    val df = Seq((1L, Option("a:b"), 10), (2L, Option("a:b"), 20),
+        (3L, Option.empty[String], 30), (4L, Option.empty[String], 40),
+        (5L, Option("ok"), 50))
+      .toDF("k", "p", "v")
+    FileIO.writePartitioned(df, path, Seq("p"))
+    assert(new java.io.File(s"$path/p=a%3Ab").exists())
+    // tombstone part of the escaped partition, ALL of the null partition
+    val (affected, emptied) = FileIO.propagateDeletes(
+      spark, path, "k", Seq(1L, 3L, 4L).toDF("k"), "p")
+    assert((affected, emptied) == (2, 1))
+    assert(!new java.io.File(s"$path/p=__HIVE_DEFAULT_PARTITION__").exists())
+    val got = spark.read.parquet(path).select("k").as[Long].collect().toSet
+    assert(got == Set(2L, 5L))
+  }
+
   test("synthetic generator is deterministic and distributed") {
     val a = Synthetic.table(spark, 1000L).collect().sortBy(_.getLong(0))
     val b = Synthetic.table(spark, 1000L).collect().sortBy(_.getLong(0))
