@@ -19,6 +19,28 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Triangle counts per node over an undirected edge list given as
+    * (a, b) pairs with a < b (the near-dup pair-graph convention).
+    * Triangles are enumerated once each via the ordered wedge join —
+    * e1=(x,y) ⋈ e2=(y,z) closes with e3=(x,z), x < y < z throughout —
+    * three equi-joins on node keys, never an all-pairs step. Dense
+    * triangle participation is the clique signal (template spam shows
+    * up as near-dup cliques, not chains). At production scale, add the
+    * standard degree-ordering so wedges enumerate from low-degree
+    * endpoints. Output: (node, n_triangles), nodes in ≥1 triangle. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    val tri = e.alias("__e1")
+      .join(e.alias("__e2"), col("__e1.b") === col("__e2.a"))
+      .join(e.alias("__e3"),
+        col("__e3.a") === col("__e1.a") && col("__e3.b") === col("__e2.b"))
+      .select(col("__e1.a").as("x"), col("__e1.b").as("y"),
+        col("__e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).cast("long").as("n_triangles"))
+  }
+
   /** @param edges (a, b) undirected pairs
     * @return (node, component) — component = min node id reachable.
     *         The result is materialized (cached when convergence was

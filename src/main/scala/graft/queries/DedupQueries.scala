@@ -124,6 +124,19 @@ object DedupQueries {
         .orderBy(col("component"))
     },
 
+    // Triangle participation in the near-dup graph: template spam shows
+    // up as near-dup CLIQUES (every pair similar), organic duplication
+    // as chains — per-doc triangle counts separate the two where
+    // component size alone cannot. Ordered wedge join (x<y<z), three
+    // equi-joins, nothing all-pairs.
+    "d_triangles" -> { (s, dir) =>
+      val pairs = TextDedup.minhashLshPairs(Tables.documents(s, dir),
+        "doc_id", "text", shingleN = 3, threshold = 0.7)
+      graft.operators.Components.triangleCounts(pairs.select("a", "b"))
+        .withColumnRenamed("node", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // Leakage-safe train/valid/test split: assignment is BY NEAR-DUP
     // CLUSTER, not by document — near-duplicates can never straddle
     // train and test (the eval-contamination failure mode of naive
@@ -243,6 +256,26 @@ object DedupQueries {
          |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node)
          |SELECT node, MIN(r) AS component
          |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+
+    // ordered triple self-join over the same exact-Jaccard pair set
+    "d_triangles" ->
+      s"""WITH $wordShingleCte,
+         |pairs AS (
+         |  SELECT a, b FROM inter
+         |  JOIN cnt ca ON ca.doc_id = a
+         |  JOIN cnt cb ON cb.doc_id = b
+         |  WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.7),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM pairs e1
+         |  JOIN pairs e2 ON e2.a = e1.b
+         |  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |nodes AS (
+         |  SELECT x AS node FROM tri
+         |  UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri)
+         |SELECT node AS doc_id, COUNT(*) AS n_triangles
+         |FROM nodes GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same recursive-CTE component oracle as d_dedup_clusters, with
     // singleton clusters and the cluster-keyed split routing

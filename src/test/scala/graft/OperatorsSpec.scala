@@ -362,6 +362,17 @@ class OperatorsSpec extends SparkSpec {
     assert(empty.toSeq == Seq((true, false), (true, false), (true, false)))
   }
 
+  test("triangleCounts: K4 gives 3 per node; chains and isolated edges give none") {
+    import graft.operators.Components
+    // K4 on {1,2,3,4} (all 6 ordered edges) + a chain 5-6-7 + edge 8-9
+    val edges = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (5, 6), (6, 7), (8, 9)).toDF("a", "b")
+    val got = Components.triangleCounts(edges)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    // K4 has C(3,2)=3 triangles through each node; chain/edge nodes absent
+    assert(got == Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L))
+  }
+
   test("scd2Apply: change/carry/insert/delete transitions; closed rows pass through") {
     import java.sql.Date
     val d0 = Date.valueOf("2020-01-01"); val d1 = Date.valueOf("2021-01-01")

@@ -48,6 +48,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "corpus-side cartesian")
   }
 
+  test("round-8 ops: sq8 rerank equi-joins, kmeans broadcasts centroids, MG exact pass hash-joins") {
+    val sq8 = plan("s_ann_sq8")
+    // candidate gen: queries broadcast against the code index (NLJ is the
+    // intended shape, same as s_cosine_topk); the rerank vector fetch
+    // must be an EQUI-join — re-scoring via a second nested loop would
+    // re-touch the fat corpus per query
+    assert(sq8.contains("BroadcastNestedLoopJoin"))
+    assert(sq8.contains("BroadcastHashJoin") || sq8.contains("SortMergeJoin"),
+      "sq8 rerank should fetch full vectors by equi-join on the candidate ids")
+    val km = plan("s_kmeans_step")
+    assert(km.contains("BroadcastNestedLoopJoin"),
+      "centroid table must broadcast — the corpus never shuffles for assignment")
+    assert(!km.contains("CartesianProduct"))
+    val hh = plan("e_heavy_hitters")
+    assert(hh.contains("BroadcastHashJoin"),
+      "the exact pass must count candidate keys via a broadcast equi-join")
+  }
+
   test("t_decontaminate: benchmark phrases broadcast, corpus equi-joined") {
     val p = plan("t_decontaminate")
     assert(p.contains("BroadcastHashJoin"),
