@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.pipelines.Pipelines
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** End-to-end pipeline catalog — each row proves a whole reference
@@ -63,6 +64,56 @@ object PipelineQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // End-to-end retrieval-ingest (RAG index build + probe), every
+    // stage the real plan shape: quality gate → overlapping token
+    // chunks (W=32, stride 24 — per-row arithmetic, no shuffle) →
+    // per-chunk embedding (deterministic arithmetic stand-in for the
+    // model call, same stub discipline as the multimodal codec: the
+    // PLUMBING — schema, cell routing, partitioned-index IO, probe
+    // join — is the real thing) → IVF index PERSISTED partitionBy(cell)
+    // (inverted-list layout, probe IO = 1/cells of the index) → query
+    // chunks probe their cell and take exact top-2 by cosine. The
+    // whole chain, chunking arithmetic through cosine ranks, is
+    // replicated by the oracle.
+    "pl_rag_index" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val St = 24
+      val path = scratchDir("pl", dir, "rag_index")
+      rmrf(path)
+      def dot(a: Column, b: Column): Column = aggregate(
+        zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      val chunks = Tables.documents(s, dir)
+        .filter(col("n_chars") >= 50)
+        .withColumn("__n", size(split(col("text"), " ")))
+        .select(col("doc_id"),
+          explode(expr(s"sequence(0, (__n - 1) div $St)")).as("ci"))
+        .withColumn("chunk_id", col("doc_id") * 10000 + col("ci"))
+        .withColumn("__h",
+          (col("doc_id") * 2654435761L + col("ci") * 40503L) % 65536)
+        .withColumn("cell", col("__h") % 8)
+        .withColumn("emb", transform(sequence(lit(1), lit(8)),
+          d => ((col("__h") * d) % 1009).cast("double") / lit(1009.0)))
+        .filter(dot(col("emb"), col("emb")) > 0)
+        .select("doc_id", "chunk_id", "cell", "emb")
+      chunks.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell").parquet(path)
+      val index = s.read.parquet(path)
+      val probes = chunks.filter(col("doc_id") < 3)
+        .select(col("chunk_id").as("q_chunk"), col("cell"), col("emb").as("__qe"))
+      val w = Window.partitionBy(col("q_chunk"))
+        .orderBy(col("cos").desc, col("nn_chunk"))
+      index.join(probes, Seq("cell"))
+        .filter(col("chunk_id") =!= col("q_chunk"))
+        .withColumn("cos", dot(col("__qe"), col("emb")) /
+          (sqrt(dot(col("__qe"), col("__qe"))) * sqrt(dot(col("emb"), col("emb")))))
+        .withColumn("nn_chunk", col("chunk_id"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .select(col("q_chunk"), col("rnk"), col("nn_chunk"),
+          floor(col("cos") * lit(1e6)).cast("long").as("cos_micro"))
+        .orderBy(col("q_chunk"), col("rnk"))
+    },
+
     // SCD Type-2 history: the versioned-dimension pattern the
     // reference's SCD1 snapshot merge (servicenow) stops short of —
     // per-customer activity tier over two snapshot windows, merged into
@@ -383,6 +434,43 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // replicates the whole chain: chunk arithmetic, hash embedding,
+    // cell routing, cosine ranks (CAST(1009 AS DOUBLE) — a bare 1009.0
+    // would be DECIMAL in DuckDB and change the IEEE sequence)
+    "pl_rag_index" ->
+      """WITH c0 AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE n_chars >= 50),
+        |ch AS (
+        |  SELECT doc_id, unnest(generate_series(0, (n - 1) // 24)) AS ci
+        |  FROM c0),
+        |e AS (
+        |  SELECT doc_id, doc_id * 10000 + ci AS chunk_id,
+        |    (doc_id * 2654435761 + ci * 40503) % 65536 AS h
+        |  FROM ch),
+        |v AS (
+        |  SELECT doc_id, chunk_id, h % 8 AS cell,
+        |    list_transform(generate_series(1, 8),
+        |      d -> CAST((h * d) % 1009 AS DOUBLE) / CAST(1009 AS DOUBLE)) AS emb
+        |  FROM e),
+        |vv AS (SELECT * FROM v WHERE list_dot_product(emb, emb) > 0),
+        |q AS (
+        |  SELECT chunk_id AS q_chunk, cell, emb AS qe
+        |  FROM vv WHERE doc_id < 3),
+        |sc AS (
+        |  SELECT q.q_chunk, c.chunk_id AS nn_chunk,
+        |    list_dot_product(qe, c.emb) /
+        |      (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.emb, c.emb)))
+        |      AS cos
+        |  FROM q JOIN vv c ON c.cell = q.cell AND c.chunk_id <> q.q_chunk),
+        |r AS (
+        |  SELECT q_chunk, nn_chunk, cos,
+        |    row_number() OVER (PARTITION BY q_chunk ORDER BY cos DESC, nn_chunk)
+        |      AS rnk
+        |  FROM sc)
+        |SELECT q_chunk, rnk, nn_chunk, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
+        |FROM r WHERE rnk <= 2 ORDER BY q_chunk, rnk""".stripMargin,
+
     // reconstructs closes / carries / inserts arithmetically from the
     // same two snapshot windows
     "pl_scd2_history" ->

@@ -156,6 +156,25 @@ class DedupPropertySpec extends SparkSpec {
     assert(exhaustive == brute && brute.nonEmpty)
   }
 
+  test("sq8 ANN recall vs brute force is monotone in oversample") {
+    import graft.operators.VectorSim
+    val emb = graft.core.Tables.embeddings(spark, sf001)
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = VectorSim.bruteForceCosineTopK(emb, q, "vec_id", "embedding", 5)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = Seq(1, 2, 4).map { os =>
+      val got = VectorSim.sq8CosineTopK(emb, q, "vec_id", "embedding", 5, os)
+        .select("q_id", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & brute).size.toDouble / brute.size
+    }
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in oversample: $recalls")
+    assert(recalls.head > 0.5, s"sq8 candidate quality floor broken: $recalls")
+    assert(recalls.last > 0.9, s"oversample=4 should be near-exhaustive: $recalls")
+  }
+
   /** Reference reimplementation of NativeEval.winnowFingerprints. */
   private def bruteWinnow(text: String, k: Int = 5, w: Int = 8): Seq[Long] = {
     val cps = text.codePoints().toArray
