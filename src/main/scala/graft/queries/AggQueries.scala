@@ -110,6 +110,32 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // A20 persisted mergeable HLL sketches — the incremental
+    // distinct-count pattern at 100 TB: per-day sketches are built
+    // once, STORED, and any horizon's distinct count comes from
+    // merging day sketches (bytes per day, not a rescan of the raw
+    // fact). Tolerance-proven like w6: the merged estimate must sit
+    // within the sketch's error band of the exact distinct; the
+    // oracle pins n_days and exact_users exactly and the verdict
+    // literally.
+    "a20_hll_sketch_merge" -> { (s, dir) =>
+      val path = scratchDir("agg", dir, "hll_daily")
+      rmrf(path)
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      ev.groupBy(col("day"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      val merged = s.read.parquet(path)
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("__est"),
+          count(lit(1)).as("n_days"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+      merged.crossJoin(broadcast(exact))
+        .select(col("n_days"), col("exact_users"),
+          (abs(col("__est") - col("exact_users")).cast("double")
+            <= col("exact_users").cast("double") * 0.05 + 3).as("hll_ok"))
+    },
+
     // A19 approximate-quantile capability, tolerance-proven like the w6
     // HLL row: approx_percentile's sketch merge order makes the VALUE
     // itself nondeterministic across runs, so the row asserts the GK
@@ -209,6 +235,11 @@ object AggQueries {
         |  MIN(CASE WHEN cum >= ceil(0.9 * total) THEN l_quantity END) AS p90,
         |  MIN(CASE WHEN cum >= ceil(0.99 * total) THEN l_quantity END) AS p99
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a20_hll_sketch_merge" ->
+      """SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |  COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
+        |FROM events""".stripMargin,
 
     // the sketch's rank-error bound holds by the GK guarantee — the
     // oracle pins n exactly and the verdict literally
