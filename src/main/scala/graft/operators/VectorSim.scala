@@ -19,6 +19,14 @@ object VectorSim {
   /** Cast a float vector column to double for exact, engine-portable math. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Sequential left-fold dot product over double arrays — the ONE
+    * definition of the zip_with+aggregate kernel whose IEEE sum order
+    * must bit-match DuckDB's list_dot_product (kmeans distances, rag
+    * cosines). Every catalog query needing a plain dot uses this; do
+    * not re-inline the lambda form. */
+  def dotFold(a: Column, b: Column): Column = aggregate(
+    zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
   /** Cosine similarity — native single-pass expression (floats widen
     * exactly; identical IEEE result to sequential dot products). See
     * [[graft.functions.CosineSim]] for why not zip_with+aggregate. */

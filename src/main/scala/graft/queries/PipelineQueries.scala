@@ -77,16 +77,19 @@ object PipelineQueries {
     // replicated by the oracle.
     "pl_rag_index" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val St = 24
+      val W = 32; val St = 24
       val path = scratchDir("pl", dir, "rag_index")
       rmrf(path)
-      def dot(a: Column, b: Column): Column = aggregate(
-        zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      def dot(a: Column, b: Column): Column =
+        graft.operators.VectorSim.dotFold(a, b)
+      // window-bounded chunk count: starts 0, St, 2·St … with the LAST
+      // window the first to reach the tail — 1 + floor(max(0, n−W)/St)
+      // chunks, so both W and the stride are live in the arithmetic
       val chunks = Tables.documents(s, dir)
         .filter(col("n_chars") >= 50)
         .withColumn("__n", size(split(col("text"), " ")))
         .select(col("doc_id"),
-          explode(expr(s"sequence(0, (__n - 1) div $St)")).as("ci"))
+          explode(expr(s"sequence(0, greatest(__n - $W, 0) div $St)")).as("ci"))
         .withColumn("chunk_id", col("doc_id") * 10000 + col("ci"))
         .withColumn("__h",
           (col("doc_id") * 2654435761L + col("ci") * 40503L) % 65536)
@@ -97,8 +100,10 @@ object PipelineQueries {
         .select("doc_id", "chunk_id", "cell", "emb")
       chunks.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("cell").parquet(path)
+      // probes come FROM the persisted index (single source of truth for
+      // what a vector is), not a re-derivation of the chunk pipeline
       val index = s.read.parquet(path)
-      val probes = chunks.filter(col("doc_id") < 3)
+      val probes = index.filter(col("doc_id") < 3)
         .select(col("chunk_id").as("q_chunk"), col("cell"), col("emb").as("__qe"))
       val w = Window.partitionBy(col("q_chunk"))
         .orderBy(col("cos").desc, col("nn_chunk"))
@@ -442,7 +447,8 @@ object PipelineQueries {
         |  SELECT doc_id, len(string_split(text, ' ')) AS n
         |  FROM documents WHERE n_chars >= 50),
         |ch AS (
-        |  SELECT doc_id, unnest(generate_series(0, (n - 1) // 24)) AS ci
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, greatest(n - 32, 0) // 24)) AS ci
         |  FROM c0),
         |e AS (
         |  SELECT doc_id, doc_id * 10000 + ci AS chunk_id,

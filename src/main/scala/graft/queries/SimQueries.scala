@@ -112,8 +112,7 @@ object SimQueries {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e("m")).as("c"))
         .select(col("label").as("c_label"), col("c"))
-      def dot(a: Column, b: Column): Column = aggregate(
-        zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      def dot(a: Column, b: Column): Column = VectorSim.dotFold(a, b)
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("d2").asc, col("c_label").asc)
       emb.crossJoin(broadcast(cent))
