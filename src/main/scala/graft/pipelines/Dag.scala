@@ -20,12 +20,14 @@ import scala.collection.mutable
 object Dag {
 
   /** Outcome of one stage after [[Builder.run]]. `status` is one of
-    * success | failed | skipped (a dep failed upstream). */
+    * success | cached (doneWhen already satisfied — body not run) |
+    * failed | skipped (a dep failed upstream). */
   final case class StageResult(name: String, status: String, attempts: Int,
                                durationMs: Long, error: Option[String])
 
   final case class Report(dag: String, results: Seq[StageResult]) {
-    def succeeded: Boolean = results.forall(_.status == "success")
+    def succeeded: Boolean =
+      results.forall(r => r.status == "success" || r.status == "cached")
     def apply(name: String): StageResult =
       results.find(_.name == name)
         .getOrElse(sys.error(s"no stage '$name' in dag '$dag'"))
@@ -54,6 +56,7 @@ object Dag {
 
   private final case class Stage(name: String, deps: Seq[String],
                                  maxRetry: Int, backoffMs: Long,
+                                 doneWhen: Ctx => Boolean,
                                  body: Ctx => Unit)
 
   def apply(name: String): Builder = new Builder(name)
@@ -64,14 +67,23 @@ object Dag {
     /** Declare a stage. `deps` must name previously-declared stages;
       * `maxRetry` extra attempts run after the first failure, sleeping
       * `backoffMs * attempt` between tries (ref `max_retry=2`,
-      * `servicenow_api_extract.py:2261`). */
+      * `servicenow_api_extract.py:2261`). `doneWhen` is the
+      * resume-from-markers guard: checked BEFORE the body on every run,
+      * and when already satisfied the stage records `cached` and its
+      * body never executes — re-running a half-finished DAG skips the
+      * stages whose targets already landed (the Airflow
+      * latest_only / target-exists idempotence pattern; ref
+      * `dq_check_for_target_table.py:53` WaitForHiveOperator guarding
+      * re-runs). Markers must be written by the stage body itself
+      * (e.g. the sink's _SUCCESS), so a crash mid-stage re-runs it. */
     def stage(name: String, deps: Seq[String] = Nil, maxRetry: Int = 0,
-              backoffMs: Long = 0L)(body: Ctx => Unit): this.type = {
+              backoffMs: Long = 0L, doneWhen: Ctx => Boolean = _ => false)
+             (body: Ctx => Unit): this.type = {
       require(!stages.contains(name), s"duplicate stage '$name'")
       val ds = deps.distinct // a repeated dep would skew Kahn's indegrees
       ds.foreach(d => require(stages.contains(d),
         s"stage '$name' depends on undeclared '$d' — declare stages in dependency order"))
-      stages(name) = Stage(name, ds, maxRetry, backoffMs, body)
+      stages(name) = Stage(name, ds, maxRetry, backoffMs, doneWhen, body)
       this
     }
 
@@ -124,6 +136,8 @@ object Dag {
         if (s.deps.exists(failedOrSkipped)) {
           failedOrSkipped += s.name
           results += StageResult(s.name, "skipped", 0, 0L, None)
+        } else if (s.doneWhen(ctx)) {
+          results += StageResult(s.name, "cached", 0, 0L, None)
         } else {
           val t0 = System.nanoTime()
           var attempt = 0

@@ -97,6 +97,32 @@ class DagSpec extends AnyFunSuite {
     assert(!msg.contains("ok:"))
   }
 
+  test("doneWhen: resume skips landed stages, dependents still run, crash re-runs") {
+    // a "target" that the produce stage lands; re-running the same DAG
+    // definition must skip produce (cached) but still run consume
+    var target: Option[String] = None
+    var produced = 0; var consumed = 0
+    def build() = {
+      val d = Dag("resume")
+      d.stage("produce", doneWhen = _ => target.isDefined) { _ =>
+        produced += 1; target = Some("landed")
+      }
+      d.stage("consume", deps = Seq("produce")) { _ => consumed += 1 }
+      d
+    }
+    val r1 = build().run()
+    assert(r1.succeeded && r1("produce").status == "success")
+    val r2 = build().run()
+    assert(r2.succeeded)
+    assert(r2("produce").status == "cached")
+    assert(r2("consume").status == "success")
+    assert(produced == 1 && consumed == 2)
+    // a crash BEFORE the marker lands re-runs the body (no false cache)
+    target = None
+    val r3 = build().run()
+    assert(r3("produce").status == "success" && produced == 2)
+  }
+
   test("graph validation: duplicate and undeclared-dep stages are rejected") {
     val d = Dag("invalid")
     d.stage("a") { _ => () }
