@@ -148,6 +148,21 @@ object DataQuality {
     agged.select(explode(rows).as("__r")).select(col("__r.*"))
   }
 
+  /** In-flight metrics on a write: attach aggregate observations to the
+    * frame, run the sink action, and return the metrics THE WRITE ITSELF
+    * computed — zero extra scans. At 100 TB the naive pattern (write,
+    * then re-read the sink to count/validate) re-scans the table once
+    * per metric query; `Observation` piggybacks on the write's own pass
+    * (accumulator-backed, exact for the completed action). Returns the
+    * observed Row keyed by metric alias. */
+  def observedWrite(df: DataFrame, metrics: Seq[Column])
+                   (write: DataFrame => Unit): Map[String, Any] = {
+    require(metrics.nonEmpty, "observedWrite needs at least one metric")
+    val obs = org.apache.spark.sql.Observation()
+    write(df.observe(obs, metrics.head, metrics.tail: _*))
+    obs.get
+  }
+
   /** Per-partition freshness monitor: each group's newest event time,
     * its whole-hours lag behind the table-wide newest, and a staleness
     * flag at `maxLagHours` — the standing "did every feed land?" check

@@ -177,6 +177,27 @@ class CapabilitiesSpec extends SparkSpec {
     }
   }
 
+  test("observedWrite: the sink's own pass yields exact metrics, no re-scan") {
+    import graft.operators.DataQuality
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_test_obs/sink"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"${System.getProperty("java.io.tmpdir")}/graft_test_obs"))
+    val o = graft.core.Tables.orders(spark, sf001)
+      .filter(col("o_orderstatus") === "F")
+    val got = DataQuality.observedWrite(o, Seq(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"),
+        count(when(col("o_custkey").isNull, 1)).as("null_keys"))) {
+      _.write.mode("overwrite").parquet(path)
+    }
+    // metrics must equal what a (wasteful) post-write re-scan would say
+    val back = spark.read.parquet(path)
+    assert(got("n") == back.count())
+    assert(got("null_keys") == 0L)
+    assert(got("total") == back.agg(
+      sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")).head().getDouble(0))
+  }
+
   test("J6: the reference's 10-way rank-offset self-join ≡ the lag-window form") {
     // The literal join form (ref: automl_linearreg_process_stocks.py:100-211):
     // row_number over Date desc, then ten chained inner self-joins at
