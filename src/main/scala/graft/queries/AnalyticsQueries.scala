@@ -110,12 +110,62 @@ object AnalyticsQueries {
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // Q12 shape: per line-class, how many lines belong to high- vs
+    // low-priority orders in a ship-year — the fact⋈fact join with a
+    // conditional split aggregation (shipmode→returnflag: the testdata
+    // is TPC-H-ish and carries no shipmode/commitdate columns).
+    "q12_priority_lines" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Q14 shape: promo revenue share — conditional revenue over a
+    // part-dim join, one division at the very end (both sums
+    // decimal-exact, so the ratio is one deterministic IEEE op).
+    "q14_promo_revenue" -> { (s, dir) =>
+      val p = Tables.part(s, dir)
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-07-01")
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg((lit(100.0) *
+          dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+          dsum(rev)).as("promo_pct"),
+          count(lit(1)).as("n_lines"))
     }
   )
 
   private val rev = sqlDsum("l_extendedprice * (1.0 - l_discount)")
 
   val oracle: Map[String, String] = Map(
+    "q12_priority_lines" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // identical op order: (100.0 * promo_sum) / total_sum, every
+    // constant CAST to DOUBLE (DuckDB bare literals are DECIMAL)
+    "q14_promo_revenue" ->
+      s"""SELECT CAST(100 AS DOUBLE) *
+         |  ${sqlDsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+         |  / ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS promo_pct,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-07-01'""".stripMargin,
     "q3_shipping_priority" ->
       s"""SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority, $rev AS revenue
          |FROM customer c
