@@ -128,6 +128,91 @@ object AnalyticsQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // Q4 shape: order-priority checking — EXISTS correlated subquery
+    // (lineitem has no commit/receipt dates in this testdata, so the
+    // "late line" predicate becomes "returned line in the ship window").
+    // Catalyst must rewrite the EXISTS into a left-semi join on
+    // o_orderkey; no per-row subquery execution survives in the plan.
+    "q4_priority_exists" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("q4_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("q4_lineitem")
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS order_count
+          |FROM q4_orders o
+          |WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+          |  AND EXISTS (
+          |    SELECT 1 FROM q4_lineitem l
+          |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // Q17 shape: small-quantity-order revenue — correlated SCALAR
+    // subquery (per-part average) that Catalyst decorrelates into an
+    // aggregate + join on p_partkey. The threshold is computed in pure
+    // double ops (exact-decimal sum, then double division) so the
+    // strict < comparison is bit-identical in both engines; a decimal
+    // QUOTIENT here would hit the engine-specific-scale trap.
+    "q17_small_qty_revenue" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("q17_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("q17_part")
+      s.sql(
+        """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+          |    / CAST(7 AS DOUBLE) AS avg_yearly,
+          |  COUNT(*) AS n_small_lines
+          |FROM q17_lineitem l JOIN q17_part p ON l.l_partkey = p.p_partkey
+          |WHERE p.p_brand = 'BRAND_1'
+          |  AND l.l_quantity < CAST(0.2 AS DOUBLE) * (
+          |    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+          |         / CAST(COUNT(*) AS DOUBLE)
+          |    FROM q17_lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+    },
+
+    // Q18 shape: large-volume orders — IN over a grouped HAVING
+    // subquery (the "which orders cross a total-quantity threshold"
+    // semi-join). The HAVING compare stays in the exact decimal domain.
+    "q18_large_orders" -> { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("q18_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("q18_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("q18_lineitem")
+      s.sql(
+        """SELECT c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+          |  o.o_totalprice,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+          |FROM q18_customer c
+          |JOIN q18_orders o ON c.c_custkey = o.o_custkey
+          |JOIN q18_lineitem l ON o.o_orderkey = l.l_orderkey
+          |WHERE o.o_orderkey IN (
+          |  SELECT l_orderkey FROM q18_lineitem
+          |  GROUP BY l_orderkey
+          |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 210)
+          |GROUP BY c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+          |  o.o_totalprice
+          |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin)
+    },
+
+    // Q22 shape: idle rich customers — uncorrelated scalar subquery
+    // (global positive-balance average) + NOT EXISTS anti-join, rolled
+    // up per market segment. Both subquery forms in one plan: the
+    // scalar becomes a broadcast single-row join, the NOT EXISTS a
+    // left-anti on c_custkey.
+    "q22_idle_balance" -> { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("q22_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("q22_orders")
+      s.sql(
+        """SELECT c_mktsegment, COUNT(*) AS numcust,
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+          |FROM q22_customer c
+          |WHERE c_acctbal > (
+          |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+          |         / CAST(COUNT(*) AS DOUBLE)
+          |    FROM q22_customer WHERE c_acctbal > CAST(0.0 AS DOUBLE))
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM q22_orders o
+          |    WHERE o.o_custkey = c.c_custkey
+          |      AND o.o_orderdate >= '2000-01-01')
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    },
+
     // Q14 shape: promo revenue share — conditional revenue over a
     // part-dim join, one division at the very end (both sums
     // decimal-exact, so the ratio is one deterministic IEEE op).
@@ -199,6 +284,55 @@ object AnalyticsQueries {
          |  AND l.l_returnflag = 'R'
          |GROUP BY c.c_custkey, c.c_name, n.n_name
          |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    / CAST(7 AS DOUBLE) AS avg_yearly,
+        |  COUNT(*) AS n_small_lines
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand = 'BRAND_1'
+        |  AND l.l_quantity < CAST(0.2 AS DOUBLE) * (
+        |    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE)
+        |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 210)
+        |GROUP BY c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin,
+
+    "q22_idle_balance" ->
+      """SELECT c_mktsegment, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE)
+        |    FROM customer WHERE c_acctbal > CAST(0.0 AS DOUBLE))
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q2_min_price_line" ->
       """SELECT l.l_partkey, s.s_name,
