@@ -402,6 +402,52 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // BM25 keyword retrieval — the lexical ranker every RAG/eval
+    // pipeline pairs with dense ANN (s_cosine_*): Robertson/Sparck-
+    // Jones idf with the +1 floor, k1=1.2, b=0.75. Corpus stats (doc
+    // length, avgdl, df) are map-side-combinable aggregates; the token
+    // stream is filtered to the query terms BEFORE the tf aggregate,
+    // so the per-query work is proportional to postings, not corpus;
+    // idf (≤|terms| rows) and the two scalar stats broadcast. The only
+    // transcendental (ln) is floored to micro-units at the TERM level
+    // (≤4 values); per-(doc,term) contributions are pure double
+    // arithmetic in a fixed op order, floored to micro, then summed as
+    // exact integers — bit-stable at any parallelism.
+    "t_bm25_search" -> { (s, dir) =>
+      val terms = Seq("hash", "join", "vector", "stream")
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val stats = dl.agg(sum(col("dl")).as("tok_total"))
+        .crossJoin(broadcast(nDocs))
+      val tf = toks.filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf_micro",
+          floor(log((col("n_docs").cast("double") - col("df").cast("double")
+              + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1e6))
+            .cast("long"))
+        .select(col("tok"), col("idf_micro"))
+      val avgdl = col("tok_total").cast("double") / col("n_docs").cast("double")
+      val tfnorm = (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+      tf.join(dl, "doc_id") // both aggregated on doc_id — co-partitioned
+        .join(broadcast(idf), "tok")
+        .crossJoin(broadcast(stats))
+        .withColumn("c_micro",
+          floor(col("idf_micro").cast("double") / lit(1e6) * tfnorm * lit(1e6))
+            .cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hit"), sum(col("c_micro")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(20)
+    },
+
     // Document fingerprinting: bag-of-words-normalized md5 (order
     // independent — reordered near-dups collide; appended text does not).
     "t_fingerprint" -> { (s, dir) =>
@@ -440,6 +486,42 @@ object TextQueries {
         |  MIN(doc_logp) AS min_doc_logp,
         |  MAX(doc_logp) AS max_doc_logp
         |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // every float op in the same order as the Spark side; constants
+    // CAST to DOUBLE (DuckDB bare literals are DECIMAL)
+    "t_bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) WHERE len(tok) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (
+        |  SELECT CAST(SUM(dl) AS BIGINT) AS tok_total,
+        |         (SELECT COUNT(*) FROM documents) AS n_docs FROM dl),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |       WHERE tok IN ('hash', 'join', 'vector', 'stream')
+        |       GROUP BY 1, 2),
+        |idf AS (
+        |  SELECT tok,
+        |    CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+        |        + CAST(0.5 AS DOUBLE))
+        |      / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |      + CAST(1.0 AS DOUBLE)) * 1e6) AS BIGINT) AS idf_micro
+        |  FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1), stats),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(floor(CAST(idf_micro AS DOUBLE) / 1e6 *
+        |      ((CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+        |       (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+        |         (CAST(dl.dl AS DOUBLE) /
+        |          (CAST(tok_total AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |      * 1e6) AS BIGINT) AS c_micro
+        |  FROM tf JOIN dl USING (doc_id) JOIN idf USING (tok), stats)
+        |SELECT doc_id, COUNT(*) AS n_hit,
+        |  CAST(SUM(c_micro) AS BIGINT) AS score_micro
+        |FROM sc GROUP BY 1
+        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
 
     "t_token_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
