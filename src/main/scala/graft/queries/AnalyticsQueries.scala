@@ -226,6 +226,210 @@ object AnalyticsQueries {
           dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
           dsum(rev)).as("promo_pct"),
           count(lit(1)).as("n_lines"))
+    },
+
+    // Q8 shape: national market share — one supplier-nation's slice of
+    // PROMO revenue sold into ASIA, per order year. Eight-way join:
+    // three dims broadcast, the two fact joins shuffle once each; the
+    // share is a ratio of two exact-decimal sums (one IEEE division
+    // per output row).
+    "q8_market_share" -> { (s, dir) =>
+      val p = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+      val l = Tables.lineitem(s, dir)
+      val su = Tables.supplier(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01")
+      val c = Tables.customer(s, dir)
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), c("c_nationkey") === col("c_nk"))
+        .join(broadcast(r), col("c_rk") === r("r_regionkey"))
+        .join(broadcast(n2), su("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((dsum(when(col("supp_nation") === "NATION_8", rev).otherwise(lit(0.0))) /
+          dsum(rev)).as("mkt_share"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("o_year"))
+    },
+
+    // Q9 shape: product profit by nation and year — profit per line is
+    // revenue minus a retail-price-proportional cost (the testdata has
+    // no partsupp/supplycost; 0.1·p_retailprice·l_quantity stands in).
+    // The per-row amount is pure double arithmetic in a fixed op
+    // order, then summed exactly.
+    "q9_product_profit" -> { (s, dir) =>
+      val p = Tables.part(s, dir).filter(col("p_name").like("%red%"))
+      val l = Tables.lineitem(s, dir)
+      val su = Tables.supplier(s, dir)
+      val o = Tables.orders(s, dir)
+      val n = Tables.nation(s, dir)
+      val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        lit(0.1) * col("p_retailprice") * col("l_quantity")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(dsum(amount).as("profit"), count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name"), col("o_year"))
+    },
+
+    // Q11 shape: important inventory value — per-part value restricted
+    // to one nation's suppliers, kept only when the group's value
+    // crosses a fraction of the GLOBAL total (group HAVING vs an
+    // uncorrelated scalar subquery; the scalar becomes a single-row
+    // broadcast join).
+    "q11_important_value" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("q11_lineitem")
+      Tables.supplier(s, dir).createOrReplaceTempView("q11_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("q11_nation")
+      s.sql(
+        """SELECT l_partkey,
+          |  CAST(SUM(CAST((l_extendedprice * l_quantity) AS DECIMAL(18,6)))
+          |    AS DOUBLE) AS part_value
+          |FROM q11_lineitem l
+          |JOIN q11_supplier s ON l.l_suppkey = s.s_suppkey
+          |JOIN q11_nation n ON s.s_nationkey = n.n_nationkey
+          |WHERE n.n_name = 'NATION_3'
+          |GROUP BY l_partkey
+          |HAVING CAST(SUM(CAST((l_extendedprice * l_quantity) AS DECIMAL(18,6)))
+          |    AS DOUBLE) > (
+          |  SELECT CAST(SUM(CAST((l_extendedprice * l_quantity) AS DECIMAL(18,6)))
+          |      AS DOUBLE) * CAST(0.001 AS DOUBLE)
+          |  FROM q11_lineitem l2
+          |  JOIN q11_supplier s2 ON l2.l_suppkey = s2.s_suppkey
+          |  JOIN q11_nation n2 ON s2.s_nationkey = n2.n_nationkey
+          |  WHERE n2.n_name = 'NATION_3')
+          |ORDER BY part_value DESC, l_partkey""".stripMargin)
+    },
+
+    // Q13 shape: customer order-count distribution — LEFT OUTER join
+    // with the filter in the ON clause (customers with zero qualifying
+    // orders must survive as c_count = 0), then a second aggregation
+    // over the counts. Two keyed shuffles, all-integer output.
+    "q13_order_distribution" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderpriority") =!= "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // Q15 shape: top supplier — a revenue CTE reused twice, the second
+    // use as an uncorrelated scalar MAX. The equality compare is safe:
+    // both sides carry the identical exact-decimal-then-double sum.
+    "q15_top_supplier" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("q15_lineitem")
+      Tables.supplier(s, dir).createOrReplaceTempView("q15_supplier")
+      s.sql(
+        """WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |    CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount))
+          |      AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+          |  FROM q15_lineitem
+          |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_revenue
+          |FROM q15_supplier JOIN revenue ON s_suppkey = supplier_no
+          |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+          |ORDER BY s_suppkey""".stripMargin)
+    },
+
+    // Q16 shape: supplier counting — NOT IN over a subquery (Catalyst
+    // plans the null-aware anti-join) + COUNT(DISTINCT) per part
+    // attribute triple. lineitem stands in for the partsupp relation.
+    "q16_supplier_count" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("q16_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("q16_part")
+      Tables.supplier(s, dir).createOrReplaceTempView("q16_supplier")
+      s.sql(
+        """SELECT p_brand, p_type, p_size,
+          |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM q16_lineitem l JOIN q16_part p ON p.p_partkey = l.l_partkey
+          |WHERE p_brand <> 'Brand#1'
+          |  AND p_size IN (1, 7, 14, 21, 28, 35, 42, 49)
+          |  AND l_suppkey NOT IN (
+          |    SELECT s_suppkey FROM q16_supplier
+          |    WHERE s_acctbal < CAST(0.0 AS DOUBLE))
+          |GROUP BY p_brand, p_type, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+    },
+
+    // Q19 shape: discounted revenue under disjunctive brand/size/
+    // quantity bands — the OR-of-ANDs must still push the join key and
+    // the per-branch ranges into the scans.
+    "q19_disjunctive_revenue" -> { (s, dir) =>
+      val p = Tables.part(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(dsum(rev).as("revenue"), count(lit(1)).as("n_lines"))
+    },
+
+    // Q20 shape: heavy promo shippers — a nested IN chain (supplier ∈
+    // aggregated shippers of parts ∈ PROMO) that Catalyst turns into
+    // two stacked semi-joins; the HAVING compare stays in the exact
+    // decimal domain. s_acctbal passes the stored double through.
+    "q20_promo_suppliers" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("q20_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("q20_part")
+      Tables.supplier(s, dir).createOrReplaceTempView("q20_supplier")
+      s.sql(
+        """SELECT s_name, s_acctbal
+          |FROM q20_supplier
+          |WHERE s_suppkey IN (
+          |  SELECT l_suppkey FROM q20_lineitem
+          |  WHERE l_partkey IN (
+          |      SELECT p_partkey FROM q20_part WHERE p_type = 'PROMO')
+          |    AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          |  GROUP BY l_suppkey
+          |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 500)
+          |ORDER BY s_name""".stripMargin)
+    },
+
+    // Q21 shape: suppliers who kept orders waiting — correlated EXISTS
+    // (another supplier contributed to the order) AND NOT EXISTS (no
+    // OTHER supplier's line was returned) over the same fact table:
+    // one left-semi + one left-anti against lineitem in a single plan.
+    "q21_waiting_suppliers" -> { (s, dir) =>
+      Tables.supplier(s, dir).createOrReplaceTempView("q21_supplier")
+      Tables.lineitem(s, dir).createOrReplaceTempView("q21_lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("q21_orders")
+      s.sql(
+        """SELECT s_name, COUNT(*) AS numwait
+          |FROM q21_supplier s
+          |JOIN q21_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+          |JOIN q21_orders o ON o.o_orderkey = l1.l_orderkey
+          |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          |  AND EXISTS (
+          |    SELECT 1 FROM q21_lineitem l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey
+          |      AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM q21_lineitem l3
+          |    WHERE l3.l_orderkey = l1.l_orderkey
+          |      AND l3.l_suppkey <> l1.l_suppkey
+          |      AND l3.l_returnflag = 'R')
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
     }
   )
 
@@ -356,6 +560,129 @@ object AnalyticsQueries {
          |WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1998-01-01'
          |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
          |       (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      s"""SELECT year(o_orderdate) AS o_year,
+         |  ${sqlDsum("CASE WHEN n2.n_name = 'NATION_8' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+         |  / ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS mkt_share,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem l
+         |JOIN part p ON l.l_partkey = p.p_partkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+         |JOIN region r ON n1.n_regionkey = r.r_regionkey
+         |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+         |WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+         |  AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1998-01-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q9_product_profit" ->
+      s"""SELECT n.n_name, year(o.o_orderdate) AS o_year,
+         |  ${sqlDsum("l_extendedprice * (1.0 - l_discount) - CAST(0.1 AS DOUBLE) * p_retailprice * l_quantity")} AS profit,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem l
+         |JOIN part p ON l.l_partkey = p.p_partkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |WHERE p.p_name LIKE '%red%'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q11_important_value" ->
+      """SELECT l_partkey,
+        |  CAST(SUM(CAST((l_extendedprice * l_quantity) AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS part_value
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE n.n_name = 'NATION_3'
+        |GROUP BY l_partkey
+        |HAVING CAST(SUM(CAST((l_extendedprice * l_quantity) AS DECIMAL(18,6)))
+        |    AS DOUBLE) > (
+        |  SELECT CAST(SUM(CAST((l_extendedprice * l_quantity) AS DECIMAL(18,6)))
+        |      AS DOUBLE) * CAST(0.001 AS DOUBLE)
+        |  FROM lineitem l2
+        |  JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+        |  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |  WHERE n2.n_name = 'NATION_3')
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT OUTER JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount))
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 7, 14, 21, 28, 35, 42, 49)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier
+        |    WHERE s_acctbal < CAST(0.0 AS DOUBLE))
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      s"""SELECT $rev AS revenue, COUNT(*) AS n_lines
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+         |        AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+         |        AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+         |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q20_promo_suppliers" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (
+        |      SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        |    AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  GROUP BY l_suppkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 500)
+        |ORDER BY s_name""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
   )
 }
