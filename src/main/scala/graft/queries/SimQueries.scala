@@ -20,6 +20,20 @@ object SimQueries {
   private def scratch(dir: String, leaf: String): String =
     scratchDir("sim", dir, leaf)
 
+  /** Per-label centroid vectors rebuilt from the exact-micro per-dim
+    * means (shared by the Lloyd step and SemDeDup below): k·dim rows
+    * reassembled into k arrays — bit-identical across engines because
+    * the mean never leaves the integer micro domain until one final
+    * floor-division. */
+  private def centroidArrays(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    VectorSim.dimMicroMeans(Tables.embeddings(s, dir), "label", "embedding")
+      .withColumn("m", col("mean_micro").cast("double") / lit(1e6))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e("m")).as("c"))
+      .select(col("label").as("c_label"), col("c"))
+
   val queries: Map[String, Q] = Map(
     // Brute-force exact cosine top-10 for 5 query vectors over the whole
     // corpus (broadcast queries, zero corpus shuffle, two-phase top-k).
@@ -105,13 +119,7 @@ object SimQueries {
       // the shared exact-micro mean kernel (then /1e6 back to a double):
       // centroids are bit-identical across engines by construction, so
       // d2 inherits only the proven sequential-dot determinism contract
-      val cent = VectorSim.dimMicroMeans(
-          Tables.embeddings(s, dir), "label", "embedding")
-        .withColumn("m", col("mean_micro").cast("double") / lit(1e6))
-        .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e("m")).as("c"))
-        .select(col("label").as("c_label"), col("c"))
+      val cent = centroidArrays(s, dir)
       def dot(a: Column, b: Column): Column = VectorSim.dotFold(a, b)
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("d2").asc, col("c_label").asc)
@@ -142,6 +150,43 @@ object SimQueries {
         .select(col("q_id"), col("rnk"),
           col("nn_id"), floor(col("cos") * 1e6).cast("long").as("cos_micro"))
         .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // SemDeDup-shaped semantic dedup (Abbas et al. 2023, public): embed
+    // → cluster (nearest exact-micro centroid by cosine) → within each
+    // cluster drop every vector that has cosine > 0.3 to a HIGHER-
+    // ranked member, rank = ascending similarity to the centroid (the
+    // paper keeps the least-centroid-like member of a duplicate
+    // group). The pairwise rule (not the sequential greedy) keeps the
+    // decision order-free and fully distributed: centroids broadcast,
+    // the assignment is map-only, and the prune join is cell-blocked
+    // equi-join — never all-pairs — so the shape survives a corpus
+    // that is 100 TB with k scaled to keep cells bounded.
+    "s_semdedup" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), VectorSim.asDouble(col("embedding")).as("v"))
+      val cent = centroidArrays(s, dir)
+      def dot(a: Column, b: Column): Column = VectorSim.dotFold(a, b)
+      def cos(a: Column, b: Column): Column =
+        dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+      val assigned = emb.crossJoin(broadcast(cent))
+        .withColumn("ccos", cos(col("v"), col("c")))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("c_label").asc)))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("c_label").as("cell"), col("ccos"))
+        .withColumn("rank", row_number().over(Window.partitionBy(col("cell"))
+          .orderBy(col("ccos").asc, col("vec_id").asc)))
+      val higher = assigned.select(col("cell").as("h_cell"),
+        col("v").as("hv"), col("rank").as("h_rank"))
+      val removedIds = assigned.join(higher,
+          col("cell") === col("h_cell") && col("h_rank") < col("rank") &&
+            cos(col("v"), col("hv")) > lit(0.3), "left_semi")
+        .select(col("vec_id").as("rm_id"))
+      assigned.join(removedIds, col("vec_id") === col("rm_id"), "left_anti")
+        .select(col("cell"), col("vec_id"),
+          floor(col("ccos") * 1e6).cast("long").as("ccos_micro"))
+        .orderBy(col("cell"), col("vec_id"))
     },
 
     // Multi-probe IVF ANN: nprobe=2 — each query ranks the 10 cells by
@@ -259,6 +304,46 @@ object SimQueries {
          |  FROM pool WHERE prn <= 30)
          |SELECT q_id, rnk, nn_id, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
          |FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+
+    // replicates the whole chain: exact-micro centroids → nearest-by-
+    // cosine assignment → ascending-ccos rank → pairwise prune at 0.3
+    "s_semdedup" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         |pe AS (
+         |  SELECT label, unnest(generate_series(1, len(e))) AS pos,
+         |    unnest(e) AS x
+         |  FROM v),
+         |cm AS (
+         |  SELECT label, pos,
+         |    floor(
+         |      CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE)
+         |      / COUNT(*)) / 1e6 AS m
+         |  FROM pe GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT label AS c_label, list(m ORDER BY pos) AS c FROM cm GROUP BY 1),
+         |sc AS (
+         |  SELECT v.vec_id, v.e, ct.c_label,
+         |    list_dot_product(v.e, ct.c) /
+         |      (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(ct.c, ct.c)))
+         |      AS ccos
+         |  FROM v, cent ct),
+         |asg AS (
+         |  SELECT vec_id, e, c_label AS cell, ccos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_label) AS rn
+         |  FROM sc),
+         |a1 AS (
+         |  SELECT vec_id, e, cell, ccos,
+         |    row_number() OVER (PARTITION BY cell ORDER BY ccos, vec_id) AS rank
+         |  FROM asg WHERE rn = 1),
+         |rem AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM a1 b JOIN a1 a ON a.cell = b.cell AND a.rank < b.rank
+         |  WHERE list_dot_product(a.e, b.e) /
+         |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+         |    > CAST(0.3 AS DOUBLE))
+         |SELECT cell, vec_id, CAST(floor(ccos * 1e6) AS BIGINT) AS ccos_micro
+         |FROM a1 WHERE vec_id NOT IN (SELECT vec_id FROM rem)
+         |ORDER BY cell, vec_id""".stripMargin,
 
     "s_cosine_ann_ivf" ->
       s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
