@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.operators.Windows
+import graft.operators.{VectorSim, Windows}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis catalog over `documents` — language-ID heuristic, quality
@@ -13,6 +14,50 @@ import org.apache.spark.sql.functions._
   * agree bit-for-bit.
   */
 object TextQueries {
+
+  /** BM25 (Robertson/Sparck-Jones idf with the +1 floor, k1=1.2,
+    * b=0.75) over whitespace tokens, restricted to `terms`: returns
+    * (doc_id, n_hit, score_micro) for every doc containing ≥1 term.
+    * Corpus stats (dl, avgdl, df) are map-side-combinable aggregates;
+    * the token stream is filtered to the query terms BEFORE the tf
+    * aggregate, so per-query work is proportional to postings, not
+    * corpus; idf (≤|terms| rows) and the two scalar stats broadcast.
+    * The only transcendental (ln) is floored to micro-units at the
+    * TERM level (≤|terms| values); per-(doc,term) contributions are
+    * pure double arithmetic in a fixed op order, floored to micro,
+    * then summed as exact integers — bit-stable at any parallelism. */
+  private def bm25Scores(s: org.apache.spark.sql.SparkSession, dir: String,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val stats = dl.agg(sum(col("dl")).as("tok_total"))
+      .crossJoin(broadcast(nDocs))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_micro",
+        floor(log((col("n_docs").cast("double") - col("df").cast("double")
+            + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1e6))
+          .cast("long"))
+      .select(col("tok"), col("idf_micro"))
+    val avgdl = col("tok_total").cast("double") / col("n_docs").cast("double")
+    val tfnorm = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    tf.join(dl, "doc_id") // both aggregated on doc_id — co-partitioned
+      .join(broadcast(idf), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("c_micro",
+        floor(col("idf_micro").cast("double") / lit(1e6) * tfnorm * lit(1e6))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("c_micro")).as("score_micro"))
+  }
 
   val queries: Map[String, Q] = Map(
     // Token counting: whitespace tokens + a word-regex token count per
@@ -414,37 +459,40 @@ object TextQueries {
     // arithmetic in a fixed op order, floored to micro, then summed as
     // exact integers — bit-stable at any parallelism.
     "t_bm25_search" -> { (s, dir) =>
-      val terms = Seq("hash", "join", "vector", "stream")
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .filter(length(col("tok")) > 0)
-      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-      val stats = dl.agg(sum(col("dl")).as("tok_total"))
-        .crossJoin(broadcast(nDocs))
-      val tf = toks.filter(col("tok").isin(terms: _*))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(stats))
-        .withColumn("idf_micro",
-          floor(log((col("n_docs").cast("double") - col("df").cast("double")
-              + lit(0.5))
-            / (col("df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1e6))
-            .cast("long"))
-        .select(col("tok"), col("idf_micro"))
-      val avgdl = col("tok_total").cast("double") / col("n_docs").cast("double")
-      val tfnorm = (col("tf").cast("double") * lit(2.2)) /
-        (col("tf").cast("double") + lit(1.2) *
-          (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
-      tf.join(dl, "doc_id") // both aggregated on doc_id — co-partitioned
-        .join(broadcast(idf), "tok")
-        .crossJoin(broadcast(stats))
-        .withColumn("c_micro",
-          floor(col("idf_micro").cast("double") / lit(1e6) * tfnorm * lit(1e6))
-            .cast("long"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_hit"), sum(col("c_micro")).as("score_micro"))
+      bm25Scores(s, dir, Seq("hash", "join", "vector", "stream"))
         .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // Hybrid retrieval: BM25 lexical top-50 fused with dense cosine
+    // top-50 (query = doc 0's embedding; doc_id ≡ vec_id in the
+    // testdata) by reciprocal-rank fusion, 1/(60+rank) per arm — the
+    // standard RAG first-stage. Ranks are exact integers (BM25 scores
+    // are integer micro; the cosine rank comes from the audited
+    // two-phase top-k), so the fused score is two IEEE divisions and
+    // one add in a fixed order — bit-stable. Both arms are bounded
+    // (postings-proportional / broadcast-query), and the fusion joins
+    // two ≤50-row frames.
+    "t_hybrid_rrf" -> { (s, dir) =>
+      val lex = bm25Scores(s, dir, Seq("hash", "join", "vector", "stream"))
+        .withColumn("lex_rank", row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id"))))
+        .filter(col("lex_rank") <= 50)
+        .select(col("doc_id"), col("lex_rank"))
+      val emb = Tables.embeddings(s, dir)
+      val dense = VectorSim.bruteForceCosineTopK(emb,
+          emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+        .select(col("nn_id").as("doc_id"), col("rnk").as("dense_rank"))
+      val rrf =
+        coalesce(lit(1.0) / (lit(60.0) + col("lex_rank").cast("double")),
+          lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("dense_rank").cast("double")),
+          lit(0.0))
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_micro", floor(rrf * lit(1e9)).cast("long"))
+        .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+          col("rrf_micro"))
+        .orderBy(col("rrf_micro").desc, col("doc_id"))
         .limit(20)
     },
 
@@ -522,6 +570,65 @@ object TextQueries {
         |  CAST(SUM(c_micro) AS BIGINT) AS score_micro
         |FROM sc GROUP BY 1
         |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    // same BM25 chain through bm, then RRF against the dense cosine
+    // arm; every constant CAST to DOUBLE, fusion adds lex then dense
+    "t_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) WHERE len(tok) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (
+        |  SELECT CAST(SUM(dl) AS BIGINT) AS tok_total,
+        |         (SELECT COUNT(*) FROM documents) AS n_docs FROM dl),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |       WHERE tok IN ('hash', 'join', 'vector', 'stream')
+        |       GROUP BY 1, 2),
+        |idf AS (
+        |  SELECT tok,
+        |    CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+        |        + CAST(0.5 AS DOUBLE))
+        |      / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |      + CAST(1.0 AS DOUBLE)) * 1e6) AS BIGINT) AS idf_micro
+        |  FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1), stats),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(floor(CAST(idf_micro AS DOUBLE) / 1e6 *
+        |      ((CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+        |       (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+        |         (CAST(dl.dl AS DOUBLE) /
+        |          (CAST(tok_total AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |      * 1e6) AS BIGINT) AS c_micro
+        |  FROM tf JOIN dl USING (doc_id) JOIN idf USING (tok), stats),
+        |bm AS (SELECT doc_id, CAST(SUM(c_micro) AS BIGINT) AS score_micro
+        |       FROM sc GROUP BY 1),
+        |lex AS (
+        |  SELECT doc_id, lex_rank FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (ORDER BY score_micro DESC, doc_id) AS lex_rank
+        |    FROM bm) WHERE lex_rank <= 50),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |q AS (SELECT e AS qv FROM v WHERE vec_id = 0),
+        |dense AS (
+        |  SELECT doc_id, dense_rank FROM (
+        |    SELECT v.vec_id AS doc_id,
+        |      row_number() OVER (ORDER BY
+        |        list_dot_product(qv, v.e) /
+        |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v.e, v.e)))
+        |        DESC, v.vec_id) AS dense_rank
+        |    FROM v, q WHERE v.vec_id <> 0) WHERE dense_rank <= 50)
+        |SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+        |  lex_rank, dense_rank,
+        |  CAST(floor((
+        |    COALESCE(CAST(1.0 AS DOUBLE) /
+        |      (CAST(60.0 AS DOUBLE) + CAST(lex_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) +
+        |    COALESCE(CAST(1.0 AS DOUBLE) /
+        |      (CAST(60.0 AS DOUBLE) + CAST(dense_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
+        |    ) * 1e9) AS BIGINT) AS rrf_micro
+        |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+        |ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin,
 
     "t_token_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
