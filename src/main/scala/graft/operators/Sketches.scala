@@ -70,8 +70,13 @@ object Sketches {
     import spark.implicits._
     val keys: Dataset[String] =
       df.select(col(keyCol).cast("string")).as[String]
+    // materialize the tiny summary (≤ partitions·(k+1) rows) ONCE —
+    // candidates and total are two consumers, and without this each
+    // re-runs the full sketch scan, making three input passes of the
+    // documented two
     val summary = keys.mapPartitions(it => mgSummary(it, k))
       .toDF("__key", "__local_n")
+      .localCheckpoint(true)
     val candidates = summary.filter(col("__key").isNotNull)
       .select(col("__key").as(keyCol)).distinct()
     val total = summary.filter(col("__key").isNull)

@@ -248,8 +248,12 @@ object DataPrepQueries {
 
   val oracle: Map[String, String] = Map(
     // exact heavy-hitter definition — cnt·k > n in integer arithmetic
+    // NULL keys excluded from BOTH the groups and the total n — the
+    // operator's contract (a NULL is not a key); without the filter the
+    // two engines' thresholds diverge on corpora with NULL event_type
     "e_heavy_hitters" ->
-      """WITH c AS (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1),
+      """WITH c AS (SELECT event_type, COUNT(*) AS cnt FROM events
+        |           WHERE event_type IS NOT NULL GROUP BY 1),
         |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
         |SELECT event_type, cnt FROM c, n
         |WHERE cnt * 5 > n ORDER BY event_type""".stripMargin,

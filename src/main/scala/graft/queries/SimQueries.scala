@@ -169,6 +169,9 @@ object SimQueries {
       def dot(a: Column, b: Column): Column = VectorSim.dotFold(a, b)
       def cos(a: Column, b: Column): Column =
         dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+      // localCheckpoint: assigned feeds three consumers (both prune-join
+      // sides and the final anti-join) — without it the broadcast
+      // cross-join + two window sorts re-run per consumer
       val assigned = emb.crossJoin(broadcast(cent))
         .withColumn("ccos", cos(col("v"), col("c")))
         .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
@@ -177,6 +180,7 @@ object SimQueries {
         .select(col("vec_id"), col("v"), col("c_label").as("cell"), col("ccos"))
         .withColumn("rank", row_number().over(Window.partitionBy(col("cell"))
           .orderBy(col("ccos").asc, col("vec_id").asc)))
+        .localCheckpoint(true)
       val higher = assigned.select(col("cell").as("h_cell"),
         col("v").as("hv"), col("rank").as("h_rank"))
       val removedIds = assigned.join(higher,

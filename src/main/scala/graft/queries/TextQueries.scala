@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.core.Tables
 import graft.operators.{VectorSim, Windows}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis catalog over `documents` — language-ID heuristic, quality
@@ -474,9 +473,12 @@ object TextQueries {
     // (postings-proportional / broadcast-query), and the fusion joins
     // two ≤50-row frames.
     "t_hybrid_rrf" -> { (s, dir) =>
-      val lex = bm25Scores(s, dir, Seq("hash", "join", "vector", "stream"))
-        .withColumn("lex_rank", row_number().over(
-          Window.orderBy(col("score_micro").desc, col("doc_id"))))
+      // rank via the range-partitioned global form — the BM25 frame is
+      // postings-proportional (every doc matching a common term), so an
+      // unpartitioned Window here would be a single-task funnel
+      val lex = Windows.globalRowNumber(
+          bm25Scores(s, dir, Seq("hash", "join", "vector", "stream")),
+          Seq(col("score_micro").desc, col("doc_id").asc), "lex_rank")
         .filter(col("lex_rank") <= 50)
         .select(col("doc_id"), col("lex_rank"))
       val emb = Tables.embeddings(s, dir)

@@ -281,7 +281,18 @@ object FileIO {
     * [[compactParquet]]). Returns (affected, emptied) partition counts. */
   def propagateDeletes(spark: SparkSession, path: String, keyCol: String,
                        tombstones: DataFrame, partitionCol: String): (Int, Int) = {
-    val target = spark.read.parquet(path)
+    // Partition values must round-trip VERBATIM: with type inference on,
+    // a numeric-looking string partition (dir p=007) reads back as INT 7,
+    // survivors are rewritten under a NEW dir p=7, and the original dir
+    // keeps every tombstoned row — the exact retention failure this
+    // function exists to prevent. Resolve the relation with inference
+    // off (read.parquet resolves eagerly, so restoring the conf after
+    // is safe).
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.get(inferKey)
+    val target =
+      try { spark.conf.set(inferKey, "false"); spark.read.parquet(path) }
+      finally spark.conf.set(inferKey, prevInfer)
     val ts = broadcast(tombstones.select(keyCol).distinct())
     // Option-valued partition values: a nullable partition column lands
     // in Hive's default partition, and its tombstoned rows must be

@@ -197,6 +197,33 @@ class SourcesSpec extends SparkSpec {
     assert(got == Set(2L, 5L))
   }
 
+  test("propagateDeletes keeps numeric-looking string partitions verbatim") {
+    import spark.implicits._
+    val path = tmp("del_prop_num")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    // '007' would be inferred as INT 7 by partition-type inference:
+    // survivors would then be rewritten under a NEW dir p=7 while the
+    // original p=007 dir retained every tombstoned row
+    val df = Seq((1L, "007", 10), (2L, "007", 20), (3L, "9", 30))
+      .toDF("k", "p", "v")
+    FileIO.writePartitioned(df, path, Seq("p"))
+    assert(new java.io.File(s"$path/p=007").exists())
+    val (affected, emptied) = FileIO.propagateDeletes(
+      spark, path, "k", Seq(1L).toDF("k"), "p")
+    assert((affected, emptied) == (1, 0))
+    assert(!new java.io.File(s"$path/p=7").exists())
+    // read each partition DIR directly — a whole-table read would
+    // itself re-infer '007' as 7 and mask the very bug under test
+    assert(new java.io.File(s"$path/p=007").exists())
+    assert(spark.read.parquet(s"$path/p=007")
+      .select("k").as[Long].collect().toSet == Set(2L))
+    assert(spark.read.parquet(s"$path/p=9")
+      .select("k").as[Long].collect().toSet == Set(3L))
+    // the session conf is restored after the call
+    assert(spark.conf.get(
+      "spark.sql.sources.partitionColumnTypeInference.enabled") == "true")
+  }
+
   test("synthetic generator is deterministic and distributed") {
     val a = Synthetic.table(spark, 1000L).collect().sortBy(_.getLong(0))
     val b = Synthetic.table(spark, 1000L).collect().sortBy(_.getLong(0))
