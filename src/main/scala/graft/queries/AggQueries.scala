@@ -136,6 +136,38 @@ object AggQueries {
             <= col("exact_users").cast("double") * 0.05 + 3).as("hll_ok"))
     },
 
+    // A21 persisted mergeable KLL quantile sketches (Spark 4.1's
+    // kll_* SQL surface) — a20's pattern for QUANTILES: per-day
+    // sketches built once and STORED; any horizon's quantile comes
+    // from merging day sketches (bytes per day, no raw rescan). The
+    // merged median is proven by the KLL rank-error guarantee with
+    // a19's duplicate-aware interval check: the returned value's exact
+    // rank interval (lt, le] must intersect n·(0.5 ± ε) (ε = 0.0165
+    // at k=200; 0.025 used for merge slack, +1 row).
+    "a21_kll_sketch_merge" -> { (s, dir) =>
+      val path = scratchDir("agg", dir, "kll_daily")
+      rmrf(path)
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(to_date(col("ts")).as("day"), col("value"))
+      ev.groupBy(col("day"))
+        .agg(expr("kll_sketch_agg_double(value, 200)").as("sk"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      val merged = s.read.parquet(path)
+        .agg(expr(
+          "kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5D)")
+          .as("__med"),
+          count(lit(1)).as("n_days"))
+      ev.crossJoin(broadcast(merged))
+        .groupBy(col("n_days"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("__med"), 1L).otherwise(0L)).as("__lt"),
+          sum(when(col("value") <= col("__med"), 1L).otherwise(0L)).as("__le"))
+        .select(col("n_days"), col("n"),
+          (col("__lt").cast("double") < col("n").cast("double") * 0.525 + 1 &&
+           col("__le").cast("double") >= col("n").cast("double") * 0.475 - 1)
+            .as("kll_ok"))
+    },
+
     // A19 approximate-quantile capability, tolerance-proven like the w6
     // HLL row: approx_percentile's sketch merge order makes the VALUE
     // itself nondeterministic across runs, so the row asserts the GK
@@ -240,6 +272,13 @@ object AggQueries {
       """SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
         |  COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
         |FROM events""".stripMargin,
+
+    // the KLL rank-error guarantee holds by construction — the oracle
+    // pins n_days and n exactly and the verdict literally
+    "a21_kll_sketch_merge" ->
+      """SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |  COUNT(*) AS n, TRUE AS kll_ok
+        |FROM events WHERE value IS NOT NULL""".stripMargin,
 
     // the sketch's rank-error bound holds by the GK guarantee — the
     // oracle pins n exactly and the verdict literally

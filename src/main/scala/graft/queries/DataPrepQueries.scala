@@ -43,6 +43,47 @@ object DataPrepQueries {
         .orderBy(col("event_type"))
     },
 
+    // Audience overlap via persisted theta sketches — the set-ALGEBRA
+    // sketch HLL can't be: per-day sketches of user_id are built once
+    // (one bounded-memory sketch per (day, partition), shuffled as
+    // sketches not rows) and STORED; the two half-month audiences are
+    // each a union of stored day sketches and their INTERSECTION
+    // estimates "users active in both halves" in O(k) — no raw rescan,
+    // no distinct-distinct join at query time. Below k entries the
+    // sketch is exact, so this row is deterministic at test scale while
+    // the tolerance contract (±5% + 5) is what holds at 100 TB. The
+    // exact overlap is computed alongside purely as the proof's
+    // reference (two distinct-project semi-sides, one keyed join).
+    "e_theta_overlap" -> { (s, dir) =>
+      import graft.operators.Sketches
+      val path = scratchDir("prep", dir, "theta_daily")
+      rmrf(path)
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).cast("string").as("day"), col("user_id"))
+      Sketches.thetaSketches(ev, "day", "user_id")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      val daily = s.read.parquet(path)
+      val ua = daily.filter(col("day") < "2024-01-16")
+        .agg(Sketches.thetaUnion(col("sk")).as("ska"),
+          count(lit(1)).as("n_days_a"))
+      val ub = daily.filter(col("day") >= "2024-01-16")
+        .agg(Sketches.thetaUnion(col("sk")).as("skb"),
+          count(lit(1)).as("n_days_b"))
+      val exact = ev.filter(col("day") < "2024-01-16")
+        .select(col("user_id")).distinct()
+        .join(ev.filter(col("day") >= "2024-01-16")
+          .select(col("user_id")).distinct(), "user_id")
+        .agg(count(lit(1)).as("exact_overlap"))
+      val est = udf((a: Array[Byte], b: Array[Byte]) =>
+        Sketches.thetaIntersectEstimate(a, b))
+      ua.crossJoin(ub).crossJoin(broadcast(exact))
+        .select(col("n_days_a"), col("n_days_b"), col("exact_overlap"),
+          (abs(est(col("ska"), col("skb")) -
+              col("exact_overlap").cast("double"))
+            <= col("exact_overlap").cast("double") * 0.05 + lit(5.0))
+            .as("theta_ok"))
+    },
+
     // Sessionization: per-user sessions split on >30 min inactivity
     // (gaps-and-islands over event time, one shuffle on user_id).
     "e_sessionize" -> { (s, dir) =>
@@ -248,6 +289,23 @@ object DataPrepQueries {
 
   val oracle: Map[String, String] = Map(
     // exact heavy-hitter definition — cnt·k > n in integer arithmetic
+    // the theta tolerance holds by construction (exact mode below k);
+    // the oracle pins the day counts and exact overlap, verdict literal
+    "e_theta_overlap" ->
+      """SELECT
+        |  (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM events
+        |   WHERE CAST(ts AS DATE) < DATE '2024-01-16') AS n_days_a,
+        |  (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM events
+        |   WHERE CAST(ts AS DATE) >= DATE '2024-01-16') AS n_days_b,
+        |  (SELECT COUNT(*) FROM
+        |    (SELECT DISTINCT user_id FROM events
+        |     WHERE CAST(ts AS DATE) < DATE '2024-01-16') a
+        |    JOIN
+        |    (SELECT DISTINCT user_id FROM events
+        |     WHERE CAST(ts AS DATE) >= DATE '2024-01-16') b
+        |    USING (user_id)) AS exact_overlap,
+        |  TRUE AS theta_ok""".stripMargin,
+
     // NULL keys excluded from BOTH the groups and the total n — the
     // operator's contract (a NULL is not a key); without the filter the
     // two engines' thresholds diverge on corpora with NULL event_type

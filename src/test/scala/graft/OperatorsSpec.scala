@@ -433,6 +433,38 @@ class OperatorsSpec extends SparkSpec {
     assert(hh == Set(("x", 3L))) // 3·2 > 4 (n excludes the NULL); y: 1·2 < 4
   }
 
+  test("thetaSketches: exact below k, partition-invariant, set algebra") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    // two groups sharing 100 of 300/200 members; NULL keys and NULL
+    // groups ignored
+    val rows =
+      (0 until 300).map(i => (Option("a"), Option(s"u$i"))) ++
+      (200 until 400).map(i => (Option("b"), Option(s"u$i"))) ++
+      Seq((Option("a"), Option.empty[String]), (Option.empty[String], Option("u0")))
+    def sketch(parts: Int): Map[String, Array[Byte]] =
+      Sketches.thetaSketches(
+          rows.toDF("g", "k").repartition(parts), "g", "k")
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val sk = sketch(7)
+    // below nominal k the sketch is exact
+    assert(Sketches.thetaEstimate(sk("a")) == 300.0)
+    assert(Sketches.thetaEstimate(sk("b")) == 200.0)
+    // intersection and union are exact too at this size
+    assert(Sketches.thetaIntersectEstimate(sk("a"), sk("b")) == 100.0)
+    assert(Sketches.thetaEstimate(
+      Sketches.thetaUnionBytes(sk("a"), sk("b"))) == 400.0)
+    // the stored bytes are partition-count-invariant in ESTIMATE (the
+    // fold order differs; the retained hash set does not)
+    val sk1 = sketch(1)
+    assert(Sketches.thetaEstimate(sk1("a")) == 300.0)
+    assert(Sketches.thetaIntersectEstimate(sk1("a"), sk1("b")) == 100.0)
+    // empty identity
+    assert(Sketches.thetaEstimate(Array.emptyByteArray) == 0.0)
+    assert(Sketches.thetaUnionBytes(Array.emptyByteArray, sk("a"))
+      .sameElements(sk("a")))
+  }
+
   test("slidingRangeSum == direct keyed RANGE window, including NULL keys/ticks") {
     import org.apache.spark.sql.expressions.Window
     val df = Seq[(Option[String], Option[Long], Long)](
