@@ -23,18 +23,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** `events.ts` is nanosecond-precision parquet, which Spark cannot read
-    * natively — sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (see GraftSession) so it arrives as long nanos. We expose it as
-    * microsecond TimestampType `ts` (truncation, matching what a cluster
-    * ingest would do) plus the raw `ts_ns`. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = apply(s, d, "events")
-    import org.apache.spark.sql.types.LongType
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts_ns div 1000)"))
-    else raw
+  /** `events.ts` has shipped as two physical encodings across testdata
+    * generations: TIMESTAMP(NANOS) (unreadable natively — sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, see GraftSession, so it
+    * arrives as long nanos) and plain micros with isAdjustedToUTC=false
+    * (arrives as TIMESTAMP_NTZ). Either way the catalog contract is the
+    * same: `ts` is session-zone TimestampType (sessions run UTC, so the
+    * NTZ→LTZ cast is wall-clock-preserving and matches what DuckDB sees
+    * reading the file naively) and `ts_ns` is epoch long nanos. */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(apply(s, d, "events"))
+
+  /** Normalize a frame whose `ts` column may be any of the event-table
+    * physical encodings (see [[events]]) to the catalog contract:
+    * `ts` session-zone TimestampType + `ts_ns` epoch long nanos. */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", raw("ts").cast(TimestampType))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+      case _ =>
+        if (raw.columns.contains("ts_ns")) raw
+        else raw.withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -169,10 +169,8 @@ object Pipelines {
                            view: String): String = {
     val raw = spark.sql(s"select * from parquet.`$parquetPath`")
     val fixed =
-      if (raw.schema.exists(f => f.name == "ts" &&
-          f.dataType == org.apache.spark.sql.types.LongType))
-        raw.withColumnRenamed("ts", "ts_ns")
-          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      if (raw.schema.exists(_.name == "ts"))
+        graft.core.Tables.normalizeEventTs(raw)
       else raw
     fixed.createOrReplaceTempView(view)
     view

@@ -397,4 +397,33 @@ class SourcesSpec extends SparkSpec {
     assert(sE > 0.8, s"expected unbounded trailing dim under sort, got $sE")
     assert(zE < sE / 2)
   }
+
+  test("normalizeEventTs yields the same catalog contract for every ts encoding") {
+    // The driver has shipped events.ts as TIMESTAMP(NANOS) (arrives as
+    // long nanos under nanosAsLong), as plain micros NTZ, and a frame
+    // already normalized (LTZ + ts_ns) must pass through unchanged.
+    import spark.implicits._
+    val micros = Seq(
+      (1L, 1704067200000000L), // 2024-01-01 00:00:00 UTC
+      (2L, 1704067200123456L),
+      (3L, 1704070800000001L)).toDF("event_id", "us")
+    val asNanos = micros.select(col("event_id"),
+      (col("us") * 1000L).as("ts"))
+    val asNtz = micros.select(col("event_id"),
+      expr("to_timestamp_ntz(timestamp_micros(us))").as("ts"))
+    val asLtz = micros.select(col("event_id"),
+      expr("timestamp_micros(us)").as("ts"),
+      (col("us") * 1000L).as("ts_ns"))
+    val frames = Seq(asNanos, asNtz, asLtz).map(Tables.normalizeEventTs)
+    for (f <- frames) {
+      assert(f.schema("ts").dataType == TimestampType)
+      assert(f.schema("ts_ns").dataType == LongType)
+    }
+    val rows = frames.map(
+      _.select("event_id", "ts", "ts_ns").orderBy("event_id").collect().toSeq)
+    assert(rows(0) == rows(1), "nanos and NTZ encodings must normalize identically")
+    assert(rows(0) == rows(2), "already-normalized frame must pass through unchanged")
+    // the contract's absolute anchor: session runs UTC, so ts_ns is epoch nanos
+    assert(rows(0).head.getAs[Long]("ts_ns") == 1704067200000000000L)
+  }
 }
