@@ -153,6 +153,56 @@ object Sketches {
   def thetaUnion(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     thetaUnionUdaf(c)
 
+  // ---- Count-min sketches (spark-sketch, the same serialized form the
+  // SQL `count_min_sketch` aggregate emits): mergeable FREQUENCY
+  // sketches — the per-key count complement of HLL (distinct) / KLL
+  // (quantiles) / theta (set algebra). Merging is element-wise table
+  // addition, so it is exact and order-insensitive; the estimate's
+  // guarantee is one-sided (never under the true count, over by at most
+  // ε·N with the sketch's confidence — deterministic once the seed is
+  // fixed).
+
+  import org.apache.spark.util.sketch.CountMinSketch
+
+  /** Merge two serialized count-min sketches (empty = identity). */
+  def cmsMergeBytes(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+    if (x == null || x.isEmpty) { if (y == null) Array.emptyByteArray else y }
+    else if (y == null || y.isEmpty) x
+    else CountMinSketch.readFrom(x)
+      .mergeInPlace(CountMinSketch.readFrom(y)).toByteArray
+
+  /** Frequency estimate of a string key in a serialized sketch. */
+  def cmsEstimateString(b: Array[Byte], key: String): Long =
+    if (b == null || b.isEmpty || key == null) 0L
+    else CountMinSketch.readFrom(b).estimateCount(key)
+
+  /** Typed merge Aggregator over serialized count-min sketches. Like
+    * [[ThetaUnionAgg]], only ever folds SMALL sketch frames (one row
+    * per stored group), never raw rows. */
+  private object CmsMergeAgg extends org.apache.spark.sql.expressions.Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = Array.emptyByteArray
+    def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = cmsMergeBytes(b, a)
+    def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = cmsMergeBytes(x, y)
+    def finish(r: Array[Byte]): Array[Byte] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  private lazy val cmsMergeUdaf =
+    udaf(CmsMergeAgg, org.apache.spark.sql.Encoders.BINARY)
+
+  /** Column aggregate: merge of a binary serialized count-min-sketch
+    * column. */
+  def cmsMerge(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    cmsMergeUdaf(c)
+
+  /** Column form of [[cmsEstimateString]] for joining a stored sketch
+    * against a (small) key frame. */
+  lazy val cmsEstimateUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((b: Array[Byte], key: String) => cmsEstimateString(b, key))
+
   /** Per-group theta sketches of `keyCol`'s distinct values: one
     * bounded-memory sketch per (group, input partition) via
     * mapPartitions (imperative per-partition state, like [[mgSummary]])

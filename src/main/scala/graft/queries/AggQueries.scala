@@ -168,6 +168,46 @@ object AggQueries {
             .as("kll_ok"))
     },
 
+    // A22 persisted mergeable count-min sketches — the per-key FREQUENCY
+    // member of the stored-sketch family (a20 HLL distinct, a21 KLL
+    // quantiles, e_theta set algebra): per-day sketches are built once
+    // by the SQL `count_min_sketch` aggregate and STORED; any horizon's
+    // per-key count estimate comes from merging day sketches (element-
+    // wise table addition — exact, order-insensitive) without rescanning
+    // the raw fact. The estimate's guarantee is one-sided: never below
+    // the true count, above by at most ε·N at the sketch's confidence —
+    // checked here for the 20 heaviest users against an exact count of
+    // the same horizon; the oracle pins the exact side and the verdict
+    // literally (the bound holds by construction, deterministic at a
+    // fixed seed).
+    "a22_cms_sketch_merge" -> { (s, dir) =>
+      import graft.operators.Sketches
+      val path = scratchDir("agg", dir, "cms_daily")
+      rmrf(path)
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(to_date(col("ts")).as("day"),
+          col("user_id").cast("string").as("uid"))
+      ev.groupBy(col("day"))
+        .agg(expr("count_min_sketch(uid, 0.001d, 0.99d, 42)").as("sk"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      val merged = s.read.parquet(path)
+        .agg(Sketches.cmsMerge(col("sk")).as("sk"),
+          count(lit(1)).as("n_days"))
+      val top = ev.groupBy(col("uid"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("uid").cast("long"))
+        .limit(20)
+      val total = ev.agg(count(lit(1)).as("__n"))
+      val est = Sketches.cmsEstimateUdf(col("sk"), col("uid"))
+      top.crossJoin(broadcast(merged)).crossJoin(broadcast(total))
+        .select(col("uid").cast("long").as("user_id"), col("n_days"),
+          col("cnt"),
+          (est >= col("cnt") &&
+            est.cast("double") <= col("cnt").cast("double")
+              + ceil(col("__n").cast("double") * 0.001)).as("cms_ok"))
+        .orderBy(col("user_id"))
+    },
+
     // A19 approximate-quantile capability, tolerance-proven like the w6
     // HLL row: approx_percentile's sketch merge order makes the VALUE
     // itself nondeterministic across runs, so the row asserts the GK
@@ -279,6 +319,19 @@ object AggQueries {
       """SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
         |  COUNT(*) AS n, TRUE AS kll_ok
         |FROM events WHERE value IS NOT NULL""".stripMargin,
+
+    // the CMS one-sided bound holds by construction at a fixed seed —
+    // the oracle pins the exact top-20 frame and the verdict literally
+    "a22_cms_sketch_merge" ->
+      """WITH c AS (
+        |  SELECT user_id, COUNT(*) AS cnt FROM events
+        |  WHERE user_id IS NOT NULL
+        |  GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 20)
+        |SELECT user_id,
+        |  (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+        |     FROM events WHERE user_id IS NOT NULL) AS n_days,
+        |  cnt, TRUE AS cms_ok
+        |FROM c ORDER BY user_id""".stripMargin,
 
     // the sketch's rank-error bound holds by the GK guarantee — the
     // oracle pins n exactly and the verdict literally

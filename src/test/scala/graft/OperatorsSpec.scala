@@ -465,6 +465,38 @@ class OperatorsSpec extends SparkSpec {
       .sameElements(sk("a")))
   }
 
+  test("cmsMerge: split-and-merge == single-pass sketch; one-sided bound") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    // a skewed key distribution split across two day-frames
+    val keys = (0 until 2000).flatMap { i =>
+      val reps = if (i < 5) 200 else 1
+      Seq.fill(reps)(s"k$i")
+    }
+    val (d1, d2) = keys.splitAt(keys.length / 3)
+    def sketchOf(xs: Seq[String]): Array[Byte] =
+      xs.toDF("k").agg(expr("count_min_sketch(k, 0.001d, 0.99d, 42)"))
+        .head().getAs[Array[Byte]](0)
+    val merged = Sketches.cmsMergeBytes(sketchOf(d1), sketchOf(d2))
+    val whole = sketchOf(keys)
+    // CMS merge is element-wise table addition — byte-identical to the
+    // single-pass sketch of the concatenated stream
+    assert(merged.sameElements(whole), "merge must equal single-pass sketch")
+    // one-sided guarantee on every key: never below the true count,
+    // never above it by more than ε·N (ε=0.001 → width 2000; N=2195)
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val slack = math.ceil(keys.length * 0.001).toLong
+    for ((k, c) <- exact) {
+      val est = Sketches.cmsEstimateString(merged, k)
+      assert(est >= c, s"$k underestimated: $est < $c")
+      assert(est <= c + slack, s"$k overestimated past the bound: $est > $c+$slack")
+    }
+    // empty identity and null-key estimate
+    assert(Sketches.cmsMergeBytes(Array.emptyByteArray, whole)
+      .sameElements(whole))
+    assert(Sketches.cmsEstimateString(whole, null) == 0L)
+  }
+
   test("slidingRangeSum == direct keyed RANGE window, including NULL keys/ticks") {
     import org.apache.spark.sql.expressions.Window
     val df = Seq[(Option[String], Option[Long], Long)](
