@@ -186,6 +186,37 @@ object DedupQueries {
         .orderBy(col("b"), col("c"))
     },
 
+    // Bloom-gated incremental EXACT dedup against a persisted hash
+    // index: the corpus's normalized-content hashes are stored once
+    // (parquet) together with a Bloom filter over them (built
+    // distributed, persisted, broadcast). Each ingest marks its batch
+    // map-side — bloom-rejected rows are definitely new and never join;
+    // only might-contain candidates take the confirming semi-join
+    // against the stored hashes. At 100 TB the expensive path is
+    // candidate-proportional (true dups + fpp·batch), not corpus-
+    // proportional. Same normalization as d_exact_dedup.
+    "d_bloom_incremental" -> { (s, dir) =>
+      import graft.operators.BloomIndex
+      val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+        .withColumn("__h", xxhash64(norm))
+      val idxPath = scratch(dir, "bloom_hash_index")
+      val bloomPath = scratch(dir, "bloom_hash_bits")
+      Seq(idxPath, bloomPath).foreach(rmrf)
+      corpus.select(col("doc_id"), xxhash64(norm).as("__h"))
+        .write.mode("overwrite").parquet(idxPath)
+      val index = s.read.parquet(idxPath)
+      val bf = BloomIndex.buildLongBloom(index, "__h", fpp = 0.01)
+      BloomIndex.save(s, bf, bloomPath)
+      val loaded = BloomIndex.load(s, bloomPath)
+      BloomIndex.markNewAgainstHashIndex(batch, "doc_id", "__h",
+          index, loaded)
+        .select(col("doc_id"), col("lang"), col("is_new"))
+        .orderBy(col("doc_id"))
+    },
+
     // Exact dedup by normalized-text hash (lower + whitespace-collapse +
     // md5), the hash-groupBy reconciliation form: per lang, total vs
     // distinct normalized docs.
@@ -351,6 +382,19 @@ object DedupQueries {
          |JOIN cnt cc ON cc.doc_id = c
          |WHERE CAST(i AS DOUBLE) / CAST(cb.n + cc.n - i AS DOUBLE) >= 0.7
          |ORDER BY b, c""".stripMargin,
+
+    // text equality stands in for the engine's xxhash64 equality — they
+    // diverge only on a 64-bit hash collision between distinct
+    // normalized texts, which the test corpora cannot produce
+    "d_bloom_incremental" ->
+      """SELECT b.doc_id, b.lang,
+        |  NOT EXISTS (
+        |    SELECT 1 FROM documents c WHERE c.doc_id % 10 <> 7
+        |      AND trim(regexp_replace(lower(c.text), '\s+', ' ', 'g')) =
+        |          trim(regexp_replace(lower(b.text), '\s+', ' ', 'g'))
+        |  ) AS is_new
+        |FROM documents b WHERE b.doc_id % 10 = 7
+        |ORDER BY b.doc_id""".stripMargin,
 
     "d_exact_dedup" ->
       """SELECT lang, COUNT(*) AS n_docs,

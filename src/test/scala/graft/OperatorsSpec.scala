@@ -497,6 +497,41 @@ class OperatorsSpec extends SparkSpec {
     assert(Sketches.cmsEstimateString(whole, null) == 0L)
   }
 
+  test("BloomIndex: no false negatives, candidate pruning, disk round-trip") {
+    import graft.operators.BloomIndex
+    import spark.implicits._
+    val corpus = (0L until 5000L).map(i => (i, s"doc body $i")).toDF("id", "text")
+      .withColumn("__h", xxhash64(col("text")))
+    // batch: 40 true dups of the corpus + 400 genuinely new + a NULL text
+    val batch = (
+      (0L until 40L).map(i => (10000L + i, Option(s"doc body ${i * 100}"))) ++
+      (0L until 400L).map(i => (20000L + i, Option(s"fresh $i"))) ++
+      Seq((30000L, Option.empty[String]))
+    ).toDF("id", "text").withColumn("__h", xxhash64(col("text")))
+    val idx = corpus.select("id", "__h")
+    val bf = BloomIndex.buildLongBloom(idx, "__h", fpp = 0.01)
+    // disk round-trip preserves the filter verbatim
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_test_io/bloom_rt"
+    BloomIndex.save(spark, bf, path)
+    val loaded = BloomIndex.load(spark, path)
+    assert(loaded.bitSize() == bf.bitSize())
+    val marked = BloomIndex.markNewAgainstHashIndex(batch, "id", "__h", idx, loaded)
+      .select("id", "is_new").as[(Long, Boolean)].collect().toMap
+    // no false negatives: every true dup is flagged
+    for (i <- 0L until 40L) assert(!marked(10000L + i), s"dup ${10000 + i} marked new")
+    // the confirming join makes false positives impossible in the OUTPUT
+    for (i <- 0L until 400L) assert(marked(20000L + i), s"fresh ${20000 + i} marked dup")
+    // a NULL hash is its own identity — comes back new
+    assert(marked(30000L))
+    // the bloom actually prunes: candidates ≈ dups + fpp·batch, far
+    // under the batch size
+    val nCand = batch
+      .filter(BloomIndex.mightContainLong(spark, loaded, col("__h")))
+      .count()
+    assert(nCand >= 40 && nCand <= 40 + 40,
+      s"bloom candidate count $nCand outside [40, 80] at fpp=0.01 over 441 rows")
+  }
+
   test("slidingRangeSum == direct keyed RANGE window, including NULL keys/ticks") {
     import org.apache.spark.sql.expressions.Window
     val df = Seq[(Option[String], Option[Long], Long)](
