@@ -97,6 +97,38 @@ object TextQueries {
         .orderBy(col("source"), col("quality_bucket"))
     },
 
+    // Feature-hashed linear classifier scoring (the fasttext-shape
+    // quality gate): every token maps to one of 4096 weight buckets by
+    // content hash — the hashing trick, so scoring needs NO vocabulary
+    // or embedding broadcast at all, the defining property at 100 TB —
+    // and the doc's score is the integer sum of its bucket weights
+    // (synthetic deterministic model: w(b) = (b·Knuth) mod 2001 − 1000).
+    // Pure per-row map (explode → md5 bucket → weight) + one keyed agg;
+    // integer-exact end to end, so both engines reproduce it bit for
+    // bit. Docs with no tokens score 0 via the join-back.
+    "t_hash_classifier" -> { (s, dir) =>
+      val knuth = 2654435761L
+      val docs = Tables.documents(s, dir)
+      val scored = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .withColumn("__b",
+          conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % 4096L)
+        .withColumn("__w", (col("__b") * knuth) % 2001L - 1000L)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("__w")).as("score"), count(lit(1)).as("n_tok"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(scored, Seq("doc_id"), "left")
+        .withColumn("score", coalesce(col("score"), lit(0L)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_pos"),
+          sum(col("score")).as("score_sum"),
+          max(col("score")).as("score_max"),
+          min(col("score")).as("score_min"))
+        .orderBy(col("lang"))
+    },
+
     // Language-ID n-gram/marker heuristic: occurrence counts of per-lang
     // marker words, argmax with a fixed priority tie-break; confusion
     // matrix (true lang × predicted) as the output.
@@ -656,6 +688,28 @@ object TextQueries {
         |  COUNT(*) AS n, CAST(SUM(ttr_micro) AS BIGINT) AS ttr_micro_sum,
         |  CAST(SUM(stop_micro) AS BIGINT) AS stop_micro_sum
         |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t_hash_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    (CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 4096)
+        |      AS b
+        |  FROM toks WHERE len(tok) > 0),
+        |sc AS (
+        |  SELECT doc_id, SUM((b * 2654435761) % 2001 - 1000) AS score
+        |  FROM w GROUP BY doc_id),
+        |d AS (
+        |  SELECT x.lang, COALESCE(sc.score, 0) AS score
+        |  FROM documents x LEFT JOIN sc ON sc.doc_id = x.doc_id)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(SUM(score) AS BIGINT) AS score_sum,
+        |  CAST(MAX(score) AS BIGINT) AS score_max,
+        |  CAST(MIN(score) AS BIGINT) AS score_min
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t_langid" ->
       """WITH c AS (
