@@ -119,6 +119,82 @@ object PipelineQueries {
         .orderBy(col("q_chunk"), col("rnk"))
     },
 
+    // End-to-end pretraining-corpus build — the composed form of the
+    // individually-proven stages (d_exact_dedup canonical pick →
+    // t_quality_score gate → t_decontaminate → t_domain_cap →
+    // t_pack_sequences), with per-stage survivor accounting and the kept
+    // corpus MATERIALIZED partitionBy(lang) before packing (the artifact
+    // a real corpus build ships; packing reads the store, not the
+    // lineage). Every stage is one keyed shuffle or a broadcast join —
+    // nothing pairwise, nothing global — so the chain's scale ceiling is
+    // the same as its weakest stage (the per-source cap window, keyed by
+    // source). The oracle replays the identical chain in SQL.
+    "pl_pretrain_corpus" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cap = 100; val budget = 512
+      val path = scratchDir("pl", dir, "pretrain_corpus")
+      rmrf(path)
+      val docs = Tables.documents(s, dir)
+        .withColumn("__h",
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+        .withColumn("__ws", split(col("text"), " "))
+        .withColumn("n_tok", size(col("__ws")))
+      // stage 1: exact-dedup canonical pick (min doc_id per content hash)
+      val s1 = docs.withColumn("f_dedup",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("__h"))))
+      // stage 2: quality gate (type-token ratio, the t_quality_score arithmetic)
+      val s2 = s1.withColumn("f_quality",
+        floor(size(array_distinct(col("__ws"))).cast("double") /
+          col("n_tok").cast("double") * 1e6).cast("long") >= 350000L)
+      // stage 3: decontamination vs the benchmark opening 5-grams
+      val phrases = Tables.documents(s, dir)
+        .filter(col("doc_id").isin(3L, 57L, 123L))
+        .select(concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("phrase"))
+      val hits = docs.select(col("doc_id"),
+          explode(graft.operators.TextDedup.wordShingles(col("text"), 5)).as("sh"))
+        .join(broadcast(phrases), col("sh") === col("phrase"))
+        .select("doc_id").distinct().withColumn("__hit", lit(true))
+      val s3 = s2.join(hits, Seq("doc_id"), "left")
+        .withColumn("f_clean", col("__hit").isNull)
+      // the flagged frame feeds the cap window AND three count consumers
+      val flagged = s3.select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("n_tok"),
+          col("f_dedup"), col("f_quality"), col("f_clean"))
+        .localCheckpoint(false)
+      val surv = flagged.filter(col("f_dedup") && col("f_quality") && col("f_clean"))
+      // stage 4: per-source domain cap on the surviving set
+      val kept = surv.withColumn("__rnk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("__rnk") <= cap)
+        .select("doc_id", "lang", "source", "n_chars", "n_tok")
+      kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("lang").parquet(path)
+      // stage 5: pack the MATERIALIZED corpus into token-budget bins
+      val stored = s.read.parquet(path)
+      val wPack = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val packed = stored
+        .withColumn("bin",
+          (coalesce(sum(col("n_tok")).over(wPack), lit(0L)) / budget).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_capped"),
+          countDistinct(col("bin")).as("n_bins"),
+          sum(col("n_tok")).as("tok_sum"))
+      // per-stage sequential survivor accounting
+      val stages = flagged.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("f_dedup"), 1L).otherwise(0L)).as("n_dedup"),
+        sum(when(col("f_dedup") && col("f_quality"), 1L).otherwise(0L))
+          .as("n_quality"),
+        sum(when(col("f_dedup") && col("f_quality") && col("f_clean"), 1L)
+          .otherwise(0L)).as("n_clean"))
+      stages.join(packed, Seq("lang"))
+        .select("lang", "n_raw", "n_dedup", "n_quality", "n_clean",
+          "n_capped", "n_bins", "tok_sum")
+        .orderBy("lang")
+    },
+
     // SCD Type-2 history: the versioned-dimension pattern the
     // reference's SCD1 snapshot merge (servicenow) stops short of —
     // per-customer activity tier over two snapshot windows, merged into
@@ -439,6 +515,57 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // replays the full corpus-build chain; word-aligned phrase hit via
+    // the space-bracketed position trick (t_decontaminate's proven
+    // equivalence for single-space-tokenized text)
+    "pl_pretrain_corpus" ->
+      """WITH n AS (
+        |  SELECT doc_id, lang, source, n_chars, text,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+        |    string_split(text, ' ') AS ws
+        |  FROM documents),
+        |ph AS (
+        |  SELECT array_to_string(ws[1:5], ' ') AS phrase
+        |  FROM n WHERE doc_id IN (3, 57, 123)),
+        |f AS (
+        |  SELECT doc_id, lang, source, n_chars, len(ws) AS n_tok,
+        |    (doc_id = MIN(doc_id) OVER (PARTITION BY h)) AS f_dedup,
+        |    (floor(CAST(len(list_distinct(ws)) AS DOUBLE)
+        |       / CAST(len(ws) AS DOUBLE) * 1e6) >= 350000) AS f_quality,
+        |    NOT EXISTS (SELECT 1 FROM ph
+        |      WHERE position(' ' || ph.phrase || ' ' IN ' ' || n.text || ' ') > 0)
+        |      AS f_clean
+        |  FROM n),
+        |surv AS (SELECT * FROM f WHERE f_dedup AND f_quality AND f_clean),
+        |cap AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS rnk
+        |  FROM surv),
+        |kept AS (SELECT * FROM cap WHERE rnk <= 100),
+        |binned AS (
+        |  SELECT lang, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+        |      AS BIGINT) AS bin
+        |  FROM kept),
+        |pk AS (
+        |  SELECT lang, COUNT(*) AS n_capped,
+        |    COUNT(DISTINCT bin) AS n_bins,
+        |    CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+        |  FROM binned GROUP BY lang),
+        |st AS (
+        |  SELECT lang, COUNT(*) AS n_raw,
+        |    CAST(SUM(CASE WHEN f_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+        |    CAST(SUM(CASE WHEN f_dedup AND f_quality THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_quality,
+        |    CAST(SUM(CASE WHEN f_dedup AND f_quality AND f_clean THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_clean
+        |  FROM f GROUP BY lang)
+        |SELECT st.lang, n_raw, n_dedup, n_quality, n_clean,
+        |  n_capped, n_bins, tok_sum
+        |FROM st JOIN pk ON pk.lang = st.lang
+        |ORDER BY st.lang""".stripMargin,
+
     // replicates the whole chain: chunk arithmetic, hash embedding,
     // cell routing, cosine ranks (CAST(1009 AS DOUBLE) — a bare 1009.0
     // would be DECIMAL in DuckDB and change the IEEE sequence)
