@@ -497,6 +497,56 @@ class OperatorsSpec extends SparkSpec {
     assert(Sketches.cmsEstimateString(whole, null) == 0L)
   }
 
+  test("Sampling: deterministic, without replacement, weight-proportional, top-k plan") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val rows = (0L until 500L).map(i => (i, if (i == 0) 9.0 else 1.0))
+    val df = rows.toDF("id", "w")
+    // determinism: identical salt → identical sample; different salt → a
+    // different draw (with 500 ids the overlap being total is ~impossible)
+    def ids(salt: Long, k: Int) = Sampling
+      .weightedSample(df, "id", col("w"), k, salt)
+      .select("id").as[Long].collect().toSet
+    val a = ids(7L, 20); val b = ids(7L, 20); val c = ids(8L, 20)
+    assert(a == b, "same salt must reproduce the same sample")
+    assert(a != c, "different salt must draw differently")
+    assert(a.size == 20, "without replacement: k distinct rows")
+    // weight proportionality: item 0 carries weight 9 vs 1 for the other
+    // 499; with k=1 it should win ≈ 9/(9+499) of draws. 2000 re-draws
+    // run as ONE query (salt as a column): per salt, the winner is the
+    // max A-ES key. The count is deterministic — the band is ±4σ of the
+    // binomial, so the assertion is about proportionality, not noise.
+    val p = 9.0 / (9.0 + 499.0)
+    val nS = 2000
+    val study = df.crossJoin(spark.range(nS).toDF("salt"))
+      .withColumn("__ares",
+        Sampling.aresKey(col("id"), col("w"), col("salt")))
+    val wSpec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("salt")).orderBy(col("__ares").desc, col("id"))
+    val winners = study
+      .withColumn("__rnk", row_number().over(wSpec))
+      .filter(col("__rnk") === 1)
+    val wins = winners.filter(col("id") === 0L).count().toDouble
+    val mean = nS * p; val sd = math.sqrt(nS * p * (1 - p))
+    assert(wins > mean - 4 * sd && wins < mean + 4 * sd,
+      s"heavy item won $wins of $nS; expected ≈${mean.toInt} ± ${(4 * sd).toInt}")
+    // zero/NULL weights never sampled
+    val withZero = (0L until 10L).map(i => (i, if (i < 5) 1.0 else 0.0)).toDF("id", "w")
+    assert(Sampling.weightedSample(withZero, "id", col("w"), 10, 1L)
+      .select("id").as[Long].collect().forall(_ < 5))
+    // scale shape: global form plans as TakeOrderedAndProject (partial
+    // per-partition top-k), not a global sort
+    val plan = Sampling.weightedSample(df, "id", col("w"), 5, 3L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan, got:\n$plan")
+    // per-group form: k per group, deterministic
+    val g = (0L until 100L).map(i => (i, s"g${i % 4}", 1.0 + (i % 3)))
+      .toDF("id", "grp", "w")
+    val per = Sampling.weightedSamplePerGroup(g, Seq("grp"), "id", col("w"), 3, 11L)
+    val cnt = per.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(cnt.values.forall(_ == 3L) && cnt.size == 4)
+  }
+
   test("BloomIndex: no false negatives, candidate pruning, disk round-trip") {
     import graft.operators.BloomIndex
     import spark.implicits._
