@@ -267,6 +267,44 @@ object DataPrepQueries {
         .orderBy(col("lang"))
     },
 
+    // Temperature-scaled mixture allocation — the multilingual
+    // α-sampling standard (w_l ∝ n_l^α, α=0.5): high-resource languages
+    // are damped, low-resource boosted. A 10 000-doc epoch budget is
+    // allocated by LARGEST-REMAINDER rounding so the parts sum exactly
+    // to the budget — integer-exact end to end (sqrt is correctly
+    // rounded IEEE in both engines; its micro-floor is the only
+    // transcendental step, after which everything is long arithmetic
+    // on a 5-row frame). The per-lang counting scan is the only
+    // data-sized work; allocation happens on the aggregated frame.
+    "t_temperature_mix" -> { (s, dir) =>
+      val budget = 10000L
+      val counts = Tables.documents(s, dir)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("w_micro",
+          floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+      val tot = counts.agg(sum(col("w_micro")).as("__sumw"),
+        count(lit(1)).as("__nl"))
+      val based = counts.crossJoin(broadcast(tot))
+        // integer `div`, never `/`: long / long is DOUBLE division in
+        // Spark and its floor can straddle the exact quotient
+        .withColumn("base", expr(s"($budget * w_micro) div __sumw"))
+        .withColumn("__rem",
+          lit(budget) * col("w_micro") - col("base") * col("__sumw"))
+      // leftover = budget − Σ base, handed to the largest remainders
+      // (ties by lang); window over the ≤|langs| aggregated frame
+      val wR = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__rem").desc, col("lang"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      based
+        .withColumn("__rnk", row_number().over(wR))
+        .withColumn("__left", lit(budget) - sum(col("base")).over(wAll))
+        .withColumn("alloc",
+          col("base") + when(col("__rnk") <= col("__left"), 1L).otherwise(0L))
+        .select("lang", "n_docs", "w_micro", "alloc")
+        .orderBy("lang")
+    },
+
     // Sequence packing: greedy token-budget binning per lang — docs in
     // doc_id order accumulate whitespace-token counts; a doc starts in
     // bin floor(exclusive-cumsum / budget). One window per lang
@@ -472,6 +510,29 @@ object DataPrepQueries {
         |  CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
         |  CAST(SUM(n_chars) AS BIGINT) AS char_sum
         |FROM kept WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // sqrt is correctly-rounded IEEE in both engines; after its
+    // micro-floor everything is BIGINT arithmetic (// is integer div)
+    "t_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT)
+        |      AS w_micro
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT SUM(w_micro) AS sumw FROM c),
+        |b AS (
+        |  SELECT lang, n_docs, w_micro,
+        |    (10000 * w_micro) // sumw AS base,
+        |    10000 * w_micro - ((10000 * w_micro) // sumw) * sumw AS rem
+        |  FROM c, t),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rnk,
+        |    10000 - SUM(base) OVER () AS leftover
+        |  FROM b)
+        |SELECT lang, n_docs, w_micro,
+        |  CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM r ORDER BY lang""".stripMargin,
 
     "t_pack_sequences" ->
       """WITH toks AS (

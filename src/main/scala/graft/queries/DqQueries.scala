@@ -161,6 +161,32 @@ object DqQueries {
           dsum(least(greatest(col("value"), col("lo")), col("hi")))
             .as("clipped_sum"))
         .orderBy(col("event_type"))
+    },
+
+    // Robust outlier detection: median + MAD (median absolute
+    // deviation) per group via TWO distribution-form quantile passes —
+    // never a per-group sort, never a global window; the tiny stats
+    // frames broadcast back. |x − med| > 3·MAD flags outliers the way
+    // a z-score cannot when the outliers themselves inflate the stddev.
+    // med/mad are actual data values (the distribution form returns
+    // members, not interpolations), so both engines agree bit for bit.
+    "dq_mad_outliers" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+        .filter(col("value").isNotNull)
+      val med = graft.operators.Quantiles.distQuantiles(
+        ev, "event_type", "value", Seq("med" -> 0.5))
+      val dev = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("value") - col("med")).as("__dev"))
+      val mad = graft.operators.Quantiles.distQuantiles(
+        dev, "event_type", "__dev", Seq("mad" -> 0.5))
+      ev.join(broadcast(med), "event_type")
+        .join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select("event_type", "med", "mad", "n", "n_outliers")
+        .orderBy("event_type")
     }
   )
 
@@ -303,6 +329,43 @@ object DqQueries {
          |  ${sqlDsum("least(greatest(e.value, b.lo), b.hi)")} AS clipped_sum
          |FROM events e JOIN b ON e.event_type = b.event_type
          |WHERE e.value IS NOT NULL
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same distribution-form member quantile as the engine (MIN value at
+    // cum >= ceil(q·total)); CAST(3 AS DOUBLE) — a bare 3.0 would be
+    // DECIMAL and change the comparison's type lattice
+    "dq_mad_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT event_type, value, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, value,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS tot
+        |  FROM h),
+        |med AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN cum >= ceil(0.5 * tot) THEN value END) AS med
+        |  FROM c GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_type, abs(e.value - med.med) AS dev
+        |  FROM e JOIN med USING (event_type)),
+        |hd AS (SELECT event_type, dev, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+        |cd AS (
+        |  SELECT event_type, dev,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS tot
+        |  FROM hd),
+        |mad AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN cum >= ceil(0.5 * tot) THEN dev END) AS mad
+        |  FROM cd GROUP BY 1)
+        |SELECT e.event_type, med, mad, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN abs(e.value - med) > CAST(3 AS DOUBLE) * mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM e JOIN med USING (event_type) JOIN mad USING (event_type)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
   )
 }
