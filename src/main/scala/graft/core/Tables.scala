@@ -42,10 +42,13 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumnRenamed("ts", "ts_ns")
+        // drop any pre-existing ts_ns first — renaming into an occupied
+        // name would leave two ts_ns columns and every later reference
+        // ambiguous; the raw nanos column is the source of truth here
+        raw.drop("ts_ns").withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
       case TimestampNTZType =>
-        raw.withColumn("ts", raw("ts").cast(TimestampType))
+        raw.drop("ts_ns").withColumn("ts", raw("ts").cast(TimestampType))
           .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
       case _ =>
         if (raw.columns.contains("ts_ns")) raw

@@ -53,11 +53,18 @@ object BloomIndex {
     try BloomFilter.readFrom(in) finally in.close()
   }
 
-  /** Broadcast membership test column over a long hash. NULL hashes test
-    * false (a NULL is not a member). */
-  def mightContainLong(spark: SparkSession, bf: BloomFilter,
+  /** Broadcast the filter ONCE per loaded index — every membership test
+    * against the same filter must share this handle. A fresh broadcast
+    * per test would strand one full filter image (~GBs at corpus scale)
+    * in block storage per ingest until the context dies. */
+  def broadcastBloom(spark: SparkSession,
+                     bf: BloomFilter): org.apache.spark.broadcast.Broadcast[BloomFilter] =
+    spark.sparkContext.broadcast(bf)
+
+  /** Membership test column over a long hash against a shared broadcast
+    * handle. NULL hashes test false (a NULL is not a member). */
+  def mightContainLong(bc: org.apache.spark.broadcast.Broadcast[BloomFilter],
                        hash: Column): Column = {
-    val bc = spark.sparkContext.broadcast(bf)
     val f = udf((h: java.lang.Long) =>
       h != null && bc.value.mightContainLong(h))
     f(hash)
@@ -76,10 +83,9 @@ object BloomIndex {
     * back to the batch by id. */
   def markNewAgainstHashIndex(batch: DataFrame, idCol: String,
                               hashCol: String, indexHashes: DataFrame,
-                              bloom: BloomFilter): DataFrame = {
-    val spark = batch.sparkSession
+                              bloom: org.apache.spark.broadcast.Broadcast[BloomFilter]): DataFrame = {
     val cand = batch
-      .filter(mightContainLong(spark, bloom, col(hashCol)))
+      .filter(mightContainLong(bloom, col(hashCol)))
       .select(col(idCol), col(hashCol))
     val confirmed = cand
       .join(indexHashes.select(col(hashCol)), Seq(hashCol), "left_semi")

@@ -32,11 +32,17 @@ object Sampling {
     (((h % M) + M) % M + 1L).cast("double") / lit(M.toDouble)
   }
 
-  /** A-ES key u^(1/w). Rows with NULL or non-positive weight get key
-    * NULL (never sampled — a doc with no weight is not in the draw). */
-  def aresKey(id: Column, weight: Column, salt: Column): Column =
-    when(weight > 0.0,
-      pow(saltedUniform(id, salt), lit(1.0) / weight.cast("double")))
+  /** A-ES key u^(1/w). Rows with NULL, NaN, or non-positive weight get
+    * key NULL (never sampled — a doc with no weight is not in the
+    * draw). The NaN guard matters: Spark orders NaN above every double
+    * AND evaluates NaN > 0.0 as true, so an unguarded NaN weight (a
+    * 0/0 quality ratio upstream) would deterministically win the
+    * sample. */
+  def aresKey(id: Column, weight: Column, salt: Column): Column = {
+    val w = weight.cast("double")
+    when(!isnan(w) && w > 0.0,
+      pow(saltedUniform(id, salt), lit(1.0) / w))
+  }
 
   /** Global weighted sample of k rows without replacement. */
   def weightedSample(df: DataFrame, idCol: String, weight: Column,

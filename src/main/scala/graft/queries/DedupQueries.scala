@@ -197,20 +197,32 @@ object DedupQueries {
     // proportional. Same normalization as d_exact_dedup.
     "d_bloom_incremental" -> { (s, dir) =>
       import graft.operators.BloomIndex
+      // NULL-SAFE hash: xxhash64 of a NULL input returns the seed, so
+      // an unguarded hash would collide every NULL text onto one value
+      // and cross-match them as duplicates; the guard keeps NULL = its
+      // own identity (matches nothing), mirroring SQL equality
       val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      val hashOf = when(col("text").isNotNull, xxhash64(norm))
       val docs = Tables.documents(s, dir)
       val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      // the ingest batch: the %10=7 slice PLUS re-keyed copies of a
+      // corpus slice — guaranteed true duplicates at every sf, so the
+      // bloom-candidate → confirming-join path is always exercised
+      // (the natural corpora carry few or no exact cross-slice dups)
       val batch = docs.filter(col("doc_id") % 10 === 7)
-        .withColumn("__h", xxhash64(norm))
+        .unionByName(corpus.filter(col("doc_id") < 30)
+          .withColumn("doc_id", col("doc_id") + 9000000L))
+        .withColumn("__h", hashOf)
       val idxPath = scratch(dir, "bloom_hash_index")
       val bloomPath = scratch(dir, "bloom_hash_bits")
       Seq(idxPath, bloomPath).foreach(rmrf)
-      corpus.select(col("doc_id"), xxhash64(norm).as("__h"))
+      corpus.select(col("doc_id"), hashOf.as("__h"))
+        .filter(col("__h").isNotNull)
         .write.mode("overwrite").parquet(idxPath)
       val index = s.read.parquet(idxPath)
       val bf = BloomIndex.buildLongBloom(index, "__h", fpp = 0.01)
       BloomIndex.save(s, bf, bloomPath)
-      val loaded = BloomIndex.load(s, bloomPath)
+      val loaded = BloomIndex.broadcastBloom(s, BloomIndex.load(s, bloomPath))
       BloomIndex.markNewAgainstHashIndex(batch, "doc_id", "__h",
           index, loaded)
         .select(col("doc_id"), col("lang"), col("is_new"))
@@ -387,13 +399,18 @@ object DedupQueries {
     // diverge only on a 64-bit hash collision between distinct
     // normalized texts, which the test corpora cannot produce
     "d_bloom_incremental" ->
-      """SELECT b.doc_id, b.lang,
+      """WITH batch AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 = 7
+        |  UNION ALL
+        |  SELECT doc_id + 9000000, lang, text FROM documents
+        |  WHERE doc_id % 10 <> 7 AND doc_id < 30)
+        |SELECT b.doc_id, b.lang,
         |  NOT EXISTS (
         |    SELECT 1 FROM documents c WHERE c.doc_id % 10 <> 7
         |      AND trim(regexp_replace(lower(c.text), '\s+', ' ', 'g')) =
         |          trim(regexp_replace(lower(b.text), '\s+', ' ', 'g'))
         |  ) AS is_new
-        |FROM documents b WHERE b.doc_id % 10 = 7
+        |FROM batch b
         |ORDER BY b.doc_id""".stripMargin,
 
     "d_exact_dedup" ->

@@ -131,10 +131,17 @@ object PipelineQueries {
     // source). The oracle replays the identical chain in SQL.
     "pl_pretrain_corpus" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val cap = 100; val budget = 512
+      val cap = 10; val budget = 512
       val path = scratchDir("pl", dir, "pretrain_corpus")
       rmrf(path)
-      val docs = Tables.documents(s, dir)
+      // ingest = the crawl PLUS a re-crawled slice (re-keyed copies of
+      // doc_id < 20) — re-crawls are why the dedup stage exists, and
+      // the injection guarantees stage 1 discards rows at every sf
+      // (the natural corpora carry exact dups only at sf0.1)
+      val raw = Tables.documents(s, dir)
+      val docs = raw
+        .unionByName(raw.filter(col("doc_id") < 20)
+          .withColumn("doc_id", col("doc_id") + 9000000L))
         .withColumn("__h",
           md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
         .withColumn("__ws", split(col("text"), " "))
@@ -519,11 +526,16 @@ object PipelineQueries {
     // the space-bracketed position trick (t_decontaminate's proven
     // equivalence for single-space-tokenized text)
     "pl_pretrain_corpus" ->
-      """WITH n AS (
+      """WITH n0 AS (
+        |  SELECT doc_id, lang, source, n_chars, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 9000000, lang, source, n_chars, text
+        |  FROM documents WHERE doc_id < 20),
+        |n AS (
         |  SELECT doc_id, lang, source, n_chars, text,
         |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
         |    string_split(text, ' ') AS ws
-        |  FROM documents),
+        |  FROM n0),
         |ph AS (
         |  SELECT array_to_string(ws[1:5], ' ') AS phrase
         |  FROM n WHERE doc_id IN (3, 57, 123)),
@@ -541,7 +553,7 @@ object PipelineQueries {
         |  SELECT *, row_number() OVER (PARTITION BY source
         |    ORDER BY n_chars DESC, doc_id) AS rnk
         |  FROM surv),
-        |kept AS (SELECT * FROM cap WHERE rnk <= 100),
+        |kept AS (SELECT * FROM cap WHERE rnk <= 10),
         |binned AS (
         |  SELECT lang, n_tok,
         |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id

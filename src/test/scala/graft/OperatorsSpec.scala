@@ -530,8 +530,11 @@ class OperatorsSpec extends SparkSpec {
     val mean = nS * p; val sd = math.sqrt(nS * p * (1 - p))
     assert(wins > mean - 4 * sd && wins < mean + 4 * sd,
       s"heavy item won $wins of $nS; expected ≈${mean.toInt} ± ${(4 * sd).toInt}")
-    // zero/NULL weights never sampled
-    val withZero = (0L until 10L).map(i => (i, if (i < 5) 1.0 else 0.0)).toDF("id", "w")
+    // zero/NULL/NaN weights never sampled (NaN would otherwise WIN:
+    // Spark evaluates NaN > 0.0 as true and sorts NaN above any double)
+    val withZero = (0L until 10L).map(i =>
+        (i, if (i < 5) 1.0 else if (i < 8) 0.0 else Double.NaN))
+      .toDF("id", "w")
     assert(Sampling.weightedSample(withZero, "id", col("w"), 10, 1L)
       .select("id").as[Long].collect().forall(_ < 5))
     // scale shape: global form plans as TakeOrderedAndProject (partial
@@ -550,33 +553,41 @@ class OperatorsSpec extends SparkSpec {
   test("BloomIndex: no false negatives, candidate pruning, disk round-trip") {
     import graft.operators.BloomIndex
     import spark.implicits._
-    val corpus = (0L until 5000L).map(i => (i, s"doc body $i")).toDF("id", "text")
-      .withColumn("__h", xxhash64(col("text")))
-    // batch: 40 true dups of the corpus + 400 genuinely new + a NULL text
+    // null-SAFE hash, as the catalog row computes it: xxhash64(NULL)
+    // returns the SEED (not NULL), so an unguarded hash would collide
+    // every NULL text onto one value and cross-match them as dups
+    def hashOf = when(col("text").isNotNull, xxhash64(col("text")))
+    val corpus = ((0L until 5000L).map(i => (i, Option(s"doc body $i"))) :+
+        (5000L, Option.empty[String]))
+      .toDF("id", "text").withColumn("__h", hashOf)
+    // batch: 40 true dups of the corpus + 400 genuinely new + a NULL
+    // text (must NOT match the corpus's NULL text — SQL equality)
     val batch = (
       (0L until 40L).map(i => (10000L + i, Option(s"doc body ${i * 100}"))) ++
       (0L until 400L).map(i => (20000L + i, Option(s"fresh $i"))) ++
       Seq((30000L, Option.empty[String]))
-    ).toDF("id", "text").withColumn("__h", xxhash64(col("text")))
+    ).toDF("id", "text").withColumn("__h", hashOf)
     val idx = corpus.select("id", "__h")
     val bf = BloomIndex.buildLongBloom(idx, "__h", fpp = 0.01)
     // disk round-trip preserves the filter verbatim
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_test_io/bloom_rt"
     BloomIndex.save(spark, bf, path)
-    val loaded = BloomIndex.load(spark, path)
-    assert(loaded.bitSize() == bf.bitSize())
+    val loadedBf = BloomIndex.load(spark, path)
+    assert(loadedBf.bitSize() == bf.bitSize())
+    val loaded = BloomIndex.broadcastBloom(spark, loadedBf)
     val marked = BloomIndex.markNewAgainstHashIndex(batch, "id", "__h", idx, loaded)
       .select("id", "is_new").as[(Long, Boolean)].collect().toMap
     // no false negatives: every true dup is flagged
     for (i <- 0L until 40L) assert(!marked(10000L + i), s"dup ${10000 + i} marked new")
     // the confirming join makes false positives impossible in the OUTPUT
     for (i <- 0L until 400L) assert(marked(20000L + i), s"fresh ${20000 + i} marked dup")
-    // a NULL hash is its own identity — comes back new
+    // a NULL hash is its own identity — comes back new even though the
+    // CORPUS also carries a NULL text (SQL equality: NULL matches nothing)
     assert(marked(30000L))
     // the bloom actually prunes: candidates ≈ dups + fpp·batch, far
     // under the batch size
     val nCand = batch
-      .filter(BloomIndex.mightContainLong(spark, loaded, col("__h")))
+      .filter(BloomIndex.mightContainLong(loaded, col("__h")))
       .count()
     assert(nCand >= 40 && nCand <= 40 + 40,
       s"bloom candidate count $nCand outside [40, 80] at fpp=0.01 over 441 rows")

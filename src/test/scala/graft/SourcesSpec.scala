@@ -425,5 +425,13 @@ class SourcesSpec extends SparkSpec {
     assert(rows(0) == rows(2), "already-normalized frame must pass through unchanged")
     // the contract's absolute anchor: session runs UTC, so ts_ns is epoch nanos
     assert(rows(0).head.getAs[Long]("ts_ns") == 1704067200000000000L)
+    // a frame carrying BOTH raw long ts and a stale ts_ns must not end
+    // up with two ts_ns columns (rename-into-occupied-name regression)
+    val withStale = micros.select(col("event_id"),
+      (col("us") * 1000L).as("ts"), lit(-1L).as("ts_ns"))
+    val fixed = Tables.normalizeEventTs(withStale)
+    assert(fixed.columns.count(_ == "ts_ns") == 1)
+    assert(fixed.select("event_id", "ts", "ts_ns").orderBy("event_id")
+      .collect().toSeq == rows(0))
   }
 }
