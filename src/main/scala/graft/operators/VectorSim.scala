@@ -104,6 +104,27 @@ object VectorSim {
       .select(col("q_id"), col("rnk"), col("nn_id"), col("cos"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the k
+    * most-confusable NON-neighbors — vectors in the query's own cell
+    * with cosine inside [lo, hi): close enough to teach the margin,
+    * below the near-duplicate band so they are genuinely negative.
+    * Same scale shape as [[ivfCosineTopK]]: cell-blocked equi-join
+    * (never all-pairs), per-query top-k. */
+  def ivfHardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, cellCol: String, lo: Double,
+                       hi: Double, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(cellCol).as("__qcell"),
+      col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neg_id"), col(cellCol).as("__ccell"),
+      col(vecCol).as("__cv"))
+    val scored = c.join(q, col("__qcell") === col("__ccell") &&
+        col("neg_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .filter(col("cos") >= lo && col("cos") < hi)
+    topKPerQuery(scored, "q_id", "cos", "neg_id", k)
+      .select(col("q_id"), col("rnk"), col("neg_id"), col("cos"))
+  }
+
   /** Element-wise EXACT-integer-micro means per (cell, dim) — the
     * k-means/IVF centroid kernel, in distribution form (posexplode, one
     * keyed shuffle with map-side partials, never a collect_list of

@@ -66,6 +66,21 @@ object SimQueries {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    // Hard-negative mining for contrastive training: per query, the 3
+    // most-confusable NON-neighbors — same-cell vectors with cosine in
+    // [0.3, 0.8): close enough to teach the margin, below the near-dup
+    // band. Cell-blocked equi-join, never all-pairs — the mining pass a
+    // contrastive data pipeline runs at corpus scale.
+    "s_hard_negatives" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 20)
+      VectorSim.ivfHardNegatives(emb, queries, "vec_id", "embedding",
+          "label", lo = 0.3, hi = 0.8, k = 3)
+        .select(col("q_id"), col("rnk"),
+          col("neg_id"), floor(col("cos") * 1e6).cast("long").as("cos_micro"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     // Persisted IVF index: the corpus (vec_id >= 20) is STORED partitioned
     // by its cell id — parquet partitioning IS the IVF inverted-list
     // layout, so a probe's cell equi-join reads only the probed cells'
@@ -361,6 +376,23 @@ object SimQueries {
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rnk
          |  FROM c)
          |SELECT q_id, rnk, nn_id, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
+         |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    // the [lo, hi) band filter runs on the raw double cosine in both
+    // engines (identical IEEE sequence), so band membership agrees
+    "s_hard_negatives" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS qlabel, e AS qv FROM v WHERE vec_id < 20),
+         |c AS (
+         |  SELECT q_id, v.vec_id AS neg_id, $cosSql AS cos
+         |  FROM q JOIN (SELECT vec_id, label AS clabel, e AS cv FROM v) v
+         |    ON qlabel = clabel AND v.vec_id <> q_id),
+         |b AS (SELECT * FROM c WHERE cos >= 0.3 AND cos < 0.8),
+         |r AS (
+         |  SELECT q_id, neg_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neg_id) AS rnk
+         |  FROM b)
+         |SELECT q_id, rnk, neg_id, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
          |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
 
     // same probe logic as s_cosine_ann_probes, with the corpus restricted
