@@ -81,6 +81,51 @@ object SimQueries {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    // Late-interaction (MaxSim) reranking — the ColBERT scoring shape:
+    // score(q, d) = Σ over query tokens of max over doc tokens of
+    // cos(qt, dt), so a candidate is judged token-by-token instead of
+    // by one pooled vector. Token embeddings are the deterministic
+    // md5-bucket arithmetic both engines replicate; per-(q-token, doc)
+    // maxes are floored to micro BEFORE the query-level sum so the sum
+    // is integer-exact at any parallelism. Scale shape: the query token
+    // frame (2 queries × ≤4 tokens) broadcasts against the candidates'
+    // token explosion — candidate-proportional, the rerank stage of a
+    // retrieve-then-rerank pipeline, never corpus-wide.
+    "s_maxsim_rerank" -> { (s, dir) =>
+      val B = 1009
+      def bucket(c: Column): Column =
+        conv(substring(md5(c), 1, 8), 16, 10).cast("long") % B
+      def tokvec(b: Column): Column =
+        transform(sequence(lit(1), lit(8)),
+          d => ((b * d) % B).cast("double") / lit(B.toDouble))
+      val docs = Tables.documents(s, dir)
+      def tokens(df: org.apache.spark.sql.DataFrame, idAs: String,
+                 firstN: Int) = df
+        .select(col("doc_id").as(idAs),
+          posexplode(slice(split(col("text"), " "), 1, firstN))
+            .as(Seq("pos", "tok")))
+        .filter(length(col("tok")) > 0)
+        .withColumn("b", bucket(col("tok")))
+        .filter(col("b") =!= 0) // zero bucket → zero vector → NaN cosine
+      val qtok = tokens(docs.filter(col("doc_id").isin(3L, 57L)), "q_id", 4)
+        .select(col("q_id"), col("pos").as("qpos"), tokvec(col("b")).as("qv"))
+      val dtok = tokens(docs.filter(col("doc_id") < 30), "d_id", 16)
+        .select(col("d_id"), tokvec(col("b")).as("dv"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("maxsim_micro").desc, col("d_id"))
+      dtok.crossJoin(broadcast(qtok))
+        .withColumn("cos", VectorSim.cosine(col("qv"), col("dv")))
+        .groupBy(col("q_id"), col("qpos"), col("d_id"))
+        .agg(max(col("cos")).as("mc"))
+        .withColumn("mc_micro", floor(col("mc") * 1e6).cast("long"))
+        .groupBy(col("q_id"), col("d_id"))
+        .agg(sum(col("mc_micro")).as("maxsim_micro"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "rnk", "d_id", "maxsim_micro")
+        .orderBy("q_id", "rnk")
+    },
+
     // Persisted IVF index: the corpus (vec_id >= 20) is STORED partitioned
     // by its cell id — parquet partitioning IS the IVF inverted-list
     // layout, so a probe's cell equi-join reads only the probed cells'
@@ -377,6 +422,50 @@ object SimQueries {
          |  FROM c)
          |SELECT q_id, rnk, nn_id, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
          |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    // per-(q-token, doc) maxes floored to micro BEFORE the query-level
+    // sum — the sum is integer, so aggregation order cannot matter
+    "s_maxsim_rerank" ->
+      """WITH qt AS (
+        |  SELECT doc_id AS q_id, i AS qpos,
+        |    CAST(concat('0x', substr(md5(string_split(text, ' ')[i]), 1, 8))
+        |      AS BIGINT) % 1009 AS b
+        |  FROM documents, unnest(generate_series(1, 4)) AS u(i)
+        |  WHERE doc_id IN (3, 57) AND i <= len(string_split(text, ' '))
+        |    AND len(string_split(text, ' ')[i]) > 0),
+        |qv AS (
+        |  SELECT q_id, qpos,
+        |    list_transform(generate_series(1, 8),
+        |      d -> CAST((b * d) % 1009 AS DOUBLE) / CAST(1009 AS DOUBLE)) AS v
+        |  FROM qt WHERE b <> 0),
+        |dt AS (
+        |  SELECT doc_id AS d_id, i,
+        |    CAST(concat('0x', substr(md5(string_split(text, ' ')[i]), 1, 8))
+        |      AS BIGINT) % 1009 AS b
+        |  FROM documents, unnest(generate_series(1, 16)) AS u(i)
+        |  WHERE doc_id < 30 AND i <= len(string_split(text, ' '))
+        |    AND len(string_split(text, ' ')[i]) > 0),
+        |dv AS (
+        |  SELECT d_id,
+        |    list_transform(generate_series(1, 8),
+        |      d -> CAST((b * d) % 1009 AS DOUBLE) / CAST(1009 AS DOUBLE)) AS v
+        |  FROM dt WHERE b <> 0),
+        |mx AS (
+        |  SELECT q.q_id, q.qpos, c.d_id,
+        |    CAST(floor(MAX(list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) *
+        |       sqrt(list_dot_product(c.v, c.v)))) * 1e6) AS BIGINT) AS mc_micro
+        |  FROM qv q, dv c GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT q_id, d_id, SUM(mc_micro) AS maxsim_micro
+        |  FROM mx GROUP BY 1, 2),
+        |r AS (
+        |  SELECT q_id, d_id, maxsim_micro,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY maxsim_micro DESC, d_id) AS rnk
+        |  FROM sc)
+        |SELECT q_id, rnk, d_id, CAST(maxsim_micro AS BIGINT) AS maxsim_micro
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 
     // the [lo, hi) band filter runs on the raw double cosine in both
     // engines (identical IEEE sequence), so band membership agrees
