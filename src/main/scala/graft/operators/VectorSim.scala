@@ -91,15 +91,26 @@ object VectorSim {
     * probes only its own cell — an equi-join on the cell key that
     * co-partitions queries with their cell (nprobe=1). Exact within the
     * probed cell; the IVF approximation is the cell restriction itself. */
-  def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                    vecCol: String, cellCol: String, k: Int): DataFrame = {
+  /** The one cell-blocked scoring kernel: same-cell equi-join of corpus
+    * against queries (self-pairs excluded) with the cosine attached;
+    * the corpus id column comes out as `outIdAs`. Shared by
+    * [[ivfCosineTopK]] and [[ivfHardNegatives]] so join/column hygiene
+    * fixes land once. */
+  private def cellScored(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, cellCol: String,
+                         outIdAs: String): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(cellCol).as("__qcell"),
       col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("nn_id"), col(cellCol).as("__ccell"),
+    val c = corpus.select(col(idCol).as(outIdAs), col(cellCol).as("__ccell"),
       col(vecCol).as("__cv"))
-    val scored = c.join(q, col("__qcell") === col("__ccell") &&
-        col("nn_id") =!= col("q_id"))
+    c.join(q, col("__qcell") === col("__ccell") &&
+        col(outIdAs) =!= col("q_id"))
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
+  }
+
+  def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, cellCol: String, k: Int): DataFrame = {
+    val scored = cellScored(corpus, queries, idCol, vecCol, cellCol, "nn_id")
     topKPerQuery(scored, "q_id", "cos", "nn_id", k)
       .select(col("q_id"), col("rnk"), col("nn_id"), col("cos"))
   }
@@ -113,13 +124,7 @@ object VectorSim {
   def ivfHardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
                        vecCol: String, cellCol: String, lo: Double,
                        hi: Double, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(cellCol).as("__qcell"),
-      col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("neg_id"), col(cellCol).as("__ccell"),
-      col(vecCol).as("__cv"))
-    val scored = c.join(q, col("__qcell") === col("__ccell") &&
-        col("neg_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val scored = cellScored(corpus, queries, idCol, vecCol, cellCol, "neg_id")
       .filter(col("cos") >= lo && col("cos") < hi)
     topKPerQuery(scored, "q_id", "cos", "neg_id", k)
       .select(col("q_id"), col("rnk"), col("neg_id"), col("cos"))

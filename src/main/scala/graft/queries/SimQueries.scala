@@ -93,8 +93,7 @@ object SimQueries {
     // retrieve-then-rerank pipeline, never corpus-wide.
     "s_maxsim_rerank" -> { (s, dir) =>
       val B = 1009
-      def bucket(c: Column): Column =
-        conv(substring(md5(c), 1, 8), 16, 10).cast("long") % B
+      def bucket(c: Column): Column = md5Bucket(c, B)
       def tokvec(b: Column): Column =
         transform(sequence(lit(1), lit(8)),
           d => ((b * d) % B).cast("double") / lit(B.toDouble))
@@ -109,7 +108,12 @@ object SimQueries {
         .filter(col("b") =!= 0) // zero bucket → zero vector → NaN cosine
       val qtok = tokens(docs.filter(col("doc_id").isin(3L, 57L)), "q_id", 4)
         .select(col("q_id"), col("pos").as("qpos"), tokvec(col("b")).as("qv"))
+      // duplicate tokens in a candidate are redundant under MAX — dedup
+      // per (doc, bucket) before the join so repeated stopwords don't
+      // recompute identical cosines (query tokens must NOT dedup: each
+      // query token position contributes its own term to the sum)
       val dtok = tokens(docs.filter(col("doc_id") < 30), "d_id", 16)
+        .dropDuplicates("d_id", "b")
         .select(col("d_id"), tokvec(col("b")).as("dv"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("maxsim_micro").desc, col("d_id"))
@@ -426,10 +430,9 @@ object SimQueries {
     // per-(q-token, doc) maxes floored to micro BEFORE the query-level
     // sum — the sum is integer, so aggregation order cannot matter
     "s_maxsim_rerank" ->
-      """WITH qt AS (
+      s"""WITH qt AS (
         |  SELECT doc_id AS q_id, i AS qpos,
-        |    CAST(concat('0x', substr(md5(string_split(text, ' ')[i]), 1, 8))
-        |      AS BIGINT) % 1009 AS b
+        |    ${sqlMd5Bucket("string_split(text, ' ')[i]", 1009L)} AS b
         |  FROM documents, unnest(generate_series(1, 4)) AS u(i)
         |  WHERE doc_id IN (3, 57) AND i <= len(string_split(text, ' '))
         |    AND len(string_split(text, ' ')[i]) > 0),
@@ -440,8 +443,7 @@ object SimQueries {
         |  FROM qt WHERE b <> 0),
         |dt AS (
         |  SELECT doc_id AS d_id, i,
-        |    CAST(concat('0x', substr(md5(string_split(text, ' ')[i]), 1, 8))
-        |      AS BIGINT) % 1009 AS b
+        |    ${sqlMd5Bucket("string_split(text, ' ')[i]", 1009L)} AS b
         |  FROM documents, unnest(generate_series(1, 16)) AS u(i)
         |  WHERE doc_id < 30 AND i <= len(string_split(text, ' '))
         |    AND len(string_split(text, ' ')[i]) > 0),

@@ -112,8 +112,7 @@ object TextQueries {
       val scored = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(length(col("tok")) > 0)
-        .withColumn("__b",
-          conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % 4096L)
+        .withColumn("__b", md5Bucket(col("tok"), 4096L))
         .withColumn("__w", (col("__b") * knuth) % 2001L - 1000L)
         .groupBy(col("doc_id"))
         .agg(sum(col("__w")).as("score"), count(lit(1)).as("n_tok"))
@@ -690,13 +689,11 @@ object TextQueries {
         |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "t_hash_classifier" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |  FROM documents),
         |w AS (
-        |  SELECT doc_id,
-        |    (CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 4096)
-        |      AS b
+        |  SELECT doc_id, ${sqlMd5Bucket("tok", 4096L)} AS b
         |  FROM toks WHERE len(tok) > 0),
         |sc AS (
         |  SELECT doc_id, SUM((b * 2654435761) % 2001 - 1000) AS score

@@ -29,6 +29,19 @@ package object queries {
   def sqlDsum(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
   def sqlDavg(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) / COUNT(*) AS DOUBLE)"
 
+  /** Cross-engine string→bucket hash: first 8 md5 hex chars as an
+    * unsigned int, mod `m`. THE one definition of the dual-engine
+    * kernel (t_hash_classifier, s_maxsim_rerank) — the Spark and SQL
+    * forms below must stay term-for-term twins or oracle parity breaks
+    * only for the queries using the drifted copy. */
+  def md5Bucket(c: Column, m: Long): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long") % m
+
+  /** SQL-side twin of [[md5Bucket]] (DuckDB: the 0x-string cast is
+    * unsigned, matching conv). */
+  def sqlMd5Bucket(e: String, m: Long): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 8)) AS BIGINT) % $m"
+
   /** Per-(family, sf) scratch dir for queries that round-trip through a
     * real sink — sf0.01 verify and sf0.1 bench must not collide. */
   def scratchDir(family: String, sfDir: String, leaf: String): String =
