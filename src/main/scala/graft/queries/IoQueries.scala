@@ -79,6 +79,21 @@ object IoQueries {
 
     // S16: Hive-style partitioned parquet sink; the read-back filter hits
     // only the o_orderstatus=F partition (partition pruning, no full scan).
+    // Metadata-only COUNT: the table's row count read from parquet
+    // FOOTERS alone (FileIO.footerRowCount) — a few KB per file instead
+    // of a scan, the count-reconciliation primitive at 100 TB. The
+    // landing is ensureOnce'd (the count is the op, not the write);
+    // the oracle counts the same rows the slow way.
+    "io_footer_count" -> { (s, dir) =>
+      import s.implicits._
+      val path = scratch(dir, "footer_count")
+      ensureOnce(path, s"$dir/orders.parquet") {
+        FileIO.writePartitioned(Tables.orders(s, dir), path,
+          Seq("o_orderstatus"))
+      }
+      Seq(FileIO.footerRowCount(s, path)).toDF("n_rows")
+    },
+
     "io_partitioned_sink" -> { (s, dir) =>
       val path = scratch(dir, "part_sink")
       FileIO.writePartitioned(Tables.orders(s, dir), path, Seq("o_orderstatus"))
@@ -465,6 +480,9 @@ object IoQueries {
          |  COUNT(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS n_with_priority,
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "io_footer_count" ->
+      "SELECT COUNT(*) AS n_rows FROM orders",
 
     "io_partitioned_sink" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total

@@ -409,6 +409,42 @@ object FileIO {
   /** S23/S24: temp-view staging + view-over-view
     * (ref: from_api_call_to_columnar_db.py:586-589; hive_to_hive_cte.py
     * CTE-to-view chain). Returns the staged view name. */
+  /** Metadata-only row count of a parquet table: sums each data file's
+    * FOOTER record counts, never touching a data page — the count-
+    * reconciliation answer (A9) for a 100 TB table, where a scanning
+    * COUNT(*) reads everything and this reads a few KB per file. The
+    * file listing is a driver-side metadata walk (O(files), the same
+    * cost any scan's planning pays); the footer reads distribute over
+    * the file list. Counts whatever the footers claim — a half-written
+    * file without its footer fails loudly rather than undercounting. */
+  def footerRowCount(spark: SparkSession, path: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Seq.newBuilder[String]
+    if (fs.exists(root)) {
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (f.isFile && f.getLen > 0 && !name.startsWith("_") &&
+            !name.startsWith(".")) files += f.getPath.toString
+      }
+    }
+    import spark.implicits._
+    val list = files.result()
+    if (list.isEmpty) 0L
+    else spark.createDataset(list)
+      .mapPartitions { paths =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        paths.map { p =>
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            conf, new org.apache.hadoop.fs.Path(p))
+          try rdr.getRecordCount finally rdr.close()
+        }
+      }
+      .toDF("n").agg(sum(col("n"))).head().getLong(0)
+  }
+
   def stageTempView(df: DataFrame, name: String): String = {
     df.createOrReplaceTempView(name)
     name

@@ -398,6 +398,16 @@ class SourcesSpec extends SparkSpec {
     assert(zE < sE / 2)
   }
 
+  test("footerRowCount == scanning count; 0 on empty/missing dir") {
+    import spark.implicits._
+    val path = tmp("footer_cnt")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val df = (1L to 4321L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    FileIO.writePartitioned(df, path, Seq("g"))
+    assert(FileIO.footerRowCount(spark, path) == 4321L)
+    assert(FileIO.footerRowCount(spark, tmp("footer_cnt_missing")) == 0L)
+  }
+
   test("normalizeEventTs yields the same catalog contract for every ts encoding") {
     // The driver has shipped events.ts as TIMESTAMP(NANOS) (arrives as
     // long nanos under nanosAsLong), as plain micros NTZ, and a frame
