@@ -134,6 +134,58 @@ object StreamQueries {
         .orderBy("win_start", "event_type")
     },
 
+    // SLIDING (overlapping) windows in append mode: window('6 hours',
+    // '3 hours') puts every event into TWO live state windows at once —
+    // the overlapping-window state shape tumbling can't exercise
+    // (state rows ≈ 2× window count, append finalization must close
+    // each overlapping window independently as the watermark passes
+    // it). Same landing split / two-drain sentinel horizon close as
+    // st_tumbling_watermark; the oracle replays each event into both
+    // of its slide-aligned windows.
+    "st_sliding_window" -> { (s, dir) =>
+      import graft.streaming.FileStreams
+      val in = scratch(dir, "sl_land"); val out = scratch(dir, "sl_out")
+      val ckpt = scratch(dir, "sl_ckpt")
+      val base = s"$in/base"; val extra = s"$in/extra"
+      Seq(extra, out, ckpt).foreach(rmrf)
+      val schema = graft.core.SchemaDsl.fromSpec(
+        "event_id:l;ts:c;event_type:c;value:d")
+      val drainCutoff = "2024-01-08"
+      ensureOnce(base, s"$dir/events.parquet") {
+        Tables.events(s, dir)
+          .filter(col("ts") < drainCutoff)
+          .select(col("event_id"), col("ts").cast("string").as("ts"),
+            col("event_type"), col("value"))
+          .repartition(4).write.json(base)
+      }
+      def windowed(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("ts", to_timestamp(col("ts")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n"), col("value_sum"))
+      def drain(): Unit = FileStreams.startPartitionedParquetSink(
+        windowed(FileStreams.jsonFileStream(s, s"$in/*", schema,
+          maxFilesPerTrigger = 4)),
+        out, ckpt, Seq("event_type")).awaitTermination()
+      val partKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partKey)
+      s.conf.set(partKey, "4")
+      try {
+        drain()
+        import s.implicits._
+        Seq((-1L, "2030-01-01 00:00:00", "zz_sentinel", 0.0))
+          .toDF("event_id", "ts", "event_type", "value")
+          .coalesce(1).write.mode(SaveMode.Append).json(extra)
+        drain()
+      } finally s.conf.set(partKey, prevParts)
+      s.read.parquet(out)
+        .select("win_start", "event_type", "n", "value_sum")
+        .orderBy("win_start", "event_type")
+    },
+
     // Stateful SESSION windows in append mode: per-account sessions
     // split on >=30 min inactivity, windows merging as events arrive and
     // finalizing only when the watermark passes their (moving) end — the
@@ -378,6 +430,17 @@ object StreamQueries {
          |    AS win_start,
          |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS value_sum
          |FROM events WHERE ts < TIMESTAMP '2024-01-08'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // every event replays into BOTH of its slide-aligned 6h/3h windows:
+    // starts floor(ts/3h)·3h and that minus 3h (membership holds for
+    // exactly those two)
+    "st_sliding_window" ->
+      s"""SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 10800) * 10800 - k * 10800)
+         |    AS TIMESTAMP) AS win_start,
+         |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS value_sum
+         |FROM events, unnest([0, 1]) AS u(k)
+         |WHERE ts < TIMESTAMP '2024-01-08'
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // batch gaps-and-islands replica of session_window: break when the
