@@ -305,4 +305,37 @@ class DedupPropertySpec extends SparkSpec {
       assert(got == want, s"tie-case ntile($k) (v, tile) histogram mismatch")
     }
   }
+
+  test("bloom-gated markNew == brute-force set membership on random corpora") {
+    import graft.operators.BloomIndex
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // 5 randomized rounds, varying sizes and overlap rates, incl. an
+    // empty batch and a fully-duplicated batch
+    val shapes = Seq((500, 100, 0.3), (50, 200, 0.0), (300, 0, 0.5),
+      (120, 120, 1.0), (1, 1, 1.0))
+    for (((nCorpus, nBatch, dupRate), round) <- shapes.zipWithIndex) {
+      val corpusTexts = (0 until nCorpus).map(i => s"r$round corpus $i ${rnd.nextInt(1000)}")
+      val batchTexts = (0 until nBatch).map { i =>
+        if (rnd.nextDouble() < dupRate && corpusTexts.nonEmpty)
+          corpusTexts(rnd.nextInt(corpusTexts.size))
+        else s"r$round fresh $i ${rnd.nextInt(1000)}"
+      }
+      val hashOf = when(col("text").isNotNull, xxhash64(col("text")))
+      val idx = corpusTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text").withColumn("__h", hashOf).select("id", "__h")
+      val batch = batchTexts.zipWithIndex.map { case (t, i) => (10000L + i, t) }
+        .toDF("id", "text").withColumn("__h", hashOf)
+      val bf = BloomIndex.buildLongBloom(idx, "__h", fpp = 0.05)
+      val marked = BloomIndex.markNewAgainstHashIndex(batch, "id", "__h",
+          idx, BloomIndex.broadcastBloom(spark, bf))
+        .select("id", "is_new").as[(Long, Boolean)].collect().toMap
+      val corpusSet = corpusTexts.toSet
+      batchTexts.zipWithIndex.foreach { case (t, i) =>
+        val want = !corpusSet.contains(t)
+        assert(marked(10000L + i) == want,
+          s"round $round: '$t' marked ${marked(10000L + i)}, want $want")
+      }
+    }
+  }
 }
