@@ -78,6 +78,14 @@ object BloomIndex {
     * is its own identity — it matches nothing and comes back new,
     * mirroring SQL equality semantics.
     *
+    * PRECONDITION: `idCol` must be unique within `batch`. The confirmed
+    * set is joined back to the batch by id, and a duplicated id would
+    * fan that join out (each batch row once per confirmed copy). The
+    * confirmed side is deduplicated below so the output cardinality
+    * stays exactly `batch`'s even if a caller violates this — but with
+    * duplicate ids every copy shares one verdict, which is only correct
+    * when copies share the hash too. Give rows a real identity first.
+    *
     * Plan shape: one broadcast-UDF filter over the batch (no shuffle),
     * then a semi-join of ONLY the candidates against the index, joined
     * back to the batch by id. */
@@ -89,7 +97,8 @@ object BloomIndex {
       .select(col(idCol), col(hashCol))
     val confirmed = cand
       .join(indexHashes.select(col(hashCol)), Seq(hashCol), "left_semi")
-      .select(col(idCol), lit(true).as("__dup"))
+      .select(col(idCol)).distinct()
+      .withColumn("__dup", lit(true))
     batch.join(confirmed, Seq(idCol), "left")
       .withColumn("is_new", col("__dup").isNull)
       .drop("__dup")

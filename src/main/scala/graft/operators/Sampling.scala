@@ -21,15 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  private val M = 1000003L // prime; u granularity 1/M
-
   /** Salted uniform in (0,1] from the row's id — pure, engine-exact
-    * integer arithmetic until the final division. The salt is a Column
-    * so a re-draw study (many salts at once) stays one distributed
-    * query. */
+    * integer arithmetic until the final division. The full 64-bit hash
+    * maps over 2^63 granules (unsigned-shift to [0, 2^63), +1, divide
+    * by 2^63 — an exact power-of-two double): at corpus scale rows
+    * virtually never share a key, so the ascending-id tie-break stays a
+    * formality instead of a systematic low-id bias at the selection
+    * boundary (a small modulus makes collisions routine past ~10^6
+    * rows). The salt is a Column so a re-draw study (many salts at
+    * once) stays one distributed query. */
   def saltedUniform(id: Column, salt: Column): Column = {
-    val h = xxhash64(id, salt)
-    (((h % M) + M) % M + 1L).cast("double") / lit(M.toDouble)
+    val h = shiftrightunsigned(xxhash64(id, salt), 1)
+    (h.cast("double") + lit(1.0)) / lit(9.223372036854775808e18)
   }
 
   /** A-ES key u^(1/w). Rows with NULL, NaN, or non-positive weight get

@@ -126,12 +126,19 @@ object TextDedup {
     * carrying no near-dup signal). Consequence: `n_shared` counts only
     * sub-cap fingerprints, and a pair whose every shared fingerprint is
     * boilerplate is not emitted — pass `maxDocFreq = Int.MaxValue` for
-    * the exact unguarded semantics. Prefer [[minhashLshPairs]] on
+    * the exact unguarded semantics. The capped default is a deliberate,
+    * contract-pinned choice ([[WinnowDefaultMaxDocFreq]]; SourcesSpec
+    * "winnowPairs default is the capped semantics"): a library caller
+    * who wants the unguarded quadratic form must say so explicitly. Prefer [[minhashLshPairs]] on
     * low-diversity corpora regardless; its band signatures are selective
     * on any corpus. Output: (a, b, n_shared), a < b. */
+  /** Default stop-fingerprint document-frequency cap for [[winnowPairs]]
+    * — part of the public contract, not an implementation detail. */
+  val WinnowDefaultMaxDocFreq: Int = 10000
+
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 5, w: Int = 8, minShared: Int = 3,
-                  maxDocFreq: Int = 10000): DataFrame = {
+                  maxDocFreq: Int = WinnowDefaultMaxDocFreq): DataFrame = {
     val all = docs.select(col(idCol),
         explode(winnowFingerprints(col(textCol), k, w)).as("__fp"))
     // document frequencies via groupBy (NOT a window over __fp: map-side

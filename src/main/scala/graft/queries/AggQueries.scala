@@ -178,8 +178,11 @@ object AggQueries {
     // the true count, above by at most ε·N at the sketch's confidence —
     // checked here for the 20 heaviest users against an exact count of
     // the same horizon; the oracle pins the exact side and the verdict
-    // literally (the bound holds by construction, deterministic at a
-    // fixed seed).
+    // literally. The lower bound (est >= exact) is unconditional CMS
+    // structure; the upper side is only probabilistic — δ=0.99 is
+    // per-key, so 20 keys carry a real chance of one legitimate ε·N
+    // excursion on regenerated data — hence the asserted ceiling is
+    // 3·ε·N (a seedless-safe band), not the 1·ε·N textbook bound.
     "a22_cms_sketch_merge" -> { (s, dir) =>
       import graft.operators.Sketches
       val path = scratchDir("agg", dir, "cms_daily")
@@ -204,7 +207,7 @@ object AggQueries {
           col("cnt"),
           (est >= col("cnt") &&
             est.cast("double") <= col("cnt").cast("double")
-              + ceil(col("__n").cast("double") * 0.001)).as("cms_ok"))
+              + lit(3.0) * ceil(col("__n").cast("double") * 0.001)).as("cms_ok"))
         .orderBy(col("user_id"))
     },
 

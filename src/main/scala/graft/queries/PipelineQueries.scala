@@ -153,9 +153,16 @@ object PipelineQueries {
       val s2 = s1.withColumn("f_quality",
         floor(size(array_distinct(col("__ws"))).cast("double") /
           col("n_tok").cast("double") * 1e6).cast("long") >= 350000L)
-      // stage 3: decontamination vs the benchmark opening 5-grams
+      // stage 3: decontamination vs the benchmark opening 5-grams. The
+      // >= 5-token filter is load-bearing for oracle parity, not
+      // cosmetics: a benchmark doc shorter than 5 tokens would yield a
+      // short phrase here that can never equal a 5-token shingle, while
+      // the oracle's substring search would still match it — both sides
+      // now drop such docs explicitly instead of leaning on an
+      // unasserted property of the testdata.
       val phrases = Tables.documents(s, dir)
-        .filter(col("doc_id").isin(3L, 57L, 123L))
+        .filter(col("doc_id").isin(3L, 57L, 123L) &&
+          size(split(col("text"), " ")) >= 5)
         .select(concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("phrase"))
       val hits = docs.select(col("doc_id"),
           explode(graft.operators.TextDedup.wordShingles(col("text"), 5)).as("sh"))
@@ -538,7 +545,7 @@ object PipelineQueries {
         |  FROM n0),
         |ph AS (
         |  SELECT array_to_string(ws[1:5], ' ') AS phrase
-        |  FROM n WHERE doc_id IN (3, 57, 123)),
+        |  FROM n WHERE doc_id IN (3, 57, 123) AND len(ws) >= 5),
         |f AS (
         |  SELECT doc_id, lang, source, n_chars, len(ws) AS n_tok,
         |    (doc_id = MIN(doc_id) OVER (PARTITION BY h)) AS f_dedup,

@@ -47,7 +47,6 @@ object StreamQueries {
       import graft.streaming.FileStreams
       val in = scratch(dir, "etl_in"); val out = scratch(dir, "etl_out")
       val ckpt = scratch(dir, "etl_ckpt")
-      Seq(out, ckpt).foreach(rmrf)
       ensureOnce(in, s"$dir/events.parquet") {
         Tables.events(s, dir)
           .select(col("event_id"), col("ts").cast("string").as("ts"),
@@ -57,12 +56,15 @@ object StreamQueries {
       }
       val schema = graft.core.SchemaDsl.fromSpec(
         "event_id:l;ts:c;user_id:l;event_type:c;value:d")
-      val stream = FileStreams.jsonFileStream(s, in, schema,
-        maxFilesPerTrigger = 2)
-        .withColumn("ts", to_timestamp(col("ts")))      // ST2 parse
-        .filter(col("event_id").isNotNull)
-      FileStreams.startPartitionedParquetSink(stream, out, ckpt,
-        Seq("event_type"), availableNow = true).awaitTermination()
+      drainOnce(out, in) {
+        Seq(out, ckpt).foreach(rmrf)
+        val stream = FileStreams.jsonFileStream(s, in, schema,
+          maxFilesPerTrigger = 2)
+          .withColumn("ts", to_timestamp(col("ts")))    // ST2 parse
+          .filter(col("event_id").isNotNull)
+        FileStreams.startPartitionedParquetSink(stream, out, ckpt,
+          Seq("event_type"), availableNow = true).awaitTermination()
+      }
       s.read.parquet(out)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"),
@@ -86,7 +88,6 @@ object StreamQueries {
       // landing split as in st_session_window: base/ built once per
       // testdata, extra/ takes this run's sentinel, stream reads the glob
       val base = s"$in/base"; val extra = s"$in/extra"
-      Seq(extra, out, ckpt).foreach(rmrf)
       val schema = graft.core.SchemaDsl.fromSpec(
         "event_id:l;ts:c;event_type:c;value:d")
       // one week of the landing data: the windowed-state machinery
@@ -118,17 +119,20 @@ object StreamQueries {
       // ~3k window states don't need 32 stores × batches × drains of
       // commit-file churn — at production volume this is sized to the
       // state, not to the shuffle default
-      val partKey = "spark.sql.shuffle.partitions"
-      val prevParts = s.conf.get(partKey)
-      s.conf.set(partKey, "4")
-      try {
-        drain()
-        import s.implicits._
-        Seq((-1L, "2030-01-01 00:00:00", "zz_sentinel", 0.0))
-          .toDF("event_id", "ts", "event_type", "value")
-          .coalesce(1).write.mode(SaveMode.Append).json(extra)
-        drain()
-      } finally s.conf.set(partKey, prevParts)
+      drainOnce(out, base) {
+        Seq(extra, out, ckpt).foreach(rmrf)
+        val partKey = "spark.sql.shuffle.partitions"
+        val prevParts = s.conf.get(partKey)
+        s.conf.set(partKey, "4")
+        try {
+          drain()
+          import s.implicits._
+          Seq((-1L, "2030-01-01 00:00:00", "zz_sentinel", 0.0))
+            .toDF("event_id", "ts", "event_type", "value")
+            .coalesce(1).write.mode(SaveMode.Append).json(extra)
+          drain()
+        } finally s.conf.set(partKey, prevParts)
+      }
       s.read.parquet(out)
         .select("win_start", "event_type", "n", "value_sum")
         .orderBy("win_start", "event_type")
@@ -147,7 +151,6 @@ object StreamQueries {
       val in = scratch(dir, "sl_land"); val out = scratch(dir, "sl_out")
       val ckpt = scratch(dir, "sl_ckpt")
       val base = s"$in/base"; val extra = s"$in/extra"
-      Seq(extra, out, ckpt).foreach(rmrf)
       val schema = graft.core.SchemaDsl.fromSpec(
         "event_id:l;ts:c;event_type:c;value:d")
       val drainCutoff = "2024-01-08"
@@ -170,17 +173,20 @@ object StreamQueries {
         windowed(FileStreams.jsonFileStream(s, s"$in/*", schema,
           maxFilesPerTrigger = 4)),
         out, ckpt, Seq("event_type")).awaitTermination()
-      val partKey = "spark.sql.shuffle.partitions"
-      val prevParts = s.conf.get(partKey)
-      s.conf.set(partKey, "4")
-      try {
-        drain()
-        import s.implicits._
-        Seq((-1L, "2030-01-01 00:00:00", "zz_sentinel", 0.0))
-          .toDF("event_id", "ts", "event_type", "value")
-          .coalesce(1).write.mode(SaveMode.Append).json(extra)
-        drain()
-      } finally s.conf.set(partKey, prevParts)
+      drainOnce(out, base) {
+        Seq(extra, out, ckpt).foreach(rmrf)
+        val partKey = "spark.sql.shuffle.partitions"
+        val prevParts = s.conf.get(partKey)
+        s.conf.set(partKey, "4")
+        try {
+          drain()
+          import s.implicits._
+          Seq((-1L, "2030-01-01 00:00:00", "zz_sentinel", 0.0))
+            .toDF("event_id", "ts", "event_type", "value")
+            .coalesce(1).write.mode(SaveMode.Append).json(extra)
+          drain()
+        } finally s.conf.set(partKey, prevParts)
+      }
       s.read.parquet(out)
         .select("win_start", "event_type", "n", "value_sum")
         .orderBy("win_start", "event_type")
@@ -205,7 +211,6 @@ object StreamQueries {
       // run's sentinel appends and is rebuilt per run; the stream reads
       // the glob over both
       val base = s"$in/base"; val extra = s"$in/extra"
-      Seq(extra, out, ckpt).foreach(rmrf)
       val drainCutoff = "2024-01-08"
       ensureOnce(base, s"$dir/events.parquet") {
         Tables.events(s, dir)
@@ -227,16 +232,19 @@ object StreamQueries {
         windowed(FileStreams.jsonFileStream(s, s"$in/*", schema,
           maxFilesPerTrigger = 4)),
         out, ckpt, Seq.empty).awaitTermination()
-      val partKey = "spark.sql.shuffle.partitions"
-      val prevParts = s.conf.get(partKey)
-      s.conf.set(partKey, "8")
-      try {
-        drain()
-        import s.implicits._
-        Seq((-1L, "2030-01-01 00:00:00", 0.0)).toDF("acct", "ts", "value")
-          .coalesce(1).write.mode(SaveMode.Append).json(extra)
-        drain() // checkpoint-recovered state flushes the remaining sessions
-      } finally s.conf.set(partKey, prevParts)
+      drainOnce(out, base) {
+        Seq(extra, out, ckpt).foreach(rmrf)
+        val partKey = "spark.sql.shuffle.partitions"
+        val prevParts = s.conf.get(partKey)
+        s.conf.set(partKey, "8")
+        try {
+          drain()
+          import s.implicits._
+          Seq((-1L, "2030-01-01 00:00:00", 0.0)).toDF("acct", "ts", "value")
+            .coalesce(1).write.mode(SaveMode.Append).json(extra)
+          drain() // checkpoint-recovered state flushes the remaining sessions
+        } finally s.conf.set(partKey, prevParts)
+      }
       s.read.parquet(out)
         .select("session_start", "session_end", "acct", "n", "value_sum")
         .orderBy("acct", "session_start")
@@ -253,7 +261,6 @@ object StreamQueries {
       import graft.streaming.FileStreams
       val in = scratch(dir, "dd_in"); val out = scratch(dir, "dd_out")
       val ckpt = scratch(dir, "dd_ckpt")
-      Seq(out, ckpt).foreach(rmrf)
       ensureOnce(in, s"$dir/events.parquet") {
         val ev = Tables.events(s, dir)
           .select(col("event_id"), col("event_type"), col("value"))
@@ -261,15 +268,18 @@ object StreamQueries {
       }
       val schema = graft.core.SchemaDsl.fromSpec(
         "event_id:l;event_type:c;value:d")
-      val deduped = FileStreams.jsonFileStream(s, in, schema,
-          maxFilesPerTrigger = 2)
-        .dropDuplicates("event_id")
-      val partKey = "spark.sql.shuffle.partitions"
-      val prevParts = s.conf.get(partKey)
-      s.conf.set(partKey, "8")
-      try FileStreams.startPartitionedParquetSink(deduped, out, ckpt, Seq.empty)
-        .awaitTermination()
-      finally s.conf.set(partKey, prevParts)
+      drainOnce(out, in) {
+        Seq(out, ckpt).foreach(rmrf)
+        val deduped = FileStreams.jsonFileStream(s, in, schema,
+            maxFilesPerTrigger = 2)
+          .dropDuplicates("event_id")
+        val partKey = "spark.sql.shuffle.partitions"
+        val prevParts = s.conf.get(partKey)
+        s.conf.set(partKey, "8")
+        try FileStreams.startPartitionedParquetSink(deduped, out, ckpt, Seq.empty)
+          .awaitTermination()
+        finally s.conf.set(partKey, prevParts)
+      }
       s.read.parquet(out)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
@@ -286,23 +296,25 @@ object StreamQueries {
       import graft.streaming.FileStreams
       val in = scratch(dir, "enr_in"); val out = scratch(dir, "enr_out")
       val ckpt = scratch(dir, "enr_ckpt")
-      Seq(out, ckpt).foreach(rmrf)
       ensureOnce(in, s"$dir/events.parquet") {
         Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
           .repartition(4).write.json(in)
       }
-      val dim = Tables.nation(s, dir)
-        .select(col("n_nationkey"), col("n_name"))
       val schema = graft.core.SchemaDsl.fromSpec(
         "event_id:l;user_id:l;event_type:c;value:d")
-      val enriched = FileStreams.jsonFileStream(s, in, schema,
-          maxFilesPerTrigger = 2)
-        .withColumn("nk", col("user_id") % 25)
-        .join(broadcast(dim), col("nk") === col("n_nationkey"))
-        .select(col("event_id"), col("n_name"), col("event_type"), col("value"))
-      FileStreams.startPartitionedParquetSink(enriched, out, ckpt, Seq.empty)
-        .awaitTermination()
+      drainOnce(out, in) {
+        Seq(out, ckpt).foreach(rmrf)
+        val dim = Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))
+        val enriched = FileStreams.jsonFileStream(s, in, schema,
+            maxFilesPerTrigger = 2)
+          .withColumn("nk", col("user_id") % 25)
+          .join(broadcast(dim), col("nk") === col("n_nationkey"))
+          .select(col("event_id"), col("n_name"), col("event_type"), col("value"))
+        FileStreams.startPartitionedParquetSink(enriched, out, ckpt, Seq.empty)
+          .awaitTermination()
+      }
       s.read.parquet(out)
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
@@ -323,7 +335,6 @@ object StreamQueries {
       import graft.streaming.FileStreams
       val inV = scratch(dir, "ssj_views"); val inC = scratch(dir, "ssj_clicks")
       val out = scratch(dir, "ssj_out"); val ckpt = scratch(dir, "ssj_ckpt")
-      Seq(out, ckpt).foreach(rmrf)
       def ev = Tables.events(s, dir)
         .select(col("event_id"), col("ts").cast("string").as("ts"),
           col("user_id"), col("event_type"), col("value"))
@@ -341,20 +352,24 @@ object StreamQueries {
           .withWatermark("ts", "60 days")
           .select(col("user_id").as(s"${prefix}_user"),
             col("ts").as(s"${prefix}_ts"), col("value").as(s"${prefix}_value"))
-      val joined = side(inV, "v").join(side(inC, "c"),
-        col("v_user") === col("c_user") &&
-          col("c_ts") > col("v_ts") &&
-          col("c_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
       // join state is keyed by user (~hundreds of keys in the fixture):
       // size the state stores to the state, not the shuffle default —
       // each extra partition costs 4 store commits per batch here (two
-      // sides × two join-state stores)
-      val partKey = "spark.sql.shuffle.partitions"
-      val prevParts = s.conf.get(partKey)
-      s.conf.set(partKey, "8")
-      try FileStreams.startPartitionedParquetSink(joined, out, ckpt, Seq.empty)
-        .awaitTermination()
-      finally s.conf.set(partKey, prevParts)
+      // sides × two join-state stores). Staleness key: inV suffices —
+      // both landings rebuild together from the same events table.
+      drainOnce(out, inV) {
+        Seq(out, ckpt).foreach(rmrf)
+        val joined = side(inV, "v").join(side(inC, "c"),
+          col("v_user") === col("c_user") &&
+            col("c_ts") > col("v_ts") &&
+            col("c_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+        val partKey = "spark.sql.shuffle.partitions"
+        val prevParts = s.conf.get(partKey)
+        s.conf.set(partKey, "8")
+        try FileStreams.startPartitionedParquetSink(joined, out, ckpt, Seq.empty)
+          .awaitTermination()
+        finally s.conf.set(partKey, prevParts)
+      }
       s.read.parquet(out)
         .groupBy(col("v_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -377,7 +392,6 @@ object StreamQueries {
       // testdata and lands once; wave-2 must appear only after drain 1,
       // so it rebuilds per run — it is 1/10th of the rows in one file
       val base = s"$in/base"; val wave2 = s"$in/wave2"
-      Seq(wave2, target, ckpt).foreach(rmrf)
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), lit(1L).as("ver"))
@@ -393,17 +407,20 @@ object StreamQueries {
         orderCols = Seq("ver", "event_id")).awaitTermination()
       // state-light job: the merge is stateless per batch (state lives
       // in the target table), so small shuffle fan-out suffices
-      val partKey = "spark.sql.shuffle.partitions"
-      val prevParts = s.conf.get(partKey)
-      s.conf.set(partKey, "8")
-      try {
-        drain()
-        ev.filter(col("event_id") % 10 === 0)
-          .withColumn("value", col("value") * 2.0)
-          .withColumn("ver", lit(2L))
-          .coalesce(1).write.mode(SaveMode.Append).parquet(wave2)
-        drain()
-      } finally s.conf.set(partKey, prevParts)
+      drainOnce(target, base) {
+        Seq(wave2, target, ckpt).foreach(rmrf)
+        val partKey = "spark.sql.shuffle.partitions"
+        val prevParts = s.conf.get(partKey)
+        s.conf.set(partKey, "8")
+        try {
+          drain()
+          ev.filter(col("event_id") % 10 === 0)
+            .withColumn("value", col("value") * 2.0)
+            .withColumn("ver", lit(2L))
+            .coalesce(1).write.mode(SaveMode.Append).parquet(wave2)
+          drain()
+        } finally s.conf.set(partKey, prevParts)
+      }
       s.read.parquet(target)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"),

@@ -166,14 +166,15 @@ object TextQueries {
 
     // Per-doc salient terms: top-2 tokens by term frequency, rarity
     // (document frequency ascending) as tie-break — integer-only TF-IDF
-    // stand-in, exact in both engines.
+    // stand-in, exact in both engines. The corpus is exploded ONCE: the
+    // tf aggregate already holds one row per distinct (doc_id, tok), so
+    // document frequency is a re-aggregation of tf, not a second scan.
     "t_doc_terms" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val tokens = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val tf = tokens.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val df = tokens.select("doc_id", "tok").distinct()
-        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("tok"))
       tf.join(df, "tok")
@@ -423,36 +424,84 @@ object TextQueries {
     },
 
     // Edit-distance near-dup pairs: docs whose 40-char heads are within
-    // Levenshtein 5, candidates blocked by length band (the
-    // ngramJaccardPairs blocking: each doc in blocks {own, own+1}, the
-    // pair kept only at the larger doc's own block — unique by
-    // construction, no distinct) so the quadratic edit-distance kernel
-    // runs on length-compatible pairs only, never all-pairs.
+    // Levenshtein 5. Candidate generation is PassJoin-style pigeonhole
+    // blocking (Li/Deng/Feng, VLDB'11 — public algorithm): a 40-char
+    // head is split into tau+1 = 6 fixed segments; ed(a,b) <= 5 implies
+    // b contains at least one segment of a EXACTLY, at a start shifted
+    // by at most 5. So the candidate join is an equi-join on
+    // (segment_index, substring) — content-selective AND provably
+    // lossless — conjoined with the |n_chars| <= 10 length band. This
+    // replaces the r8 length-band-only blocking, which degenerated
+    // toward O(N²/bands) on length-concentrated corpora (13x fewer
+    // candidates at sf0.1: 39,323 vs 518,076 — see SCALING.md). Heads
+    // shorter than 40 chars (doc < 40 chars; their partners must be
+    // < 50 by the length band) fall back to the length-band pool —
+    // the two branches are disjoint and together exhaustive.
     "t_edit_distance" -> { (s, dir) =>
+      val segStarts = Seq(1, 8, 15, 22, 29, 35)
+      val segLens = Seq(7, 7, 7, 7, 6, 6)
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("n_chars"),
           substring(col("text"), 1, 40).as("head"))
-      val blocked = docs
+      val full = docs.filter(col("n_chars") >= 40)
+      val segs = full.select(col("doc_id"), col("n_chars"), col("head"),
+        explode(array((0 until 6).map(i => struct(lit(i).as("i"),
+          substring(col("head"), segStarts(i), segLens(i)).as("s"))): _*)).as("__sg"))
+        .select(col("doc_id"), col("n_chars"), col("head"),
+          col("__sg.i").as("i"), col("__sg.s").as("s"))
+      // probe substrings of b: each segment's start shifted by -5..+5,
+      // clamped to the head — 56 probes/doc vs 6 segments/doc
+      val probeDefs = for {
+        i <- 0 until 6; d <- -5 to 5; st = segStarts(i) + d
+        if st >= 1 && st <= 40 - segLens(i) + 1
+      } yield (i, st, segLens(i))
+      val probes = full.select(col("doc_id"), col("n_chars"), col("head"),
+        explode(array(probeDefs.map { case (i, st, ln) => struct(lit(i).as("i"),
+          substring(col("head"), st, ln).as("s")) }: _*)).as("__pb"))
+        .select(col("doc_id"), col("n_chars"), col("head"),
+          col("__pb.i").as("i"), col("__pb.s").as("s"))
+      val candFull = segs.alias("__ed_a").join(probes.alias("__ed_b"),
+          col("__ed_a.i") === col("__ed_b.i") &&
+          col("__ed_a.s") === col("__ed_b.s") &&
+          col("__ed_a.doc_id") < col("__ed_b.doc_id") &&
+          abs(col("__ed_a.n_chars") - col("__ed_b.n_chars")) <= 10)
+        .select(col("__ed_a.doc_id").as("a"), col("__ed_b.doc_id").as("b"),
+          col("__ed_a.head").as("head_a"), col("__ed_b.head").as("head_b"))
+        // no distinct here: a pair can match on several segments, and the
+        // final groupBy(a,b) is the dedup — one shuffle, not two
+      // short-head fallback: a doc under 40 chars can only pair (length
+      // band <= 10) with docs under 50 chars — a corpus-small pool,
+      // blocked by the r8 length band so the join stays equi-shaped
+      // (each doc in blocks {own, own+1}, pair kept at the larger doc's
+      // own block — unique by construction, no distinct)
+      val shortPool = docs.filter(col("n_chars") <= 49)
         .withColumn("__blk", explode(array((col("n_chars") / 20).cast("long"),
           (col("n_chars") / 20).cast("long") + 1)))
-      val x = blocked.alias("__ed_x"); val y = blocked.alias("__ed_y")
-      x.join(y,
+      val candShort = shortPool.alias("__ed_x").join(shortPool.alias("__ed_y"),
           col("__ed_x.__blk") === col("__ed_y.__blk") &&
           col("__ed_x.doc_id") < col("__ed_y.doc_id") &&
           abs(col("__ed_x.n_chars") - col("__ed_y.n_chars")) <= 10 &&
+          least(col("__ed_x.n_chars"), col("__ed_y.n_chars")) < 40 &&
           col("__ed_x.__blk") ===
             greatest((col("__ed_x.n_chars") / 20).cast("long"),
                      (col("__ed_y.n_chars") / 20).cast("long")))
-        // thresholded kernel: the banded DP abandons a pair the moment
-        // its distance exceeds 5 (O(len·threshold) per pair, not
-        // O(len²)) and returns -1 — at corpus scale nearly all
-        // candidates are non-dups, so the early exit IS the operator's
-        // scalability
-        .withColumn("dist",
-          levenshtein(col("__ed_x.head"), col("__ed_y.head"), 5))
-        .filter(col("dist") >= 0)
         .select(col("__ed_x.doc_id").as("a"), col("__ed_y.doc_id").as("b"),
-          col("dist"))
+          col("__ed_x.head").as("head_a"), col("__ed_y.head").as("head_b"))
+      // thresholded kernel: the banded DP abandons a pair the moment its
+      // distance exceeds 5 (O(len·threshold) per pair) and returns -1.
+      // The distance is computed over aggregate expressions (max(head)
+      // per pair — heads are functionally determined by the ids), NOT
+      // grouping columns: a levenshtein filter over grouping columns
+      // gets pushed below the aggregate INTO the join condition, where
+      // Catalyst ordered it before the cheap id/length predicates and
+      // re-evaluated it per raw segment-bucket co-occurrence (measured
+      // 4.5 s vs 1.3 s at sf0.1).
+      candFull.unionByName(candShort)
+        .groupBy(col("a"), col("b"))
+        .agg(max(col("head_a")).as("__ha"), max(col("head_b")).as("__hb"))
+        .withColumn("dist", levenshtein(col("__ha"), col("__hb"), 5))
+        .filter(col("dist") >= 0)
+        .select(col("a"), col("b"), col("dist"))
         .orderBy(col("a"), col("b"))
     },
 

@@ -426,16 +426,25 @@ object FileIO {
       while (it.hasNext) {
         val f = it.next()
         val name = f.getPath.getName
-        if (f.isFile && f.getLen > 0 && !name.startsWith("_") &&
+        // zero-length files are NOT skipped: a truncated data file must
+        // fail the footer read below, not silently undercount
+        if (f.isFile && !name.startsWith("_") &&
             !name.startsWith(".")) files += f.getPath.toString
       }
     }
     import spark.implicits._
     val list = files.result()
+    // ship the session's Hadoop configuration to the executors: a
+    // classpath-default Configuration would drop every spark.hadoop.*
+    // setting (remote-FS credentials, custom schemes) exactly in the
+    // deployments this metadata-only count is advertised for
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     if (list.isEmpty) 0L
     else spark.createDataset(list)
       .mapPartitions { paths =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confBc.value.value
         paths.map { p =>
           val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
             conf, new org.apache.hadoop.fs.Path(p))

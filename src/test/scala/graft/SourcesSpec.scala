@@ -369,6 +369,21 @@ class SourcesSpec extends SparkSpec {
       s"cap should collapse the boilerplate blow-up: ${guarded.count()} vs ${unguarded.count()}")
   }
 
+  test("winnowPairs default is the capped semantics (contract pin)") {
+    // the no-argument call is the CAPPED form at the published constant —
+    // a caller wanting unguarded quadratic pairing must opt in with
+    // maxDocFreq = Int.MaxValue. This pins the default value itself so a
+    // silent change shows up as a test diff, not a behavior surprise.
+    assert(graft.operators.TextDedup.WinnowDefaultMaxDocFreq == 10000)
+    import spark.implicits._
+    val docs = (0L until 6L).map(i => (i, s"totally unique document body number $i with plenty of distinct words $i"))
+      .toDF("doc_id", "text")
+    val dflt = graft.operators.TextDedup.winnowPairs(docs, "doc_id", "text")
+    val pinned = graft.operators.TextDedup.winnowPairs(docs, "doc_id", "text",
+      maxDocFreq = graft.operators.TextDedup.WinnowDefaultMaxDocFreq)
+    assert(dflt.collect().toSet == pinned.collect().toSet)
+  }
+
   test("writeZOrdered bounds per-file ranges in BOTH dimensions") {
     val ev = Tables.events(spark, sf001).select("event_id", "user_id")
     val zpath = tmp("zorder_t"); val spath = tmp("zsort_t")
