@@ -32,6 +32,7 @@ object SparkEntry {
     (DataPrepQueries.queries, DataPrepQueries.oracle),
     (OlapQueries.queries, OlapQueries.oracle),
     (AnalyticsQueries.queries, AnalyticsQueries.oracle),
+    (MlQueries.queries, MlQueries.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -111,6 +111,62 @@ class CapabilitiesSpec extends SparkSpec {
     assert(model.transform(df).count() == df.count())
   }
 
+  test("ml_ols_closed_form IS the GLR(gaussian, identity) fit") {
+    // ties the oracled closed-form row to the real §2.11 estimator: an
+    // unregularized gaussian/identity GLR on the same (x, y) pairs must
+    // produce the same slope/intercept the normal equations give
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.GeneralizedLinearRegression
+    val closed = graft.queries.MlQueries.queries("ml_ols_closed_form")(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val flags = closed.keySet
+    for (flag <- flags) {
+      val pairs = Tables.lineitem(spark, sf001)
+        .filter(col("l_returnflag") === flag)
+        .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      val assembled = new VectorAssembler().setInputCols(Array("x"))
+        .setOutputCol("feat").transform(pairs)
+      val glr = new GeneralizedLinearRegression()
+        .setFamily("gaussian").setLink("identity")
+        .setFeaturesCol("feat").setLabelCol("y").fit(assembled)
+      val (slope, intercept) = closed(flag)
+      assert(math.abs(glr.coefficients(0) - slope) <= 1e-6 * math.abs(slope),
+        s"$flag slope: glr=${glr.coefficients(0)} closed=$slope")
+      assert(math.abs(glr.intercept - intercept) <= 1e-6 * math.abs(intercept),
+        s"$flag intercept: glr=${glr.intercept} closed=$intercept")
+    }
+  }
+
+  test("ml_feature_covariance eigen-spectrum matches Spark PCA explainedVariance") {
+    // the oracled covariance matrix is PCA's actual input: its eigenvalue
+    // proportions must equal PCA.explainedVariance (Spark uses the SAMPLE
+    // covariance, n-1 — rescale the oracled population form by n/(n-1))
+    import org.apache.spark.ml.feature.{PCA, VectorAssembler}
+    val r = graft.queries.MlQueries.queries("ml_feature_covariance")(spark, sf001).head()
+    val n = r.getLong(0).toDouble
+    val f = n / (n - 1.0)
+    val m = breeze.linalg.DenseMatrix(
+      (r.getDouble(4) * f, r.getDouble(5) * f, r.getDouble(6) * f),
+      (r.getDouble(5) * f, r.getDouble(7) * f, r.getDouble(8) * f),
+      (r.getDouble(6) * f, r.getDouble(8) * f, r.getDouble(9) * f))
+    val eig = breeze.linalg.eigSym(m).eigenvalues.toArray.sorted.reverse
+    val props = eig.map(_ / eig.sum)
+    val feats = Tables.orders(spark, sf001).select(
+      (col("o_orderkey") % 97).cast("double").as("f1"),
+      (col("o_custkey") % 89).cast("double").as("f2"),
+      month(col("o_orderdate")).cast("double").as("f3"))
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("f1", "f2", "f3")).setOutputCol("feat")
+      .transform(feats)
+    val pca = new PCA().setInputCol("feat").setOutputCol("pca").setK(3)
+      .fit(assembled)
+    val ev = pca.explainedVariance.toArray
+    for (i <- 0 until 3)
+      assert(math.abs(ev(i) - props(i)) <= 1e-6,
+        s"component $i: pca=${ev(i)} eig=${props(i)}")
+  }
+
   test("runtime bloom filter prunes the fact side of a shuffle join") {
     // the row-level runtime-filtering half of the pruning story (io_dpp
     // proves PARTITION-level dynamic pruning): a selective filter on the
