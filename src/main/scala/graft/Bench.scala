@@ -83,8 +83,11 @@ object Bench {
     val prior: Map[String, Double] = {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
+      // numeric round sort: lexicographic getName order breaks the first
+      // time zero-padding is outgrown (r100 < r99) or absent (r9 > r10)
       val files = Option(new java.io.File(".").listFiles()).toSeq.flatten
-        .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(f => f.getName.filter(_.isDigit).toInt)
       files.lastOption.toSeq.flatMap { f =>
         try {
           val root = JsonMethods.parse(java.nio.file.Files.readString(f.toPath))
@@ -105,7 +108,13 @@ object Bench {
       else {
         System.gc(); Thread.sleep(200)
         val rerun = (1 to 2).map(_ => runOnce(name, fn = SparkEntry.queries(name))).min
-        (name, cold, math.min(best, rerun))
+        // the rerun exists only to LOWER an already-valid measurement; a
+        // transient rerun failure (heap churn after 200 queries, flaky
+        // scratch FS) must neither invalidate the main pass's accepted
+        // number nor let a fail-fast wall time masquerade as a timing
+        val rerunOk = !errors.contains(name)
+        if (!rerunOk) errors.remove(name)
+        (name, cold, if (rerunOk) math.min(best, rerun) else best)
       }
     }
     val ok = results.filterNot { case (k, _, _) => errors.contains(k) }

@@ -106,6 +106,10 @@ object TextDedup {
     GraftSql.column(graft.functions.WinnowFingerprints(
       GraftSql.expression(text), k, w))
 
+  /** Default stop-fingerprint document-frequency cap for [[winnowPairs]]
+    * — part of the public contract, not an implementation detail. */
+  val WinnowDefaultMaxDocFreq: Int = 10000
+
   /** Candidate near-dup pairs by shared winnowing fingerprints: explode
     * each doc's fingerprints, equi-join on the fingerprint value, keep
     * pairs sharing at least `minShared`. The winnowing guarantee makes
@@ -132,10 +136,6 @@ object TextDedup {
     * who wants the unguarded quadratic form must say so explicitly. Prefer [[minhashLshPairs]] on
     * low-diversity corpora regardless; its band signatures are selective
     * on any corpus. Output: (a, b, n_shared), a < b. */
-  /** Default stop-fingerprint document-frequency cap for [[winnowPairs]]
-    * — part of the public contract, not an implementation detail. */
-  val WinnowDefaultMaxDocFreq: Int = 10000
-
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 5, w: Int = 8, minShared: Int = 3,
                   maxDocFreq: Int = WinnowDefaultMaxDocFreq): DataFrame = {

@@ -59,17 +59,21 @@ package object queries {
     * reading old landed data while the oracle reads the new tables. */
   def ensureOnce(path: String, srcPath: String = "")(write: => Unit): Unit = {
     val marker = new java.io.File(path, "_SUCCESS")
-    def newestUnder(f: java.io.File): Long =
-      if (f.isDirectory)
-        (f.lastModified() +: Option(f.listFiles()).toSeq.flatten.map(newestUnder))
-          .max
-      else f.lastModified()
     val srcTs =
       if (srcPath.isEmpty) 0L else newestUnder(new java.io.File(srcPath))
     // <= : filesystem mtime granularity can be a full second, so a source
     // regenerated within the same tick as the marker must count as newer
     if (!marker.exists() || marker.lastModified() <= srcTs) { rmrf(path); write }
   }
+
+  /** Newest mtime under a file tree — the staleness clock shared by
+    * [[ensureOnce]] and [[drainOnce]] (one definition so a future fix to
+    * the walk can't silently diverge between the two contracts). */
+  private def newestUnder(f: java.io.File): Long =
+    if (f.isDirectory)
+      (f.lastModified() +: Option(f.listFiles()).toSeq.flatten.map(newestUnder))
+        .max
+    else f.lastModified()
 
   /** Run a streaming drain at most once per scratch sink. Every drain in
     * the catalog uses Trigger.AvailableNow, whose end state is a pure
@@ -86,13 +90,13 @@ package object queries {
     * `drain` returns, so an interrupted drain re-runs. */
   def drainOnce(sinkPath: String, landingPath: String)(drain: => Unit): Unit = {
     val marker = new java.io.File(sinkPath.stripSuffix("/") + "._DRAINED")
-    def newestUnder(f: java.io.File): Long =
-      if (f.isDirectory)
-        (f.lastModified() +: Option(f.listFiles()).toSeq.flatten.map(newestUnder))
-          .max
-      else f.lastModified()
     val srcTs = newestUnder(new java.io.File(landingPath))
-    if (!marker.exists() || marker.lastModified() <= srcTs) {
+    // the marker is a SIBLING of the sink (streaming sinks own their dir
+    // contents), so a deleted sink can outlive its marker — treat a
+    // missing sink as stale or every later run would skip the drain and
+    // read a nonexistent/partial sink forever
+    if (!marker.exists() || !new java.io.File(sinkPath).exists() ||
+        marker.lastModified() <= srcTs) {
       marker.delete()
       drain
       Option(marker.getParentFile).foreach(_.mkdirs())

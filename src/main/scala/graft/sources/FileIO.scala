@@ -434,24 +434,30 @@ object FileIO {
     }
     import spark.implicits._
     val list = files.result()
-    // ship the session's Hadoop configuration to the executors: a
-    // classpath-default Configuration would drop every spark.hadoop.*
-    // setting (remote-FS credentials, custom schemes) exactly in the
-    // deployments this metadata-only count is advertised for
-    val confBc = spark.sparkContext.broadcast(
-      new org.apache.spark.util.SerializableConfiguration(
-        spark.sparkContext.hadoopConfiguration))
     if (list.isEmpty) 0L
-    else spark.createDataset(list)
-      .mapPartitions { paths =>
-        val conf = confBc.value.value
-        paths.map { p =>
-          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-            conf, new org.apache.hadoop.fs.Path(p))
-          try rdr.getRecordCount finally rdr.close()
+    else {
+      // ship the session's Hadoop configuration to the executors: a
+      // classpath-default Configuration would drop every spark.hadoop.*
+      // setting (remote-FS credentials, custom schemes) exactly in the
+      // deployments this metadata-only count is advertised for (built
+      // only on the non-empty path, and released after the count — one
+      // leaked conf per call would accrete in block-manager storage
+      // across a long session)
+      val confBc = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration))
+      try spark.createDataset(list)
+        .mapPartitions { paths =>
+          val conf = confBc.value.value
+          paths.map { p =>
+            val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+              conf, new org.apache.hadoop.fs.Path(p))
+            try rdr.getRecordCount finally rdr.close()
+          }
         }
-      }
-      .toDF("n").agg(sum(col("n"))).head().getLong(0)
+        .toDF("n").agg(sum(col("n"))).head().getLong(0)
+      finally confBc.unpersist(blocking = false)
+    }
   }
 
   def stageTempView(df: DataFrame, name: String): String = {
