@@ -338,4 +338,75 @@ class DedupPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("PassJoin pigeonhole blocking is lossless for ed<=5 head pairs") {
+    // randomized replica of t_edit_distance's candidate generation
+    // (TextQueries "t_edit_distance"): any doc pair inside the oracle's
+    // semantics (|n_chars diff| <= 10, levenshtein of 40-char heads <= 5)
+    // must be admitted by segments(a) ⋈ probes(b) (both heads full) or by
+    // the short-head fallback pool (min length < 40, both <= 49).
+    // Pure-driver property: the claim is about the blocking scheme's
+    // combinatorics, not the Spark plan (the plan is oracle-hash-proven).
+    val segStarts = Seq(1, 8, 15, 22, 29, 35)
+    val segLens = Seq(7, 7, 7, 7, 6, 6)
+    def head(s: String) = s.take(40)
+    def segments(h: String): Set[(Int, String)] =
+      (0 until 6).map(i =>
+        i -> h.slice(segStarts(i) - 1, segStarts(i) - 1 + segLens(i))).toSet
+    def probes(h: String): Set[(Int, String)] =
+      (for {
+        i <- 0 until 6; d <- -5 to 5; st = segStarts(i) + d
+        if st >= 1 && st <= 40 - segLens(i) + 1
+      } yield (i, h.slice(st - 1, st - 1 + segLens(i)))).toSet
+    def ed(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    def admitted(la: Int, ha: String, lb: Int, hb: String): Boolean = {
+      val full = la >= 40 && lb >= 40 &&
+        (segments(ha) & probes(hb)).nonEmpty
+      val short = math.min(la, lb) < 40 && la <= 49 && lb <= 49
+      full || short
+    }
+    val rnd = new scala.util.Random(4242)
+    val alpha = "abcde" // small alphabet: edits often collide/cancel
+    var tested = 0
+    for (trial <- 0 until 5000) {
+      val la = 35 + rnd.nextInt(26) // 35..60
+      val sa = Seq.fill(la)(alpha(rnd.nextInt(alpha.length))).mkString
+      // mutate with up to 5 random edits (ins/del/sub anywhere)
+      var t = sa
+      for (_ <- 0 until rnd.nextInt(6)) {
+        val p = rnd.nextInt(t.length + 1)
+        rnd.nextInt(3) match {
+          case 0 if p < t.length => // substitute
+            t = t.updated(p, alpha(rnd.nextInt(alpha.length)))
+          case 1 => // insert
+            t = t.take(p) + alpha(rnd.nextInt(alpha.length)) + t.drop(p)
+          case _ if t.length > 1 && p < t.length => // delete
+            t = t.take(p) + t.drop(p + 1)
+          case _ => ()
+        }
+      }
+      val (lb, sb) = (t.length, t)
+      val d = ed(head(sa), head(sb))
+      if (math.abs(la - lb) <= 10 && d <= 5) {
+        tested += 1
+        assert(admitted(la, head(sa), lb, head(sb)),
+          s"trial $trial: missed pair ed=$d la=$la lb=$lb\n a=$sa\n b=$sb")
+        assert(admitted(lb, head(sb), la, head(sa)), // either join order
+          s"trial $trial (swapped): missed pair ed=$d la=$la lb=$lb")
+      }
+    }
+    assert(tested > 2000, s"only $tested in-threshold pairs generated")
+  }
 }
