@@ -587,6 +587,69 @@ object TextQueries {
             .as("fp"),
           size(array_distinct(split(col("text"), " "))).as("n_distinct_tok"))
         .orderBy(col("doc_id"))
+    },
+
+    // Cross-document duplicated-passage REMOVAL (the scrub counterpart of
+    // t_boilerplate's measurement): CCNet dedups identical lines across a
+    // shard and C4 drops repeated three-sentence spans; the corpus here
+    // is word streams, so "lines" are non-overlapping word-aligned
+    // 10-token blocks. A block occurring in >= 2 DISTINCT docs is
+    // corpus-duplicated; every occurrence except the global first
+    // (min (doc_id, block_index)) is removed and the doc is REBUILT from
+    // its surviving blocks + its sub-block tail, proven exactly by the
+    // rebuilt text's md5. The synthetic corpus has no natural cross-doc
+    // blocks (sf0.01 has zero exact dups), so the scrub path is made
+    // live at every sf the same way d_bloom_incremental does it:
+    // deterministic re-keyed full-doc copies (doc_id % 7 == 3 → +100000)
+    // plus a fixed 10-token nav banner prepended to every 5th doc (the
+    // classic hot boilerplate block; 10 tokens = exactly one block, so
+    // the rest of the doc stays block-aligned).
+    //
+    // Plan shape (the 100 TB contract): block df + first-occurrence via
+    // ONE groupBy(blk) aggregate joined back on the same key — never a
+    // window over blk (hot boilerplate blocks are exactly the keys a
+    // window would buffer in one task; same reasoning as t_boilerplate).
+    // The per-doc rebuild is a collect_list bounded by doc length — the
+    // same per-doc bound every chunker in the catalog carries.
+    "t_passage_scrub" -> { (s, dir) =>
+      val B = 10
+      val banner = (0 until B).map(i => s"nav$i").mkString(" ")
+      val base = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(lit(banner + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      val docs = base.unionByName(
+          base.filter(col("doc_id") % 7 === 3)
+            .withColumn("doc_id", col("doc_id") + 100000L))
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("nblk", (col("n_tok") / B).cast("int"))
+      val blocks = docs.filter(col("nblk") > 0)
+        .select(col("doc_id"), col("toks"), col("nblk"),
+          explode(sequence(lit(0), col("nblk") - 1)).as("k"))
+        .select(col("doc_id"), col("k"),
+          array_join(slice(col("toks"), col("k") * B + 1, lit(B)), " ").as("blk"))
+      val stats = blocks.groupBy(col("blk")).agg(
+        countDistinct(col("doc_id")).as("ndocs"),
+        min(col("doc_id") * 1000000L + col("k")).as("firstkey"))
+      val occ = blocks.join(stats, "blk")
+        .withColumn("removed", col("ndocs") >= 2 &&
+          (col("doc_id") * 1000000L + col("k")) =!= col("firstkey"))
+      val kept = occ.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        sort_array(collect_list(when(!col("removed"), col("k"))))
+          .as("kept_ks"))
+      docs.join(kept, Seq("doc_id"), "left")
+        .withColumn("rb", concat(
+          flatten(transform(coalesce(col("kept_ks"), array()),
+            k => slice(col("toks"), k * B + 1, lit(B)))),
+          slice(col("toks"), col("nblk") * B + 1, col("n_tok") - col("nblk") * B)))
+        .select(col("doc_id"),
+          coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          size(col("rb")).cast("long").as("kept_tok"),
+          md5(array_join(col("rb"), " ")).as("scrub_md5"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -966,6 +1029,61 @@ object TextQueries {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
         |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tok
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // replica of the scrub chain: same injected copies/banner, same
+    // keep-first rule, same block arithmetic (1-based inclusive list
+    // slices mirror Spark's slice(start, length) exactly)
+    "t_passage_scrub" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN 'nav0 nav1 nav2 nav3 nav4 nav5 nav6 nav7 nav8 nav9 ' || text
+        |      ELSE text END AS text
+        |  FROM documents),
+        |inj AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM base WHERE doc_id % 7 = 3),
+        |d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    len(string_split(text, ' ')) // 10 AS nblk
+        |  FROM inj),
+        |b AS (
+        |  SELECT doc_id, unnest(generate_series(0, nblk - 1)) AS k, toks
+        |  FROM d WHERE nblk > 0),
+        |blocks AS (
+        |  SELECT doc_id, k,
+        |    array_to_string(toks[k*10+1 : k*10+10], ' ') AS blk
+        |  FROM b),
+        |stats AS (
+        |  SELECT blk, COUNT(DISTINCT doc_id) AS ndocs,
+        |    MIN(doc_id * 1000000 + k) AS firstkey
+        |  FROM blocks GROUP BY blk),
+        |occ AS (
+        |  SELECT blocks.doc_id, blocks.k,
+        |    (ndocs >= 2 AND blocks.doc_id * 1000000 + blocks.k <> firstkey)
+        |      AS removed
+        |  FROM blocks JOIN stats USING (blk)),
+        |kp AS (
+        |  SELECT doc_id, COUNT(*) AS n_blocks,
+        |    CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_removed,
+        |    list(k ORDER BY k) FILTER (WHERE NOT removed) AS kept_ks
+        |  FROM occ GROUP BY doc_id),
+        |rebuilt AS (
+        |  SELECT d.doc_id,
+        |    COALESCE(n_blocks, 0) AS n_blocks,
+        |    COALESCE(n_removed, 0) AS n_removed,
+        |    flatten(list_transform(COALESCE(kept_ks, []),
+        |      k -> toks[k*10+1 : k*10+10])) || toks[nblk*10+1 : n_tok] AS rb
+        |  FROM d LEFT JOIN kp USING (doc_id))
+        |SELECT doc_id, n_blocks, n_removed,
+        |  CAST(len(rb) AS BIGINT) AS kept_tok,
+        |  -- array_to_string([]) is NULL in DuckDB where Spark's
+        |  -- array_join gives '' — a fully-scrubbed doc must hash as ''
+        |  md5(COALESCE(array_to_string(rb, ' '), '')) AS scrub_md5
+        |FROM rebuilt ORDER BY doc_id""".stripMargin
   )
 }
