@@ -173,7 +173,15 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val tokens = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val tf = tokens.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      // tf feeds BOTH the df aggregate and the join; without the
+      // checkpoint Catalyst prunes the unused count from the df branch,
+      // the two subtrees stop canonicalizing equal, exchange reuse can't
+      // fire, and the corpus is scanned+exploded twice at runtime (seen
+      // live in the executed plan). Materializing the (doc, tok)
+      // aggregate once is the 100 TB contract: one corpus pass, both
+      // consumers read the shuffle-sized frame (heavyHitters precedent).
+      val tf = tokens.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf")).localCheckpoint(false)
       val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("tok"))

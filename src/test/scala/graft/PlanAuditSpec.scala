@@ -260,4 +260,34 @@ class PlanAuditSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size == 2,
       "fact or dim scanned more than once")
   }
+
+  test("round-9 rewrites hold: doc_terms explodes once, edit-distance joins equi") {
+    // t_doc_terms r8 regression root cause was a SECOND corpus explode
+    // (separate distinct()+groupBy for df). Plain plan sharing does NOT
+    // fix it: Catalyst prunes the unused count from the df branch, the
+    // subtrees stop canonicalizing equal, and exchange reuse never fires
+    // — so the tf aggregate is localCheckpointed and the query plan
+    // proper must contain NO corpus explode at all (it reads the
+    // materialized frame); the one real explode runs inside the
+    // checkpoint's own materialization job
+    val dtq = SparkEntry.queries("t_doc_terms")(spark, sf001)
+    dtq.write.format("noop").mode("overwrite").save()
+    val dt = dtq.queryExecution.executedPlan.toString
+    assert("Generate explode".r.findAllIn(dt).isEmpty &&
+           !dt.contains("FileScan parquet"),
+      "t_doc_terms must consume the single materialized tf frame")
+    // t_edit_distance candidate generation must stay an equi-join on the
+    // PassJoin (segment, substring) key — never NLJ/cartesian — and the
+    // thresholded levenshtein must not be pushed into the join condition
+    // (it would run per raw bucket co-occurrence, before the cheap
+    // id/length predicates)
+    val ed = plan("t_edit_distance")
+    assert(!ed.contains("CartesianProduct") &&
+           !ed.contains("BroadcastNestedLoopJoin"),
+      "edit-distance candidate generation is not an equi-join")
+    val joinLines = ed.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("levenshtein"))
+    assert(joinLines.isEmpty,
+      "levenshtein leaked into a join condition")
+  }
 }
