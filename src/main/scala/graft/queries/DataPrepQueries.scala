@@ -322,6 +322,35 @@ object DataPrepQueries {
         .groupBy(col("lang"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
         .orderBy(col("lang"), col("bin"))
+    },
+
+    // Deterministic corpus shard + training-order assignment — the
+    // export step after packing: every doc gets a shard (dual-engine
+    // md5 bucket of its id — reshard-stable, data-independent) and a
+    // pseudorandom within-shard position (md5 order — THE training
+    // shuffle; restartable because it's pure arithmetic, no rand()).
+    // Shard-balance and order-determinism are what the oracle pins:
+    // per-shard doc counts, token sums, and the first/last doc in
+    // shuffle order. One map-only projection + one keyed window bounded
+    // by shard size (shards are sized to executors at 100 TB, so the
+    // within-shard sort IS the per-output-file sort) + one rollup.
+    "t_shard_export" -> { (s, dir) =>
+      val shards = 16
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tok"),
+        md5Bucket(concat(lit("shard:"), col("doc_id").cast("string")), shards).as("shard"),
+        md5(concat(lit("order:"), col("doc_id").cast("string"))).as("ord"))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("ord"), col("doc_id"))
+      docs.withColumn("pos", row_number().over(w))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("tok_sum"),
+          min(struct(col("pos"), col("doc_id"))).getField("doc_id")
+            .as("first_doc"),
+          max(struct(col("pos"), col("doc_id"))).getField("doc_id")
+            .as("last_doc"))
+        .orderBy(col("shard"))
     }
   )
 
@@ -544,6 +573,22 @@ object DataPrepQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin
         |  FROM toks)
         |SELECT lang, bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
-        |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
+        |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "t_shard_export" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+         |    ${sqlMd5Bucket("'shard:' || CAST(doc_id AS VARCHAR)", 16)} AS shard,
+         |    md5('order:' || CAST(doc_id AS VARCHAR)) AS ord
+         |  FROM documents),
+         |p AS (
+         |  SELECT d.*, row_number() OVER
+         |    (PARTITION BY shard ORDER BY ord, doc_id) AS pos
+         |  FROM d)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+         |  arg_min(doc_id, pos) AS first_doc,
+         |  arg_max(doc_id, pos) AS last_doc
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin
   )
 }
