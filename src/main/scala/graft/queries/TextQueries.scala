@@ -179,7 +179,10 @@ object TextQueries {
       // fire, and the corpus is scanned+exploded twice at runtime (seen
       // live in the executed plan). Materializing the (doc, tok)
       // aggregate once is the 100 TB contract: one corpus pass, both
-      // consumers read the shuffle-sized frame (heavyHitters precedent).
+      // consumers read the shuffle-sized frame (heavyHitters precedent;
+      // lifecycle: lazy checkpoint blocks are reclaimed by the
+      // ContextCleaner once the plan is unreferenced — bounded across a
+      // long bench loop, same contract as every checkpoint in the repo).
       val tf = tokens.groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf")).localCheckpoint(false)
       val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -608,26 +611,35 @@ object TextQueries {
     // rebuilt text's md5. The synthetic corpus has no natural cross-doc
     // blocks (sf0.01 has zero exact dups), so the scrub path is made
     // live at every sf the same way d_bloom_incremental does it:
-    // deterministic re-keyed full-doc copies (doc_id % 7 == 3 → +100000)
-    // plus a fixed 10-token nav banner prepended to every 5th doc (the
-    // classic hot boilerplate block; 10 tokens = exactly one block, so
-    // the rest of the doc stays block-aligned).
+    // deterministic re-keyed full-doc copies (doc_id % 7 == 3 →
+    // +9000000, the d_bloom_incremental offset precedent — far above
+    // any real doc_id so copies can never collide) plus a fixed
+    // 10-token nav banner prepended to every 5th doc (the classic hot
+    // boilerplate block; 10 tokens = exactly one block, so the rest of
+    // the doc stays block-aligned).
     //
-    // Plan shape (the 100 TB contract): block df + first-occurrence via
-    // ONE groupBy(blk) aggregate joined back on the same key — never a
-    // window over blk (hot boilerplate blocks are exactly the keys a
-    // window would buffer in one task; same reasoning as t_boilerplate).
-    // The per-doc rebuild is a collect_list bounded by doc length — the
-    // same per-doc bound every chunker in the catalog carries.
+    // Plan shape (the 100 TB contract): TWO corpus passes by design —
+    // the count pass and the rewrite pass, exactly how shard-level line
+    // dedup runs at scale (the block frame is localCheckpointed so its
+    // two consumers share one materialization instead of re-scanning).
+    // Block df + first-occurrence via ONE groupBy(blk) aggregate joined
+    // back on the same key — never a window over blk (hot boilerplate
+    // blocks are exactly the keys a window would buffer in one task;
+    // same reasoning as t_boilerplate). The per-doc rebuild is a
+    // collect_list bounded by doc length — the same per-doc bound every
+    // chunker in the catalog carries.
     "t_passage_scrub" -> { (s, dir) =>
       val B = 10
       val banner = (0 until B).map(i => s"nav$i").mkString(" ")
+      // NULL text must rebuild like the oracle's COALESCE(text, '')
+      // (size(NULL)/md5(NULL) would diverge as -1/NULL on the Spark side)
       val base = Tables.documents(s, dir).select(col("doc_id"),
-        when(col("doc_id") % 5 === 0, concat(lit(banner + " "), col("text")))
-          .otherwise(col("text")).as("text"))
+        when(col("doc_id") % 5 === 0,
+            concat(lit(banner + " "), coalesce(col("text"), lit(""))))
+          .otherwise(coalesce(col("text"), lit(""))).as("text"))
       val docs = base.unionByName(
           base.filter(col("doc_id") % 7 === 3)
-            .withColumn("doc_id", col("doc_id") + 100000L))
+            .withColumn("doc_id", col("doc_id") + 9000000L))
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n_tok", size(col("toks")))
         .withColumn("nblk", (col("n_tok") / B).cast("int"))
@@ -636,6 +648,11 @@ object TextQueries {
           explode(sequence(lit(0), col("nblk") - 1)).as("k"))
         .select(col("doc_id"), col("k"),
           array_join(slice(col("toks"), col("k") * B + 1, lit(B)), " ").as("blk"))
+        // two consumers (stats aggregate + occ join) with different
+        // pruning — without the checkpoint their subtrees stop
+        // canonicalizing equal and the corpus would scan+explode twice
+        // more (the t_doc_terms exchange-reuse lesson)
+        .localCheckpoint(false)
       val stats = blocks.groupBy(col("blk")).agg(
         countDistinct(col("doc_id")).as("ndocs"),
         min(col("doc_id") * 1000000L + col("k")).as("firstkey"))
@@ -1046,13 +1063,14 @@ object TextQueries {
       """WITH base AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 5 = 0
-        |      THEN 'nav0 nav1 nav2 nav3 nav4 nav5 nav6 nav7 nav8 nav9 ' || text
-        |      ELSE text END AS text
+        |      THEN 'nav0 nav1 nav2 nav3 nav4 nav5 nav6 nav7 nav8 nav9 '
+        |           || COALESCE(text, '')
+        |      ELSE COALESCE(text, '') END AS text
         |  FROM documents),
         |inj AS (
         |  SELECT doc_id, text FROM base
         |  UNION ALL
-        |  SELECT doc_id + 100000, text FROM base WHERE doc_id % 7 = 3),
+        |  SELECT doc_id + 9000000, text FROM base WHERE doc_id % 7 = 3),
         |d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,
         |    len(string_split(text, ' ')) AS n_tok,

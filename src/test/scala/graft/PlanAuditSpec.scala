@@ -269,10 +269,9 @@ class PlanAuditSpec extends SparkSpec {
     // — so the tf aggregate is localCheckpointed and the query plan
     // proper must contain NO corpus explode at all (it reads the
     // materialized frame); the one real explode runs inside the
-    // checkpoint's own materialization job
-    val dtq = SparkEntry.queries("t_doc_terms")(spark, sf001)
-    dtq.write.format("noop").mode("overwrite").save()
-    val dt = dtq.queryExecution.executedPlan.toString
+    // checkpoint's own materialization job, so the structural property
+    // is visible on the plan without executing the query
+    val dt = plan("t_doc_terms")
     assert("Generate explode".r.findAllIn(dt).isEmpty &&
            !dt.contains("FileScan parquet"),
       "t_doc_terms must consume the single materialized tf frame")
