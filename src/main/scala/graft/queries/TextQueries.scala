@@ -74,6 +74,39 @@ object TextQueries {
         .orderBy(col("lang"))
     },
 
+    // BPE-style pre-tokenization (the GPT-2 pre-tokenizer shape, the
+    // brief's "BPE-ish regex" token counter): split text into
+    // contraction suffixes, space-prefixed letter runs, digit runs, and
+    // punctuation runs via leftmost-first alternation — the exact class
+    // structure tiktoken/GPT-2 uses, minus the lookahead (RE2, which
+    // the oracle engine embeds, has no lookahead; Java and RE2 agree on
+    // character classes + alternation, which is why this subset is the
+    // cross-engine-safe form). The corpus is bare lowercase words, so
+    // deterministic punctuation/digits/contractions are injected per
+    // doc to make every branch live. Per-lang piece counts and
+    // fertility (pieces per whitespace word, floored micro) — the
+    // tokenizer-budget planning number. Pure per-row regex (codegen'd)
+    // + one rollup shuffle.
+    "t_bpe_pretokenize" -> { (s, dir) =>
+      val pat = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ']+"
+      Tables.documents(s, dir)
+        .withColumn("__aug", concat(col("text"),
+          lit(" it's "), (col("doc_id") % 100).cast("string"), lit("-x!")))
+        .withColumn("n_piece",
+          size(expr(s"regexp_extract_all(__aug, \"$pat\", 0)")))
+        .withColumn("n_word", size(split(col("__aug"), " ")))
+        .withColumn("fert_micro",
+          floor(col("n_piece").cast("double") /
+                col("n_word").cast("double") * 1e6).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_piece")).cast("long").as("piece_sum"),
+          sum(col("n_word")).cast("long").as("word_sum"),
+          sum(col("fert_micro")).as("fert_micro_sum"),
+          max(col("n_piece")).as("max_piece"))
+        .orderBy(col("lang"))
+    },
+
     // Quality scoring: type-token ratio + stopword ratio + mean word
     // length, bucketed; per (source, bucket) counts.
     "t_quality_score" -> { (s, dir) =>
@@ -1055,6 +1088,24 @@ object TextQueries {
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
         |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_bpe_pretokenize" ->
+      """WITH aug AS (
+        |  SELECT lang,
+        |    text || ' it''s ' || CAST(doc_id % 100 AS VARCHAR) || '-x!' AS a
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(a, '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 '']+')) AS n_piece,
+        |    len(string_split(a, ' ')) AS n_word
+        |  FROM aug)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_piece) AS BIGINT) AS piece_sum,
+        |  CAST(SUM(n_word) AS BIGINT) AS word_sum,
+        |  CAST(SUM(CAST(FLOOR(CAST(n_piece AS DOUBLE) / CAST(n_word AS DOUBLE)
+        |    * 1e6) AS BIGINT)) AS BIGINT) AS fert_micro_sum,
+        |  CAST(MAX(n_piece) AS BIGINT) AS max_piece
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
 
     // replica of the scrub chain: same injected copies/banner, same
     // keep-first rule, same block arithmetic (1-based inclusive list
