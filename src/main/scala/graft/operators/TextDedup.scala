@@ -384,4 +384,67 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
+
+  /** Cross-document duplicated-passage REMOVAL — CCNet dedups identical
+    * lines across a shard, C4 drops repeated three-sentence spans; on
+    * whitespace-token corpora the unit is the non-overlapping word-aligned
+    * `blockTokens`-token block. A block occurring in ≥ 2 DISTINCT docs is
+    * corpus-duplicated: every occurrence except the global first
+    * (min (id, block_index)) is removed, and each doc is rebuilt from its
+    * surviving blocks plus its sub-block tail.
+    *
+    * Output: (idCol, n_blocks, n_removed, rb) where `rb` is the rebuilt
+    * token array (empty for a fully-scrubbed doc). Docs shorter than one
+    * block pass through untouched with n_blocks = 0.
+    *
+    * Scale contract: TWO corpus passes by design — the count pass and the
+    * rewrite pass, exactly how shard-level line dedup runs at 100 TB.
+    * Block df + first-occurrence come from ONE groupBy(block) aggregate
+    * joined back on the same key — never a window over the block value
+    * (hot boilerplate blocks are exactly the keys a window would buffer
+    * in one task). The block frame is localCheckpointed so its two
+    * consumers (stats aggregate, occurrence join) share one
+    * materialization — their differing column pruning otherwise defeats
+    * exchange-reuse canonicalization and re-scans the corpus. The id must
+    * fit `id * 1000000 + block_index` in a long (block counts per doc are
+    * bounded by doc length / blockTokens).
+    *
+    * Semantic reference: DedupPropertySpec proves this frame equal to a
+    * driver-side reimplementation on randomized corpora with planted
+    * copies, shared blocks, and sub-block docs. */
+  def passageScrub(docs: DataFrame, idCol: String, textCol: String,
+                   blockTokens: Int = 10): DataFrame = {
+    val B = blockTokens
+    val framed = docs
+      .withColumn("__toks", split(coalesce(col(textCol), lit("")), " "))
+      .withColumn("__n_tok", size(col("__toks")))
+      .withColumn("__nblk", (col("__n_tok") / B).cast("int"))
+    val blocks = framed.filter(col("__nblk") > 0)
+      .select(col(idCol), col("__toks"), col("__nblk"),
+        explode(sequence(lit(0), col("__nblk") - 1)).as("__k"))
+      .select(col(idCol), col("__k"),
+        array_join(slice(col("__toks"), col("__k") * B + 1, lit(B)), " ")
+          .as("__blk"))
+      .localCheckpoint(false)
+    val stats = blocks.groupBy(col("__blk")).agg(
+      countDistinct(col(idCol)).as("__ndocs"),
+      min(col(idCol) * 1000000L + col("__k")).as("__firstkey"))
+    val occ = blocks.join(stats, "__blk")
+      .withColumn("__removed", col("__ndocs") >= 2 &&
+        (col(idCol) * 1000000L + col("__k")) =!= col("__firstkey"))
+    val kept = occ.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_blocks"),
+      sum(when(col("__removed"), 1L).otherwise(0L)).as("n_removed"),
+      sort_array(collect_list(when(!col("__removed"), col("__k"))))
+        .as("__kept_ks"))
+    framed.join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        concat(
+          flatten(transform(coalesce(col("__kept_ks"), array()),
+            k => slice(col("__toks"), k * B + 1, lit(B)))),
+          slice(col("__toks"), col("__nblk") * B + 1,
+            col("__n_tok") - col("__nblk") * B)).as("rb"))
+  }
 }

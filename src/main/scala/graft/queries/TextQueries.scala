@@ -662,8 +662,7 @@ object TextQueries {
     // collect_list bounded by doc length — the same per-doc bound every
     // chunker in the catalog carries.
     "t_passage_scrub" -> { (s, dir) =>
-      val B = 10
-      val banner = (0 until B).map(i => s"nav$i").mkString(" ")
+      val banner = (0 until 10).map(i => s"nav$i").mkString(" ")
       // NULL text must rebuild like the oracle's COALESCE(text, '')
       // (size(NULL)/md5(NULL) would diverge as -1/NULL on the Spark side)
       val base = Tables.documents(s, dir).select(col("doc_id"),
@@ -671,40 +670,10 @@ object TextQueries {
             concat(lit(banner + " "), coalesce(col("text"), lit(""))))
           .otherwise(coalesce(col("text"), lit(""))).as("text"))
       val docs = base.unionByName(
-          base.filter(col("doc_id") % 7 === 3)
-            .withColumn("doc_id", col("doc_id") + 9000000L))
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("n_tok", size(col("toks")))
-        .withColumn("nblk", (col("n_tok") / B).cast("int"))
-      val blocks = docs.filter(col("nblk") > 0)
-        .select(col("doc_id"), col("toks"), col("nblk"),
-          explode(sequence(lit(0), col("nblk") - 1)).as("k"))
-        .select(col("doc_id"), col("k"),
-          array_join(slice(col("toks"), col("k") * B + 1, lit(B)), " ").as("blk"))
-        // two consumers (stats aggregate + occ join) with different
-        // pruning — without the checkpoint their subtrees stop
-        // canonicalizing equal and the corpus would scan+explode twice
-        // more (the t_doc_terms exchange-reuse lesson)
-        .localCheckpoint(false)
-      val stats = blocks.groupBy(col("blk")).agg(
-        countDistinct(col("doc_id")).as("ndocs"),
-        min(col("doc_id") * 1000000L + col("k")).as("firstkey"))
-      val occ = blocks.join(stats, "blk")
-        .withColumn("removed", col("ndocs") >= 2 &&
-          (col("doc_id") * 1000000L + col("k")) =!= col("firstkey"))
-      val kept = occ.groupBy(col("doc_id")).agg(
-        count(lit(1)).as("n_blocks"),
-        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
-        sort_array(collect_list(when(!col("removed"), col("k"))))
-          .as("kept_ks"))
-      docs.join(kept, Seq("doc_id"), "left")
-        .withColumn("rb", concat(
-          flatten(transform(coalesce(col("kept_ks"), array()),
-            k => slice(col("toks"), k * B + 1, lit(B)))),
-          slice(col("toks"), col("nblk") * B + 1, col("n_tok") - col("nblk") * B)))
-        .select(col("doc_id"),
-          coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
-          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        base.filter(col("doc_id") % 7 === 3)
+          .withColumn("doc_id", col("doc_id") + 9000000L))
+      graft.operators.TextDedup.passageScrub(docs, "doc_id", "text", 10)
+        .select(col("doc_id"), col("n_blocks"), col("n_removed"),
           size(col("rb")).cast("long").as("kept_tok"),
           md5(array_join(col("rb"), " ")).as("scrub_md5"))
         .orderBy(col("doc_id"))

@@ -339,6 +339,63 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("passageScrub == driver-side reference on randomized planted corpora") {
+    // semantic proof independent of the DuckDB replica: random docs
+    // (incl. sub-block and empty), planted block-aligned shared passages,
+    // and exact copies — the scrubbed frame must equal a straightforward
+    // driver-side reimplementation of keep-first block dedup, token for
+    // token
+    import spark.implicits._
+    val B = 10
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector.tabulate(30)(i => s"v$i")
+    def doc(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0L until 120L).map(i => i -> doc(rnd.nextInt(46)))
+    val shared = doc(B) // one 10-token passage planted at aligned offsets
+    val planted = (0 until 15).map { i =>
+      val pre = doc(B * rnd.nextInt(3)) // 0/10/20 tokens -> stays aligned
+      val post = doc(rnd.nextInt(25))
+      (200L + i) -> Seq(pre, shared, post).filter(_.nonEmpty).mkString(" ")
+    }
+    val copies = (0 until 10).map(i => (300L + i) -> base(rnd.nextInt(base.size))._2)
+    val corpus = base ++ planted ++ copies
+
+    // driver-side reference
+    val occ = for {
+      (id, t) <- corpus
+      toks = t.split(" ")
+      k <- 0 until toks.length / B
+    } yield (id, k, toks.slice(k * B, k * B + B).mkString(" "))
+    val removed: Set[(Long, Int)] = occ.groupBy(_._3).values.flatMap { os =>
+      if (os.map(_._1).distinct.size >= 2) {
+        val first = os.minBy(o => o._1 * 1000000L + o._2)
+        os.filterNot(o => (o._1, o._2) == ((first._1, first._2)))
+          .map(o => (o._1, o._2))
+      } else Nil
+    }.toSet
+    val expected = corpus.map { case (id, t) =>
+      val toks = t.split(" ")
+      val nblk = toks.length / B
+      val keptBlocks = (0 until nblk).filterNot(k => removed((id, k)))
+        .flatMap(k => toks.slice(k * B, k * B + B))
+      val tail = toks.drop(nblk * B).toSeq
+      id -> ((nblk.toLong, (0 until nblk).count(k => removed((id, k))).toLong,
+        keptBlocks ++ tail))
+    }.toMap
+
+    val got = TextDedup.passageScrub(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", B)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[String](3)))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((id, exp) <- expected)
+      assert(got(id) == exp, s"doc $id: got ${got(id)}, want $exp")
+    // the planted passage must survive exactly once across the corpus
+    val survivors = got.values.map(_._3.mkString(" "))
+      .count(_.contains(shared))
+    assert(removed.nonEmpty && survivors >= 1)
+  }
+
   test("PassJoin pigeonhole blocking is lossless for ed<=5 head pairs") {
     // randomized replica of t_edit_distance's candidate generation
     // (TextQueries "t_edit_distance"): any doc pair inside the oracle's
