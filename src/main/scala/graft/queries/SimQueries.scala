@@ -55,6 +55,62 @@ object SimQueries {
         .orderBy("a", "b")
     },
 
+    // SRP-LSH near-dup pairs (Charikar'02 random hyperplane hashing) —
+    // the brief's "LSH-bucketed" alternative to IVF: 32 deterministic
+    // hyperplanes → sign bits → 4 bands of 8 bits; vectors sharing any
+    // band key become candidates (equi-join, never all-pairs), then the
+    // exact cosine reranks. Unlike IVF this needs NO training pass — the
+    // hash is data-independent, so it composes with incremental ingest
+    // (new vectors band against a STABLE key space; an IVF index
+    // re-clusters). Banding math: P(band match) = (1 − θ/π)^8 per band —
+    // the operator's contract is candidate-proportional cost with
+    // recall set by (bands, bits), NOT exhaustive recall; the oracle
+    // therefore replicates the full band chain (the pl_rag_index
+    // discipline), so the green row proves the exact banded semantics.
+    // Hyperplanes are integer-arithmetic literals both engines rebuild
+    // bit-for-bit; the sign threshold compares the same sequential-fold
+    // dot both engines compute.
+    "s_srp_lsh" -> { (s, dir) =>
+      val K = 2654435761L
+      val dims = 64; val nPlanes = 32; val bandBits = 8
+      val nBands = nPlanes / bandBits
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      // hyperplanes as a 32-row broadcast dim (the oracle's CROSS JOIN
+      // shape): values are driver-computed long arithmetic, bit-for-bit
+      // what the oracle's list_transform computes. The sign comes from
+      // the NATIVE CosineSim kernel — sign(cos) == sign(dot) since
+      // norms are positive, and the codegen'd kernel is what makes the
+      // 32-planes-per-vector pass cheap (the zip_with+aggregate HOF
+      // form measured 3-8 s at sf0.1; this runs sub-second)
+      import s.implicits._
+      val hp = (0 until nPlanes).map { j =>
+        (j, (0 until dims).map(d =>
+          ((j.toLong * dims + d) * K % 2001L - 1000L) / 1000.0).toArray)
+      }.toDF("j", "h")
+      val banded = emb.crossJoin(broadcast(hp))
+        .select(col("vec_id"), (col("j") / bandBits).cast("int").as("bi"),
+          (col("j") % bandBits).as("bit"),
+          when(VectorSim.cosine(col("embedding").cast("array<double>"),
+            col("h")) >= 0.0, 1L).otherwise(0L).as("s"))
+        .groupBy(col("vec_id"), col("bi"))
+        .agg(sum(col("s") * expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("bk"))
+      val cand = banded.alias("__sx").join(banded.alias("__sy"),
+          col("__sx.bi") === col("__sy.bi") && col("__sx.bk") === col("__sy.bk") &&
+          col("__sx.vec_id") < col("__sy.vec_id"))
+        .select(col("__sx.vec_id").as("a"), col("__sy.vec_id").as("b"))
+        .distinct()
+      val va = emb.select(col("vec_id").as("a"), col("embedding").as("__ea"))
+      val vb = emb.select(col("vec_id").as("b"), col("embedding").as("__eb"))
+      cand.join(va, "a").join(vb, "b")
+        .withColumn("cos", VectorSim.dotFold(col("__ea"), col("__eb")) /
+          (sqrt(VectorSim.dotFold(col("__ea"), col("__ea"))) *
+           sqrt(VectorSim.dotFold(col("__eb"), col("__eb")))))
+        .filter(col("cos") >= 0.4)
+        .select(col("a"), col("b"),
+          floor(col("cos") * 1e6).cast("long").as("cos_micro"))
+        .orderBy("a", "b")
+    },
+
     // IVF-style ANN: `label` plays the cluster-cell role; 20 query vectors
     // probe their own cell only (nprobe=1), exact top-3 within the cell.
     "s_cosine_ann_ivf" -> { (s, dir) =>
@@ -289,6 +345,35 @@ object SimQueries {
          |  FROM c)
          |SELECT q_id, rnk, nn_id, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
          |FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+
+    // replica of the full SRP band chain — deterministic hyperplane
+    // literals, sign bits, band keys, candidate join, exact rerank
+    "s_srp_lsh" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |hp AS (
+        |  SELECT j, list_transform(generate_series(0, 63),
+        |    d -> CAST((j*64 + d) * 2654435761 % 2001 - 1000 AS DOUBLE) / 1000.0)
+        |    AS h
+        |  FROM (SELECT unnest(generate_series(0, 31)) AS j)),
+        |pj AS (
+        |  SELECT v.vec_id, hp.j // 8 AS bi, hp.j % 8 AS bit,
+        |    CASE WHEN list_dot_product(v.e, hp.h) >= 0 THEN 1 ELSE 0 END AS s
+        |  FROM v CROSS JOIN hp),
+        |bands AS (
+        |  SELECT vec_id, bi, SUM(s * (1 << bit)) AS bk FROM pj GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.bi = y.bi AND x.bk = y.bk AND x.vec_id < y.vec_id),
+        |p AS (
+        |  SELECT a, b, list_dot_product(va.e, vb.e) /
+        |    (sqrt(list_dot_product(va.e, va.e)) *
+        |     sqrt(list_dot_product(vb.e, vb.e))) AS cos
+        |  FROM cand
+        |  JOIN v va ON va.vec_id = a
+        |  JOIN v vb ON vb.vec_id = b)
+        |SELECT a, b, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
+        |FROM p WHERE cos >= 0.4 ORDER BY a, b""".stripMargin,
 
     "s_embed_neardup" ->
       """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
