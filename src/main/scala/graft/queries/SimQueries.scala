@@ -73,7 +73,6 @@ object SimQueries {
     "s_srp_lsh" -> { (s, dir) =>
       val K = 2654435761L
       val dims = 64; val nPlanes = 32; val bandBits = 8
-      val nBands = nPlanes / bandBits
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       // hyperplanes as a 32-row broadcast dim (the oracle's CROSS JOIN
       // shape): values are driver-computed long arithmetic, bit-for-bit
@@ -101,10 +100,14 @@ object SimQueries {
         .distinct()
       val va = emb.select(col("vec_id").as("a"), col("embedding").as("__ea"))
       val vb = emb.select(col("vec_id").as("b"), col("embedding").as("__eb"))
+      // NATIVE cosine kernel, not dotFold over the raw float arrays:
+      // zip_with multiplies float32 on float inputs while the oracle
+      // multiplies float64 — a 1.5e-8 cos divergence measured across
+      // the 140k sf0.1 candidates, zero boundary flips only by luck.
+      // CosineSim widens each element exactly and is one codegen'd
+      // pass over the rerank, which dominates this row's runtime.
       cand.join(va, "a").join(vb, "b")
-        .withColumn("cos", VectorSim.dotFold(col("__ea"), col("__eb")) /
-          (sqrt(VectorSim.dotFold(col("__ea"), col("__ea"))) *
-           sqrt(VectorSim.dotFold(col("__eb"), col("__eb")))))
+        .withColumn("cos", VectorSim.cosine(col("__ea"), col("__eb")))
         .filter(col("cos") >= 0.4)
         .select(col("a"), col("b"),
           floor(col("cos") * 1e6).cast("long").as("cos_micro"))
