@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Materialize.MaterializeOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -44,7 +45,7 @@ object Components {
   /** @param edges (a, b) undirected pairs
     * @return (node, component) — component = min node id reachable.
     *         The result is materialized (cached when convergence was
-    *         shallow, localCheckpoint-backed when deep); call
+    *         shallow, Materialize-backed when deep); call
     *         `.unpersist()` once consumed (a no-op on the checkpointed
     *         form, where the context cleaner reclaims the storage).
     * @throws IllegalStateException if labels have not converged after
@@ -61,9 +62,10 @@ object Components {
     // iteration ~10 even though the physical work is flat (cache
     // truncates computation, not the plan). Storage strategy: plain
     // cache for the first two passes (shallow dedup graphs converge
-    // there and the tree is still ≤4 frames), then lazy localCheckpoint
-    // — the per-iteration convergence count is the action that
-    // materializes it, same one-job-per-pass cadence, lineage cut.
+    // there and the tree is still ≤4 frames), then lazy Materialize —
+    // the per-iteration convergence count is the action that
+    // materializes it (local mode), same one-job-per-pass cadence,
+    // lineage cut; reliable mode persists each generation durably.
     // Seed with the first propagation round folded into initialization:
     // min(node, min neighbor) is exactly iteration 1 over identity labels,
     // for the same single shuffle the identity init would have cost.
@@ -109,7 +111,7 @@ object Components {
               least(col("__prop"), coalesce(col("__jc"), col("__prop")))
                 .as("component"))
         }
-      val next = if (iter < 3) jumped.cache() else jumped.localCheckpoint(false)
+      val next = if (iter < 3) jumped.cache() else jumped.materialized()
       val changed = next.filter(col("component") =!= col("__old")).count()
       if (labelsIsCached) labels.unpersist()
       labels = next
@@ -157,9 +159,10 @@ object Components {
     import graft.queries.dec
     // materialize the (possibly expensive) edge/node plans ONCE — every
     // iteration joins against them, and an unmaterialized lineage would
-    // recompute the upstream aggregation per generation. localCheckpoint:
-    // first action materializes, the context cleaner reclaims the blocks.
-    val nodesM = nodes.select(col("node")).localCheckpoint(false)
+    // recompute the upstream aggregation per generation. Materialize:
+    // local mode's first action pins the blocks (ContextCleaner
+    // reclaims them); reliable mode stores them durably.
+    val nodesM = nodes.select(col("node")).materialized()
     val nNodes = nodesM.count() // driver scalar — documented boundary
     // reserved internal edge names up front: a caller whose from/to/weight
     // columns are named 'node', 'rank', or '__out' would otherwise hit
@@ -168,7 +171,7 @@ object Components {
       col(weightCol).as("__w"))
     val out = e0.groupBy(col("__from"))
       .agg(sum(col("__w")).as("__out"))
-    val e = e0.join(out, "__from").localCheckpoint(false)
+    val e = e0.join(out, "__from").materialized()
     val init = nodesM.select(col("node"), lit(1.0 / nNodes).as("rank"))
     FixedPoint.iterateSteps(init, cur => {
       val contrib = cur.join(e, cur("node") === col("__from"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Materialize.MaterializeOps
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -76,7 +77,7 @@ object Sketches {
     // documented two
     val summary = keys.mapPartitions(it => mgSummary(it, k))
       .toDF("__key", "__local_n")
-      .localCheckpoint(true)
+      .materialized(eager = true)
     val candidates = summary.filter(col("__key").isNotNull)
       .select(col("__key").as(keyCol)).distinct()
     val total = summary.filter(col("__key").isNull)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Materialize.MaterializeOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftSql
@@ -197,12 +198,12 @@ object TextDedup {
     // the batch index feeds BOTH the band join and the verify join;
     // without materialization the shingling + k minhashes would compute
     // twice per doc (Spark has no cross-reference subplan reuse). Lazy
-    // localCheckpoint: first action materializes it, the context
-    // cleaner reclaims the storage when the result is released.
+    // Materialize: first action materializes it; local-mode blocks are
+    // reclaimed by the ContextCleaner when the result is released.
     val bIdx = buildMinhashIndex(batch, idCol, textCol, shingleN, k, bands)
       .select(col(idCol).as("b"), col("bands").as("__bbands"),
         col("shingle_hashes").as("__shb"))
-      .localCheckpoint(false)
+      .materialized()
     val bBands = bIdx.select(col("b"), posexplode(col("__bbands")))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bsig")
     val cBands = index.select(col(idCol).as("c"), posexplode(col("bands")))
@@ -402,7 +403,7 @@ object TextDedup {
     * Block df + first-occurrence come from ONE groupBy(block) aggregate
     * joined back on the same key — never a window over the block value
     * (hot boilerplate blocks are exactly the keys a window would buffer
-    * in one task). The block frame is localCheckpointed so its two
+    * in one task). The block frame is Materialize-pinned so its two
     * consumers (stats aggregate, occurrence join) share one
     * materialization — their differing column pruning otherwise defeats
     * exchange-reuse canonicalization and re-scans the corpus. The id must
@@ -425,7 +426,7 @@ object TextDedup {
       .select(col(idCol), col("__k"),
         array_join(slice(col("__toks"), col("__k") * B + 1, lit(B)), " ")
           .as("__blk"))
-      .localCheckpoint(false)
+      .materialized()
     val stats = blocks.groupBy(col("__blk")).agg(
       countDistinct(col(idCol)).as("__ndocs"),
       min(col(idCol) * 1000000L + col("__k")).as("__firstkey"))

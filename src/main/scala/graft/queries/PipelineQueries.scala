@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Materialize.MaterializeOps
 import graft.core.Tables
 import graft.pipelines.Pipelines
 import org.apache.spark.sql.Column
@@ -174,7 +175,7 @@ object PipelineQueries {
       val flagged = s3.select(col("doc_id"), col("lang"), col("source"),
           col("n_chars"), col("n_tok"),
           col("f_dedup"), col("f_quality"), col("f_clean"))
-        .localCheckpoint(false)
+        .materialized()
       val surv = flagged.filter(col("f_dedup") && col("f_quality") && col("f_clean"))
       // stage 4: per-source domain cap on the surviving set
       val kept = surv.withColumn("__rnk", row_number().over(

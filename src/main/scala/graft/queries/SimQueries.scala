@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Materialize.MaterializeOps
 import graft.core.Tables
 import graft.operators.VectorSim
 import org.apache.spark.sql.Column
@@ -292,7 +293,7 @@ object SimQueries {
       def dot(a: Column, b: Column): Column = VectorSim.dotFold(a, b)
       def cos(a: Column, b: Column): Column =
         dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-      // localCheckpoint: assigned feeds three consumers (both prune-join
+      // Materialize: assigned feeds three consumers (both prune-join
       // sides and the final anti-join) — without it the broadcast
       // cross-join + two window sorts re-run per consumer
       val assigned = emb.crossJoin(broadcast(cent))
@@ -303,7 +304,7 @@ object SimQueries {
         .select(col("vec_id"), col("v"), col("c_label").as("cell"), col("ccos"))
         .withColumn("rank", row_number().over(Window.partitionBy(col("cell"))
           .orderBy(col("ccos").asc, col("vec_id").asc)))
-        .localCheckpoint(true)
+        .materialized(eager = true)
       val higher = assigned.select(col("cell").as("h_cell"),
         col("v").as("hv"), col("rank").as("h_rank"))
       val removedIds = assigned.join(higher,

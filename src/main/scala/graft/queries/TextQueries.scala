@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Materialize.MaterializeOps
 import graft.core.Tables
 import graft.operators.{VectorSim, Windows}
 import org.apache.spark.sql.functions._
@@ -217,7 +218,7 @@ object TextQueries {
       // ContextCleaner once the plan is unreferenced — bounded across a
       // long bench loop, same contract as every checkpoint in the repo).
       val tf = tokens.groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf")).localCheckpoint(false)
+        .agg(count(lit(1)).as("tf")).materialized()
       val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("tok"))
@@ -653,7 +654,7 @@ object TextQueries {
     //
     // Plan shape (the 100 TB contract): TWO corpus passes by design —
     // the count pass and the rewrite pass, exactly how shard-level line
-    // dedup runs at scale (the block frame is localCheckpointed so its
+    // dedup runs at scale (the block frame is Materialize-pinned so its
     // two consumers share one materialization instead of re-scanning).
     // Block df + first-occurrence via ONE groupBy(blk) aggregate joined
     // back on the same key — never a window over blk (hot boilerplate

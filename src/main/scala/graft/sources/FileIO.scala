@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.core.Materialize.MaterializeOps
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -307,13 +308,13 @@ object FileIO {
       val in = if (nonNull.nonEmpty) pc.isInCollection(nonNull) else lit(false)
       if (affected.exists(_.isEmpty)) in || pc.isNull else in
     }
-    // localCheckpoint: the overwrite targets the same path the survivors
+    // Materialize (eager): the overwrite targets the same path the survivors
     // are read from — materializing first both satisfies Spark's
     // read-write-conflict check and pins the data before any dir is
     // touched; the footprint is the affected SLIVER, not the table
     val survivors = target.filter(partPred)
       .join(ts, Seq(keyCol), "left_anti")
-      .localCheckpoint(true)
+      .materialized(eager = true)
     val kept = survivors.select(pc).distinct()
       .collect().map(r => Option(r.getString(0))).toSet
     overwritePartitions(survivors, path, Seq(partitionCol))
