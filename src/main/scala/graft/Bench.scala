@@ -101,6 +101,7 @@ object Bench {
         } catch { case _: Throwable => Nil }
       }.toMap
     }
+    val rerunErrors = scala.collection.mutable.Map[String, String]()
     val results = prelim.map { case (name, cold, best) =>
       val suspect = !errors.contains(name) &&
         prior.get(name).exists(p => best > p * 2.0 && best - p > 0.5)
@@ -111,9 +112,14 @@ object Bench {
         // the rerun exists only to LOWER an already-valid measurement; a
         // transient rerun failure (heap churn after 200 queries, flaky
         // scratch FS) must neither invalidate the main pass's accepted
-        // number nor let a fail-fast wall time masquerade as a timing
+        // number nor let a fail-fast wall time masquerade as a timing —
+        // but an intermittently-failing query must stay VISIBLE, so the
+        // discarded failure is recorded in bench_detail's rerun_errors
         val rerunOk = !errors.contains(name)
-        if (!rerunOk) errors.remove(name)
+        if (!rerunOk) {
+          rerunErrors(name) = errors(name)
+          errors.remove(name)
+        }
         (name, cold, if (rerunOk) math.min(best, rerun) else best)
       }
     }
@@ -148,7 +154,10 @@ object Bench {
          |"queries":${fmt(bySlowest)},
          |"cold_queries":${fmt(results.map { case (k, c, _) => (k, c) })},
          |"runs":$runsJson,
-         |"errors":$es,"sf":"$sfDir"}""".stripMargin.replace("\n", "")
+         |"errors":$es,
+         |"rerun_errors":${rerunErrors.map { case (k, v) =>
+             "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")},
+         |"sf":"$sfDir"}""".stripMargin.replace("\n", "")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail)
     spark.stop()

@@ -406,9 +406,11 @@ object TextDedup {
     * in one task). The block frame is Materialize-pinned so its two
     * consumers (stats aggregate, occurrence join) share one
     * materialization — their differing column pruning otherwise defeats
-    * exchange-reuse canonicalization and re-scans the corpus. The id must
-    * fit `id * 1000000 + block_index` in a long (block counts per doc are
-    * bounded by doc length / blockTokens).
+    * exchange-reuse canonicalization and re-scans the corpus.
+    * Keep-first selection uses `min(struct(id, k))` — lexicographic on
+    * (id, block_index) with no arithmetic precondition on id magnitude
+    * or block count (the oracle's `id * 1000000 + k` encoding is the
+    * same order wherever that encoding is valid).
     *
     * Semantic reference: DedupPropertySpec proves this frame equal to a
     * driver-side reimplementation on randomized corpora with planted
@@ -429,10 +431,10 @@ object TextDedup {
       .materialized()
     val stats = blocks.groupBy(col("__blk")).agg(
       countDistinct(col(idCol)).as("__ndocs"),
-      min(col(idCol) * 1000000L + col("__k")).as("__firstkey"))
+      min(struct(col(idCol), col("__k"))).as("__first"))
     val occ = blocks.join(stats, "__blk")
       .withColumn("__removed", col("__ndocs") >= 2 &&
-        (col(idCol) * 1000000L + col("__k")) =!= col("__firstkey"))
+        struct(col(idCol), col("__k")) =!= col("__first"))
     val kept = occ.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_blocks"),
       sum(when(col("__removed"), 1L).otherwise(0L)).as("n_removed"),

@@ -336,8 +336,11 @@ object DataPrepQueries {
     // within-shard sort IS the per-output-file sort) + one rollup.
     "t_shard_export" -> { (s, dir) =>
       val shards = 16
+      // coalesce(text,''): same NULL discipline as t_passage_scrub —
+      // Spark's size(split(NULL))=-1 vs DuckDB's NULL would silently
+      // split the engines on a future NULL-text fixture
       val docs = Tables.documents(s, dir).select(col("doc_id"),
-        size(split(col("text"), " ")).as("n_tok"),
+        size(split(coalesce(col("text"), lit("")), " ")).as("n_tok"),
         md5Bucket(concat(lit("shard:"), col("doc_id").cast("string")), shards).as("shard"),
         md5(concat(lit("order:"), col("doc_id").cast("string"))).as("ord"))
       val w = Window.partitionBy(col("shard"))
@@ -577,7 +580,7 @@ object DataPrepQueries {
 
     "t_shard_export" ->
       s"""WITH d AS (
-         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+         |  SELECT doc_id, len(string_split(COALESCE(text, ''), ' ')) AS n_tok,
          |    ${sqlMd5Bucket("'shard:' || CAST(doc_id AS VARCHAR)", 16)} AS shard,
          |    md5('order:' || CAST(doc_id AS VARCHAR)) AS ord
          |  FROM documents),

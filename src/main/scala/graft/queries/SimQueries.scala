@@ -71,6 +71,12 @@ object SimQueries {
     // Hyperplanes are integer-arithmetic literals both engines rebuild
     // bit-for-bit; the sign threshold compares the same sequential-fold
     // dot both engines compute.
+    // PRECONDITION: embeddings must have nonzero norm — a zero vector
+    // makes cosine NaN, and Spark's NaN>=0.0 (false → sign 0) diverges
+    // from the oracle's NaN comparison/cast semantics. The embeddings
+    // table is verified zero-free; a caller banding arbitrary vectors
+    // should filter zero-norm rows first (they carry no direction and
+    // belong in no angular bucket).
     "s_srp_lsh" -> { (s, dir) =>
       val K = 2654435761L
       val dims = 64; val nPlanes = 32; val bandBits = 8

@@ -91,7 +91,9 @@ object TextQueries {
     "t_bpe_pretokenize" -> { (s, dir) =>
       val pat = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ']+"
       Tables.documents(s, dir)
-        .withColumn("__aug", concat(col("text"),
+        // coalesce: NULL text must not NULL the whole augmented row
+        // (t_passage_scrub's cross-engine NULL discipline)
+        .withColumn("__aug", concat(coalesce(col("text"), lit("")),
           lit(" it's "), (col("doc_id") % 100).cast("string"), lit("-x!")))
         .withColumn("n_piece",
           size(expr(s"regexp_extract_all(__aug, \"$pat\", 0)")))
@@ -1062,7 +1064,7 @@ object TextQueries {
     "t_bpe_pretokenize" ->
       """WITH aug AS (
         |  SELECT lang,
-        |    text || ' it''s ' || CAST(doc_id % 100 AS VARCHAR) || '-x!' AS a
+        |    COALESCE(text, '') || ' it''s ' || CAST(doc_id % 100 AS VARCHAR) || '-x!' AS a
         |  FROM documents),
         |p AS (
         |  SELECT lang,

@@ -140,8 +140,12 @@ class CapabilitiesSpec extends SparkSpec {
 
   test("ml_feature_covariance eigen-spectrum matches Spark PCA explainedVariance") {
     // the oracled covariance matrix is PCA's actual input: its eigenvalue
-    // proportions must equal PCA.explainedVariance (Spark uses the SAMPLE
-    // covariance, n-1 — rescale the oracled population form by n/(n-1))
+    // proportions must equal PCA.explainedVariance. Spark uses the SAMPLE
+    // covariance (n-1) where the oracled form is population (n); the
+    // n/(n-1) factor below documents that relationship only — eigenvalue
+    // PROPORTIONS are invariant under scalar rescaling, so the assertion
+    // itself cannot distinguish the two normalizations (and need not:
+    // the absolute moments are already oracle-hashed)
     import org.apache.spark.ml.feature.{PCA, VectorAssembler}
     val r = graft.queries.MlQueries.queries("ml_feature_covariance")(spark, sf001).head()
     val n = r.getLong(0).toDouble
