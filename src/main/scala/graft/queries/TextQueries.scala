@@ -485,55 +485,13 @@ object TextQueries {
     // < 50 by the length band) fall back to the length-band pool —
     // the two branches are disjoint and together exhaustive.
     "t_edit_distance" -> { (s, dir) =>
-      val segStarts = Seq(1, 8, 15, 22, 29, 35)
-      val segLens = Seq(7, 7, 7, 7, 6, 6)
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("n_chars"),
-          substring(col("text"), 1, 40).as("head"))
-      val full = docs.filter(col("n_chars") >= 40)
-      val segs = full.select(col("doc_id"), col("n_chars"), col("head"),
-        explode(array((0 until 6).map(i => struct(lit(i).as("i"),
-          substring(col("head"), segStarts(i), segLens(i)).as("s"))): _*)).as("__sg"))
-        .select(col("doc_id"), col("n_chars"), col("head"),
-          col("__sg.i").as("i"), col("__sg.s").as("s"))
-      // probe substrings of b: each segment's start shifted by -5..+5,
-      // clamped to the head — 56 probes/doc vs 6 segments/doc
-      val probeDefs = for {
-        i <- 0 until 6; d <- -5 to 5; st = segStarts(i) + d
-        if st >= 1 && st <= 40 - segLens(i) + 1
-      } yield (i, st, segLens(i))
-      val probes = full.select(col("doc_id"), col("n_chars"), col("head"),
-        explode(array(probeDefs.map { case (i, st, ln) => struct(lit(i).as("i"),
-          substring(col("head"), st, ln).as("s")) }: _*)).as("__pb"))
-        .select(col("doc_id"), col("n_chars"), col("head"),
-          col("__pb.i").as("i"), col("__pb.s").as("s"))
-      val candFull = segs.alias("__ed_a").join(probes.alias("__ed_b"),
-          col("__ed_a.i") === col("__ed_b.i") &&
-          col("__ed_a.s") === col("__ed_b.s") &&
-          col("__ed_a.doc_id") < col("__ed_b.doc_id") &&
-          abs(col("__ed_a.n_chars") - col("__ed_b.n_chars")) <= 10)
-        .select(col("__ed_a.doc_id").as("a"), col("__ed_b.doc_id").as("b"),
-          col("__ed_a.head").as("head_a"), col("__ed_b.head").as("head_b"))
-        // no distinct here: a pair can match on several segments, and the
-        // final groupBy(a,b) is the dedup — one shuffle, not two
-      // short-head fallback: a doc under 40 chars can only pair (length
-      // band <= 10) with docs under 50 chars — a corpus-small pool,
-      // blocked by the r8 length band so the join stays equi-shaped
-      // (each doc in blocks {own, own+1}, pair kept at the larger doc's
-      // own block — unique by construction, no distinct)
-      val shortPool = docs.filter(col("n_chars") <= 49)
-        .withColumn("__blk", explode(array((col("n_chars") / 20).cast("long"),
-          (col("n_chars") / 20).cast("long") + 1)))
-      val candShort = shortPool.alias("__ed_x").join(shortPool.alias("__ed_y"),
-          col("__ed_x.__blk") === col("__ed_y.__blk") &&
-          col("__ed_x.doc_id") < col("__ed_y.doc_id") &&
-          abs(col("__ed_x.n_chars") - col("__ed_y.n_chars")) <= 10 &&
-          least(col("__ed_x.n_chars"), col("__ed_y.n_chars")) < 40 &&
-          col("__ed_x.__blk") ===
-            greatest((col("__ed_x.n_chars") / 20).cast("long"),
-                     (col("__ed_y.n_chars") / 20).cast("long")))
-        .select(col("__ed_x.doc_id").as("a"), col("__ed_y.doc_id").as("b"),
-          col("__ed_x.head").as("head_a"), col("__ed_y.head").as("head_b"))
+      // candidate generation is the library operator (round-10
+      // promotion — this query is its oracle proof); the lossless
+      // combinatorics are property-tested in DedupPropertySpec
+      val cand = graft.operators.TextDedup.passJoinCandidates(
+        Tables.documents(s, dir), "doc_id", "text",
+        maxEdits = 5, headLen = 40, lengthBand = 10,
+        lenCol = Some("n_chars"))
       // thresholded kernel: the banded DP abandons a pair the moment its
       // distance exceeds 5 (O(len·threshold) per pair) and returns -1.
       // The distance is computed over aggregate expressions (max(head)
@@ -543,7 +501,7 @@ object TextQueries {
       // Catalyst ordered it before the cheap id/length predicates and
       // re-evaluated it per raw segment-bucket co-occurrence (measured
       // 4.5 s vs 1.3 s at sf0.1).
-      candFull.unionByName(candShort)
+      cand
         .groupBy(col("a"), col("b"))
         .agg(max(col("head_a")).as("__ha"), max(col("head_b")).as("__hb"))
         .withColumn("dist", levenshtein(col("__ha"), col("__hb"), 5))

@@ -465,5 +465,48 @@ class DedupPropertySpec extends SparkSpec {
       }
     }
     assert(tested > 2000, s"only $tested in-threshold pairs generated")
+
+    // the OPERATOR (TextDedup.passJoinCandidates, the round-10 library
+    // promotion t_edit_distance is the oracle proof of) must admit every
+    // in-band, in-threshold pair end-to-end on a randomized corpus —
+    // the Spark plan, not just the driver-side combinatorics above
+    import spark.implicits._
+    val rnd2 = new scala.util.Random(777)
+    val alpha2 = "abcde"
+    val docs = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    for (i <- 0 until 150) {
+      val la = 30 + rnd2.nextInt(36) // 30..65: spans the short-head branch
+      val sa = Seq.fill(la)(alpha2(rnd2.nextInt(alpha2.length))).mkString
+      docs += ((i.toLong * 2, sa))
+      var t = sa
+      for (_ <- 0 until rnd2.nextInt(6)) {
+        val p = rnd2.nextInt(t.length + 1)
+        rnd2.nextInt(3) match {
+          case 0 if p < t.length =>
+            t = t.updated(p, alpha2(rnd2.nextInt(alpha2.length)))
+          case 1 => t = t.take(p) + alpha2(rnd2.nextInt(alpha2.length)) + t.drop(p)
+          case _ if t.length > 1 && p < t.length => t = t.take(p) + t.drop(p + 1)
+          case _ => ()
+        }
+      }
+      docs += ((i.toLong * 2 + 1, t))
+    }
+    val want2 = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      if math.abs(ta.length - tb.length) <= 10
+      d = ed(head(ta), head(tb)) if d <= 5
+    } yield (ia, ib, d)).toSet
+    val got2 = TextDedup.passJoinCandidates(
+        docs.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+        maxEdits = 5, headLen = 40, lengthBand = 10)
+      .groupBy(col("a"), col("b"))
+      .agg(max(col("head_a")).as("ha"), max(col("head_b")).as("hb"))
+      .withColumn("d", levenshtein(col("ha"), col("hb"), 5))
+      .filter(col("d") >= 0)
+      .select("a", "b", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got2 == want2, s"operator recall mismatch: " +
+      s"missing=${(want2 -- got2).take(3)} extra=${(got2 -- want2).take(3)}")
+    assert(want2.size > 100, s"only ${want2.size} true pairs in fixture")
   }
 }
