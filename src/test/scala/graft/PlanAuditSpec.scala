@@ -289,4 +289,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(joinLines.isEmpty,
       "levenshtein leaked into a join condition")
   }
+
+  test("saltedJoin splits the hot key across reducers (skew balance gate)") {
+    // deterministic small-scale twin of graft.SkewSmoke (which measures
+    // wall + task times at x10 volume): one key owns 20% of the fact, so
+    // with AQE and broadcast off the plain join hash-routes all hot rows
+    // to ONE of 32 shuffle partitions; saltedJoin(n=16) must spread them
+    // ~16 ways. Asserted on actual post-join partition row counts
+    // (spark_partition_id), which are a pure function of the hash — no
+    // timing flake.
+    import org.apache.spark.sql.functions._
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "32")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(100000).select(
+        when(col("id") % 5 === 0, 0L).otherwise(col("id") % 999 + 1L).as("k"),
+        (col("id") % 97).as("v"))
+      val dim = spark.range(1000).select(col("id").as("k"),
+        (col("id") % 10).as("dval"))
+      def maxPart(j: org.apache.spark.sql.DataFrame): Long =
+        j.select(spark_partition_id().as("p")).groupBy("p").count()
+          .agg(max("count")).head().getLong(0)
+      val plainMax = maxPart(fact.join(dim, "k"))
+      val saltedMax = maxPart(
+        graft.operators.RuleJoins.saltedJoin(fact, dim, "k", "k", 16))
+      // hot partition: 20k hot rows + ~2.5k uniform; salted: hot rows
+      // split ~1.25k per (0, salt) bucket — well under a third
+      assert(plainMax >= 20000,
+        s"fixture lost its skew: plain max partition $plainMax")
+      assert(saltedMax * 3 <= plainMax,
+        s"salting did not split the hot key: $saltedMax vs $plainMax")
+      // same join result either way
+      val a = fact.join(dim, "k").agg(sum(col("v") * col("dval"))).head().getLong(0)
+      val b = graft.operators.RuleJoins.saltedJoin(fact, dim, "k", "k", 16)
+        .agg(sum(col("v") * col("dval"))).head().getLong(0)
+      assert(a == b)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
