@@ -252,4 +252,64 @@ object VectorSim {
     topKPerQuery(scored, "q_id", "cos", "nn_id", k)
       .select(col("q_id"), col("rnk"), col("nn_id"), col("cos"))
   }
+
+  /** SRP-LSH candidate generation (Charikar '02 random hyperplane
+    * hashing) — the data-independent alternative to IVF banding: no
+    * training pass, so it composes with incremental ingest (new vectors
+    * band against a STABLE key space; an IVF index re-clusters).
+    *
+    * `nPlanes` deterministic hyperplanes → sign bits → `nPlanes /
+    * bandBits` bands; vectors sharing any band key pair up via an
+    * equi-join on (band_index, band_key) — never all-pairs. Recall is
+    * set by (bands, bits): P(band match) = (1 − θ/π)^bandBits per band.
+    * Cost is candidate-proportional BY CONTRACT — runtime tracks the
+    * number of same-bucket pairs, which tracks near-dup density
+    * (SCALING.md "round-9/10" tables carry the measured candidate
+    * counts at ×10/×100).
+    *
+    * Hyperplane components are integer-arithmetic literals
+    * (`((j·dims+d)·seedK mod 2001 − 1000)/1000`) that any engine
+    * rebuilds bit-for-bit, so an external oracle can replicate the
+    * full band chain. The sign bit uses the native [[cosine]] kernel:
+    * sign(cos) == sign(dot) for nonzero norms, and the codegen'd
+    * single-pass kernel is what makes the planes-per-vector pass cheap.
+    *
+    * PRECONDITION: vectors must have nonzero norm — a zero vector makes
+    * the cosine NaN and `NaN >= 0` is engine-divergent; filter
+    * zero-norm rows first (they carry no direction and belong in no
+    * angular bucket).
+    *
+    * @param dedup  deduplicate (a, b) pairs that collide in several
+    *               bands (one extra shuffle). Pass false to get the raw
+    *               band-join volume — that raw count is the cost driver
+    *               a capacity plan needs.
+    * @return (a, b) with a < b — candidate pairs for an exact rerank
+    *         (see s_srp_lsh for the native-cosine rerank pattern) */
+  def srpCandidates(emb: DataFrame, idCol: String, vecCol: String,
+                    dims: Int, nPlanes: Int = 32, bandBits: Int = 8,
+                    seedK: Long = 2654435761L,
+                    dedup: Boolean = true): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // hyperplanes as an nPlanes-row broadcast dim (the oracle's CROSS
+    // JOIN shape): driver-computed long arithmetic, bit-for-bit
+    // reproducible by the oracle's list_transform
+    val hp = (0 until nPlanes).map { j =>
+      (j, (0 until dims).map(d =>
+        ((j.toLong * dims + d) * seedK % 2001L - 1000L) / 1000.0).toArray)
+    }.toDF("j", "h")
+    val banded = emb.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(hp))
+      .select(col(idCol), (col("j") / bandBits).cast("int").as("bi"),
+        (col("j") % bandBits).as("bit"),
+        when(cosine(col(vecCol).cast("array<double>"),
+          col("h")) >= 0.0, 1L).otherwise(0L).as("s"))
+      .groupBy(col(idCol), col("bi"))
+      .agg(sum(col("s") * expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("bk"))
+    val cand = banded.alias("__sx").join(banded.alias("__sy"),
+        col("__sx.bi") === col("__sy.bi") && col("__sx.bk") === col("__sy.bk") &&
+        col(s"__sx.$idCol") < col(s"__sy.$idCol"))
+      .select(col(s"__sx.$idCol").as("a"), col(s"__sy.$idCol").as("b"))
+    if (dedup) cand.distinct() else cand
+  }
 }

@@ -78,33 +78,17 @@ object SimQueries {
     // should filter zero-norm rows first (they carry no direction and
     // belong in no angular bucket).
     "s_srp_lsh" -> { (s, dir) =>
-      val K = 2654435761L
-      val dims = 64; val nPlanes = 32; val bandBits = 8
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      // hyperplanes as a 32-row broadcast dim (the oracle's CROSS JOIN
-      // shape): values are driver-computed long arithmetic, bit-for-bit
-      // what the oracle's list_transform computes. The sign comes from
-      // the NATIVE CosineSim kernel — sign(cos) == sign(dot) since
-      // norms are positive, and the codegen'd kernel is what makes the
-      // 32-planes-per-vector pass cheap (the zip_with+aggregate HOF
-      // form measured 3-8 s at sf0.1; this runs sub-second)
-      import s.implicits._
-      val hp = (0 until nPlanes).map { j =>
-        (j, (0 until dims).map(d =>
-          ((j.toLong * dims + d) * K % 2001L - 1000L) / 1000.0).toArray)
-      }.toDF("j", "h")
-      val banded = emb.crossJoin(broadcast(hp))
-        .select(col("vec_id"), (col("j") / bandBits).cast("int").as("bi"),
-          (col("j") % bandBits).as("bit"),
-          when(VectorSim.cosine(col("embedding").cast("array<double>"),
-            col("h")) >= 0.0, 1L).otherwise(0L).as("s"))
-        .groupBy(col("vec_id"), col("bi"))
-        .agg(sum(col("s") * expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("bk"))
-      val cand = banded.alias("__sx").join(banded.alias("__sy"),
-          col("__sx.bi") === col("__sy.bi") && col("__sx.bk") === col("__sy.bk") &&
-          col("__sx.vec_id") < col("__sy.vec_id"))
-        .select(col("__sx.vec_id").as("a"), col("__sy.vec_id").as("b"))
-        .distinct()
+      // candidate generation lives in the operator library (promoted like
+      // passJoinCandidates — library callers get the banded form, this
+      // query is its oracle proof): 32 hyperplanes → 4×8-bit sign bands
+      // → band equi-join. Sign bits come from the NATIVE CosineSim
+      // kernel — sign(cos) == sign(dot) since norms are positive, and
+      // the codegen'd kernel is what makes the 32-planes-per-vector
+      // pass cheap (the zip_with+aggregate HOF form measured 3-8 s at
+      // sf0.1; this runs sub-second)
+      val cand = VectorSim.srpCandidates(emb, "vec_id", "embedding",
+        dims = 64, nPlanes = 32, bandBits = 8)
       val va = emb.select(col("vec_id").as("a"), col("embedding").as("__ea"))
       val vb = emb.select(col("vec_id").as("b"), col("embedding").as("__eb"))
       // NATIVE cosine kernel, not dotFold over the raw float arrays:
