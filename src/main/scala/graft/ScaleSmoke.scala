@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   * dedup paths see K× docs AND K²-ish intra-cluster pair volume, the
   * worst realistic shape for web-scale dedup.
   *
-  * Usage: runMain graft.ScaleSmoke [srcSfDir] [K] [query,query,...]
+  * Usage: runMain graft.ScaleSmoke [srcSfDir] [K] [query,query,...] [nowarm]
+  *
+  * `nowarm` skips the untimed JIT warm-up run per (query, dir): for
+  * multi-minute ×100 rows the warm-up doubles a long measurement to
+  * shave noise that is already <1% of it.
   */
 object ScaleSmoke {
 
@@ -72,11 +76,12 @@ object ScaleSmoke {
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = graft.core.GraftSession.local(cpus, "graft-scale-smoke")
     build(spark, src, out, k)
+    val warmup = !(args.length > 3 && args(3) == "nowarm")
     def run(name: String, dir: String): Double = {
       def once() = org.apache.spark.sql.graft.GraftSql
         .stripTrailingSort(SparkEntry.queries(name)(spark, dir))
         .write.format("noop").mode("overwrite").save()
-      once() // warm (codegen/JIT)
+      if (warmup) once() // warm (codegen/JIT)
       time(once())
     }
     println(f"${"query"}%-26s ${"1x_sec"}%8s ${s"${k}x_sec"}%8s ${"ratio"}%6s")
