@@ -1,0 +1,13 @@
+#!/bin/bash
+# Run a graft main class with plain java (avoids the sbt project lock).
+# Usage: run-main.sh <MainClass> [args...]   (env: SPARK_DRIVER_MEM, SPARK_GRAFT_*)
+set -e
+CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | paste -sd:)"
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx${SPARK_DRIVER_MEM:-8g} -cp "$CP" "$@"
