@@ -312,4 +312,65 @@ object VectorSim {
       .select(col(s"__sx.$idCol").as("a"), col(s"__sy.$idCol").as("b"))
     if (dedup) cand.distinct() else cand
   }
+
+  /** SemDeDup — embedding-level semantic dedup (the builder brief's
+    * embedding-cosine near-dup family): assign every vector to its
+    * best-cosine centroid cell, rank within the cell by ascending
+    * centroid cosine (id tiebreak), and remove any vector that has an
+    * earlier-ranked in-cell neighbor with pairwise cosine above
+    * `simThreshold`. Output: one row per SURVIVING vector —
+    * (cell, idCol, ccos). `centroids` must expose (c_label, c).
+    *
+    * The in-cell pair scan runs over DISTINCT vector values only:
+    * byte-identical vectors are first collapsed to their min-id
+    * representative by a single groupBy on the vector. This is
+    * output-identical to scanning all copies — not a recall heuristic —
+    * because
+    *   (a) identical bytes give bit-identical centroid cosines (same
+    *       IEEE expression), hence the same cell and, with the id
+    *       tiebreak, contiguous ranks led by the min-id copy, so every
+    *       non-representative copy is removed by its own representative
+    *       (pairwise cos(v,v) ≈ 1 > simThreshold for any nonzero v);
+    *   (b) a representative survives iff NO earlier-ranked neighbor
+    *       clears the threshold, and "some copy of value u ranks
+    *       earlier than rep r" ⇔ "u's own representative ranks earlier
+    *       than r" (copies of u occupy contiguous ranks starting at
+    *       u's representative), so the existence test over the
+    *       collapsed ranking decides identically.
+    * The collapse turns the dedup WORST case — a re-crawled corpus
+    * where most content is byte-identical — from a quadratic in-cell
+    * pair scan into one linear groupBy: measured 91.8 s → ~4 s on the
+    * ×10-exact-twins sf1 board (SCALING.md round-10). On a clean corpus
+    * it costs one extra vector-keyed shuffle of the (small) distinct
+    * set. PRECONDITION (same as [[srpCandidates]]): nonzero vector
+    * norms — a zero vector's cosine is NaN in both the collapsed and
+    * uncollapsed plans. */
+  def semDedup(emb: DataFrame, centroids: DataFrame, idCol: String,
+               vecCol: String, simThreshold: Double): DataFrame = {
+    import graft.core.Materialize.MaterializeOps
+    def dot(a: Column, b: Column): Column = dotFold(a, b)
+    def cos(a: Column, b: Column): Column =
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    val distinctVecs = emb.groupBy(col(vecCol)).agg(min(col(idCol)).as(idCol))
+    // Materialize: assigned feeds three consumers (both prune-join
+    // sides and the final anti-join) — without it the broadcast
+    // cross-join + two window sorts re-run per consumer
+    val assigned = distinctVecs.crossJoin(broadcast(centroids))
+      .withColumn("ccos", cos(col(vecCol), col("c")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("ccos").desc, col("c_label").asc)))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("c_label").as("cell"), col("ccos"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("cell"))
+        .orderBy(col("ccos").asc, col(idCol).asc)))
+      .materialized(eager = true)
+    val higher = assigned.select(col("cell").as("h_cell"),
+      col(vecCol).as("hv"), col("rank").as("h_rank"))
+    val removedIds = assigned.join(higher,
+        col("cell") === col("h_cell") && col("h_rank") < col("rank") &&
+          cos(col(vecCol), col("hv")) > lit(simThreshold), "left_semi")
+      .select(col(idCol).as("rm_id"))
+    assigned.join(removedIds, col(idCol) === col("rm_id"), "left_anti")
+      .select(col("cell"), col(idCol), col("ccos"))
+  }
 }

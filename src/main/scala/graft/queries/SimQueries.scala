@@ -276,32 +276,16 @@ object SimQueries {
     // the assignment is map-only, and the prune join is cell-blocked
     // equi-join — never all-pairs — so the shape survives a corpus
     // that is 100 TB with k scaled to keep cells bounded.
+    // SemDeDup survivors — the pair scan runs over DISTINCT vector
+    // values (VectorSim.semDedup's exact-duplicate collapse, proven
+    // output-identical in its scaladoc + DedupPropertySpec), so a
+    // re-crawled corpus of byte-identical copies costs one groupBy,
+    // not a quadratic in-cell scan.
     "s_semdedup" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), VectorSim.asDouble(col("embedding")).as("v"))
-      val cent = centroidArrays(s, dir)
-      def dot(a: Column, b: Column): Column = VectorSim.dotFold(a, b)
-      def cos(a: Column, b: Column): Column =
-        dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-      // Materialize: assigned feeds three consumers (both prune-join
-      // sides and the final anti-join) — without it the broadcast
-      // cross-join + two window sorts re-run per consumer
-      val assigned = emb.crossJoin(broadcast(cent))
-        .withColumn("ccos", cos(col("v"), col("c")))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-          .orderBy(col("ccos").desc, col("c_label").asc)))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("c_label").as("cell"), col("ccos"))
-        .withColumn("rank", row_number().over(Window.partitionBy(col("cell"))
-          .orderBy(col("ccos").asc, col("vec_id").asc)))
-        .materialized(eager = true)
-      val higher = assigned.select(col("cell").as("h_cell"),
-        col("v").as("hv"), col("rank").as("h_rank"))
-      val removedIds = assigned.join(higher,
-          col("cell") === col("h_cell") && col("h_rank") < col("rank") &&
-            cos(col("v"), col("hv")) > lit(0.3), "left_semi")
-        .select(col("vec_id").as("rm_id"))
-      assigned.join(removedIds, col("vec_id") === col("rm_id"), "left_anti")
+      VectorSim.semDedup(emb, centroidArrays(s, dir), "vec_id", "v",
+          simThreshold = 0.3)
         .select(col("cell"), col("vec_id"),
           floor(col("ccos") * 1e6).cast("long").as("ccos_micro"))
         .orderBy(col("cell"), col("vec_id"))

@@ -509,4 +509,55 @@ class DedupPropertySpec extends SparkSpec {
       s"missing=${(want2 -- got2).take(3)} extra=${(got2 -- want2).take(3)}")
     assert(want2.size > 100, s"only ${want2.size} true pairs in fixture")
   }
+
+  /** VectorSim.semDedup's exact-duplicate collapse must be invisible:
+    * the survivors on a corpus WITH byte-identical twins must equal a
+    * driver-side reference that scans every copy (the uncollapsed
+    * spec). The reference uses the same left-fold double arithmetic as
+    * dotFold, so comparisons are bit-identical. */
+  test("semDedup with exact twins == uncollapsed driver-side reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val dim = 8
+    def vec() = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+    val base = (0L until 120L).map(i => (i, vec()))
+    // twins: copies of random rows at new higher ids (incl. a triple
+    // copy and a twin of the min-id row — the contiguous-rank edge)
+    val twinSrc = Seq(base(0)) ++ Seq.fill(18)(base(rnd.nextInt(base.size))) ++
+      Seq(base(7), base(7))
+    val twins = twinSrc.zipWithIndex.map { case ((_, v), k) => (200L + k, v) }
+    val all = base ++ twins
+    val cents = (0 until 3).map(c => (s"c$c", vec()))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    // uncollapsed reference over ALL copies
+    val assigned = all.map { case (id, v) =>
+      val (lbl, cc) = cents.map { case (l, c) => (l, cos(v, c)) }
+        .minBy { case (l, cc) => (-cc, l) }
+      (id, v, lbl, cc)
+    }
+    val want = assigned.groupBy(_._3).flatMap { case (_, cell) =>
+      val ranked = cell.sortBy { case (id, _, _, cc) => (cc, id) }
+      ranked.zipWithIndex.collect { case ((id, v, lbl, cc), r)
+        if !ranked.take(r).exists { case (_, hv, _, _) => cos(v, hv) > 0.3 } =>
+          (lbl, id, math.floor(cc * 1e6).toLong)
+      }
+    }.toSet
+    val emb = all.toDF("vec_id", "v")
+    val cdf = cents.map { case (l, c) => (l, c) }.toDF("c_label", "c")
+    val got = graft.operators.VectorSim
+      .semDedup(emb, cdf, "vec_id", "v", simThreshold = 0.3)
+      .select(col("cell"), col("vec_id"),
+        floor(col("ccos") * 1e6).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"survivor mismatch: missing=${(want -- got).take(3)} " +
+      s"extra=${(got -- want).take(3)}")
+    // every twin id must be gone, and no twin may have displaced its rep
+    assert(twins.map(_._1).forall(id => !got.exists(_._2 == id)))
+    assert(got.size < all.size && got.nonEmpty)
+  }
 }
