@@ -35,8 +35,13 @@ def canon(rows, cols):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    import os
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
+        # Spark-written scale dirs (ScaleSmoke) are directories of part
+        # files; the driver's testdata is single files. Accept both.
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
         if glob.glob(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
