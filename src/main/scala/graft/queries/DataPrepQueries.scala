@@ -476,9 +476,9 @@ object DataPrepQueries {
     },
 
     "t_stratified_sample" ->
-      """SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS chars
+      s"""SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents
-        |WHERE (doc_id * 2654435761) % 100 <
+        |WHERE ${sqlWrapMul64("doc_id", Knuth)} % 100 <
         |      CASE WHEN lang = 'en' THEN 10 ELSE 50 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
@@ -502,13 +502,13 @@ object DataPrepQueries {
         |FROM ch GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t_mix_rebalance" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT MIN(n) AS target FROM (
         |    SELECT COUNT(*) AS n FROM documents GROUP BY lang)),
         |ranked AS (
         |  SELECT lang, text, n_chars,
         |    ROW_NUMBER() OVER (PARTITION BY lang
-        |      ORDER BY (doc_id * 2654435761) % 1000000, doc_id) AS rnk
+        |      ORDER BY ${sqlWrapMul64("doc_id", Knuth)} % 1000000, doc_id) AS rnk
         |  FROM documents)
         |SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_sum,

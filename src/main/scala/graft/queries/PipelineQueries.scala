@@ -602,7 +602,7 @@ object PipelineQueries {
     // cell routing, cosine ranks (CAST(1009 AS DOUBLE) — a bare 1009.0
     // would be DECIMAL in DuckDB and change the IEEE sequence)
     "pl_rag_index" ->
-      """WITH c0 AS (
+      s"""WITH c0 AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS n
         |  FROM documents WHERE n_chars >= 50),
         |ch AS (
@@ -611,7 +611,7 @@ object PipelineQueries {
         |  FROM c0),
         |e AS (
         |  SELECT doc_id, doc_id * 10000 + ci AS chunk_id,
-        |    (doc_id * 2654435761 + ci * 40503) % 65536 AS h
+        |    ${sqlWrap64("CAST(doc_id AS HUGEINT) * 2654435761 + ci * 40503")} % 65536 AS h
         |  FROM ch),
         |v AS (
         |  SELECT doc_id, chunk_id, h % 8 AS cell,
@@ -703,9 +703,9 @@ object PipelineQueries {
          |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin,
 
     "pl_propensity_match" ->
-      """WITH scored AS (
+      s"""WITH scored AS (
         |  SELECT c_custkey, c_mktsegment, c_acctbal,
-        |    CAST((c_custkey * 2654435761) % 1000000 AS DOUBLE) / 1000000.0 AS score
+        |    CAST(${sqlWrapMul64("c_custkey", 2654435761L)} % 1000000 AS DOUBLE) / 1000000.0 AS score
         |  FROM customer),
         |t AS (SELECT c_custkey AS t_id, c_mktsegment, score
         |      FROM scored WHERE c_acctbal > 5000.0),

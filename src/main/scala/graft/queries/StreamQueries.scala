@@ -463,24 +463,37 @@ object StreamQueries {
     // batch gaps-and-islands replica of session_window: break when the
     // inactivity gap reaches 30 min (>= — Spark windows are
     // end-exclusive); session end = last event + gap
+    // Sessionization must run over DISTINCT (acct, ts): with tied
+    // timestamps (the ScaleSmoke twin board folds 10 copies onto one
+    // acct at the same ts), lag() and the cumulative SUM are two
+    // independent window operators whose tie orders need not agree, so
+    // the brk=1 flag can land mid-tie-group and split same-ts events
+    // across sessions (observed at sf1: 6/734 rows off). A session
+    // break is a property of the tie GROUP; pre-aggregating per ts
+    // makes the ORDER BY unique and is exact for the decimal sum.
     "st_session_window" ->
       s"""WITH ev AS (
          |  SELECT user_id % 20 AS acct, ts, value
          |  FROM events WHERE ts < TIMESTAMP '2024-01-08'),
+         |g AS (
+         |  SELECT acct, ts, COUNT(*) AS cnt,
+         |    SUM(CAST(value AS DECIMAL(18,6))) AS vsum
+         |  FROM ev GROUP BY acct, ts),
          |flagged AS (
-         |  SELECT acct, ts, value,
+         |  SELECT acct, ts, cnt, vsum,
          |    CASE WHEN lag(ts) OVER w IS NULL
          |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
          |         THEN 1 ELSE 0 END AS brk
-         |  FROM ev WINDOW w AS (PARTITION BY acct ORDER BY ts)),
+         |  FROM g WINDOW w AS (PARTITION BY acct ORDER BY ts)),
          |sessions AS (
-         |  SELECT acct, ts, value,
+         |  SELECT acct, ts, cnt, vsum,
          |    SUM(brk) OVER (PARTITION BY acct ORDER BY ts
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
          |  FROM flagged)
          |SELECT MIN(ts) AS session_start,
          |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-         |  acct, COUNT(*) AS n, ${sqlDsum("value")} AS value_sum
+         |  acct, CAST(SUM(cnt) AS BIGINT) AS n,
+         |  CAST(SUM(vsum) AS DOUBLE) AS value_sum
          |FROM sessions GROUP BY acct, sid
          |ORDER BY acct, session_start""".stripMargin,
 

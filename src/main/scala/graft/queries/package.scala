@@ -29,6 +29,24 @@ package object queries {
   def sqlDsum(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
   def sqlDavg(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) / COUNT(*) AS DOUBLE)"
 
+  /** DuckDB replica of Spark's (non-ANSI) WRAPPING 64-bit multiply-hash
+    * `x * k` for nonnegative `x`: DuckDB raises on INT64 overflow — hit
+    * the first time ids reach ~2^63/k (ScaleSmoke's ×10 offset ids at
+    * ~5e9 with the Knuth constant; sf1 oracle run, round 10) — so the
+    * product is computed in HUGEINT and reduced into the signed 64-bit
+    * range. Bit-identical to Spark's two's-complement wraparound at any
+    * id scale, and identical to the plain product wherever it doesn't
+    * overflow (every driver gate). Downstream `%` keeps matching because
+    * both engines truncate toward the dividend's sign. */
+  def sqlWrap64(e: String): String =
+    s"CAST(((($e) + 9223372036854775808) % " +
+      "18446744073709551616 - 9223372036854775808) AS BIGINT)"
+
+  /** The common case: wrap `x * k` (pass any compound hash through
+    * [[sqlWrap64]] with an explicit HUGEINT cast on its first term). */
+  def sqlWrapMul64(e: String, k: Long): String =
+    sqlWrap64(s"CAST(($e) AS HUGEINT) * $k")
+
   /** Cross-engine string→bucket hash: first 8 md5 hex chars as an
     * unsigned int, mod `m`. THE one definition of the dual-engine
     * kernel (t_hash_classifier, s_maxsim_rerank) — the Spark and SQL
