@@ -73,6 +73,12 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Operability drill hook: force the cluster-safe materialization
+    // path (scratch-parquet round trips) under a local master, so the
+    // whole verify board can prove mode-independence — see
+    // [[Materialize]] and SCALING.md's reliable-mode gate.
+    sys.env.get("SPARK_GRAFT_MATERIALIZE_MODE")
+      .foreach(m => s.conf.set(Materialize.ModeKey, m))
     s
   }
 }
