@@ -290,6 +290,19 @@ class PlanAuditSpec extends SparkSpec {
       "levenshtein leaked into a join condition")
   }
 
+  test("round-10 rewrite holds: semDedup pair scan reads the collapsed frame") {
+    // VectorSim.semDedup collapses byte-identical vectors to a min-id
+    // representative and materializes the cell assignment BEFORE the
+    // in-cell pair scan (the sf1 twin board took the uncollapsed scan
+    // from 2.3 s to 91.8 s). Structurally: the query plan proper must
+    // contain no embeddings scan at all — both pair-join sides and the
+    // final anti-join consume the one materialized collapsed frame
+    // (the t_doc_terms pin pattern).
+    val p = plan("s_semdedup")
+    assert(!p.contains("FileScan parquet"),
+      "s_semdedup must consume only the materialized collapsed assignment")
+  }
+
   test("saltedJoin splits the hot key across reducers (skew balance gate)") {
     // deterministic small-scale twin of graft.SkewSmoke (which measures
     // wall + task times at x10 volume): one key owns 20% of the fact, so
