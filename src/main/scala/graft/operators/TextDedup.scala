@@ -75,6 +75,70 @@ object TextDedup {
       .distinct()
   }
 
+  /** Exact-duplicate collapse for pair-LISTING operators (the twin-board
+    * counterpart of [[VectorSim.semDedup]]'s collapse): rows whose
+    * `groupKey` — covering EVERY input the pair pipeline derives from —
+    * is identical are collapsed to their min-id representative before
+    * candidate generation, and representative pairs are expanded back to
+    * the full member pair list afterwards. Output-identical, because for
+    * any pair operator here
+    *   (a) two rows with equal signatures are interchangeable: banding,
+    *       blocking, simhash, and jaccard are pure functions of the
+    *       signature, so a cross-group member pair qualifies iff its
+    *       representative pair qualifies, with the SAME jaccard; and
+    *   (b) an intra-group pair always qualifies in the uncollapsed
+    *       operator — identical signatures share every bucket/band
+    *       (Hamming 0, length diff 0) and have jaccard exactly 1.0
+    *       (s/s in IEEE double), which any threshold ≤ 1 admits — so
+    *       emitting all C(k,2) member pairs at literal 1.0 reproduces it.
+    * Domain gates (minShingles, length ≥ n) must be applied BEFORE the
+    * collapse: they too are signature-determined, so a group is in or
+    * out wholesale. Candidate volume drops from quadratic-in-copies to
+    * quadratic-in-distinct + output-proportional expansion — on a
+    * re-crawled corpus where most content is byte-identical this is the
+    * difference between a pair scan and a disaster (measured: d_simhash
+    * 51 s → ~5 s on the ×10-twins sf1 board, SCALING.md round-10).
+    * The group key is md5-based (128-bit): a collision needs ~2^64
+    * co-resident distinct signatures — negligible at any corpus size
+    * this engine targets (same acceptance as [[charShingleHashes]]).
+    *
+    * @return (reps, expand): `reps` keeps the original columns, one row
+    *         per distinct signature (min id); `expand` maps rep pairs
+    *         (a, b, jaccard) to the full member pair list, a < b. */
+  private def collapseExactDups(rows: DataFrame, idCol: String,
+                                groupKey: Column)
+      : (DataFrame, DataFrame => DataFrame) = {
+    val keyed = rows.withColumn("__g", groupKey)
+    // (group, rep): an aggregate over the census scan. Deliberately
+    // LAZY — no driver action, no checkpoint: each consumer folds the
+    // small re-aggregation into its own job as extra stages (AQE
+    // broadcasts it at runtime), which at small boards costs far less
+    // than extra eager jobs would, and at corpus scale is two linear
+    // combine-heavy scans.
+    val repIds = keyed.groupBy(col("__g")).agg(min(col(idCol)).as("__rep"))
+    val membership = keyed.select(col("__g"), col(idCol))
+      .join(repIds, "__g").select(col(idCol), col("__rep"))
+    val reps = rows.join(repIds.select(col("__rep").as(idCol)),
+      Seq(idCol), "left_semi")
+    def expand(repPairs: DataFrame): DataFrame = {
+      val ma = membership.select(col("__rep").as("a"), col(idCol).as("__ia"))
+      val mb = membership.select(col("__rep").as("b"), col(idCol).as("__ib"))
+      // groups are disjoint, so member ids may interleave across the
+      // rep order — re-orient each expanded pair
+      val cross = repPairs.join(ma, "a").join(mb, "b")
+        .select(least(col("__ia"), col("__ib")).as("a"),
+          greatest(col("__ia"), col("__ib")).as("b"), col("jaccard"))
+      val m1 = membership.select(col("__rep"), col(idCol).as("__ia"))
+      val m2 = membership.select(col("__rep"), col(idCol).as("__ib"))
+      val intra = m1.join(m2, Seq("__rep"))
+        .filter(col("__ia") < col("__ib"))
+        .select(col("__ia").as("a"), col("__ib").as("b"),
+          lit(1.0).as("jaccard"))
+      cross.unionAll(intra)
+    }
+    (reps, expand)
+  }
+
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * Pipeline: shingle → k-minhash → b bands × r rows → bucket equi-join →
@@ -88,8 +152,16 @@ object TextDedup {
                       k: Int = 128, bands: Int = 32): DataFrame = {
     require(k % bands == 0, "k must divide into bands evenly")
     val r = k / bands
-    val sh = docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("__sh"))
+    val sh0 = docs.select(col(idCol), col(textCol),
+        wordShingles(col(textCol), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
+    // everything downstream (bands, verify jaccard) derives from __sh,
+    // which is a pure function of the text — collapse identical texts
+    // before banding (see collapseExactDups; keying on md5(text) keeps
+    // array serialization out of the census scan, and a text-equal
+    // group trivially satisfies the signature-equality contract)
+    val (shRep, expand) = collapseExactDups(sh0, idCol, md5(col(textCol)))
+    val sh = shRep.select(col(idCol), col("__sh"))
     val banded = sh
       .select(col(idCol), posexplode(minhashBands(col("__sh"), k, bands)))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bsig")
@@ -97,7 +169,7 @@ object TextDedup {
     // verify over hashed shingles: same Jaccard (collision-negligible),
     // far fewer join-shuffle bytes than the string arrays
     val shHashed = sh.select(col(idCol), hashedShingles(col("__sh")).as("__sh"))
-    verifyJaccard(cand, shHashed, idCol, threshold, jaccardSorted)
+    expand(verifyJaccard(cand, shHashed, idCol, threshold, jaccardSorted))
   }
 
   /** Winnowing fingerprints of a text column (rolling-hash k-grams →
@@ -256,8 +328,16 @@ object TextDedup {
     // recall does not depend on signature concentration.
     val width = 64 / numBands
     val mask = (1L << width) - 1
-    val sh = docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("__sh"))
+    val sh0 = docs.select(col(idCol), col(textCol),
+        wordShingles(col(textCol), shingleN).as("__sh"))
       .filter(size(col("__sh")) >= minShingles)
+    // simhash, band keys, the log2-size block AND the verify jaccard are
+    // all pure functions of __sh, itself a pure function of the text —
+    // collapse identical texts before the band join (see
+    // collapseExactDups; the minShingles domain gate is
+    // signature-determined, so it runs first)
+    val (shRep, expand) = collapseExactDups(sh0, idCol, md5(col(textCol)))
+    val sh = shRep.select(col(idCol), col("__sh"))
     val sims = sh.select(col(idCol), size(col("__sh")).as("__n"),
       simhash64(col("__sh")).as("__sim"))
     // Narrow bands have few distinct values (a 4-bit band: 16), so a band
@@ -285,7 +365,7 @@ object TextDedup {
       .select(col(s"__sim_x.$idCol").as("a"), col(s"__sim_y.$idCol").as("b"))
       .distinct()
     val shHashed = sh.select(col(idCol), hashedShingles(col("__sh")).as("__sh"))
-    verifyJaccard(cand, shHashed, idCol, threshold, jaccardSorted)
+    expand(verifyJaccard(cand, shHashed, idCol, threshold, jaccardSorted))
   }
 
   /** Blocked exact n-gram Jaccard dedup: docs are bucketed by
@@ -304,10 +384,16 @@ object TextDedup {
     // char shingles are empty iff numChars < n — gate on length so the
     // candidate path never materializes shingle arrays (they were being
     // computed per doc just to evaluate a size()>0 filter)
-    val base = docs.filter(length(col(textCol)) >= n)
+    val base0 = docs.filter(length(col(textCol)) >= n)
+      .select(col(idCol), col(textCol), lenCol.as("__len"))
+    // shingles derive from the text, blocking from __len — collapse rows
+    // identical on BOTH before the block join (see collapseExactDups;
+    // the length-domain gate is signature-determined, so it runs first)
+    val (base, expand) = collapseExactDups(base0, idCol,
+      md5(concat(col(textCol), lit("|"), col("__len").cast("string"))))
     val sh = base.select(col(idCol),
       charShingleHashes(col(textCol), n).as("__sh"))
-    val blocked = base.select(col(idCol), lenCol.as("__len"))
+    val blocked = base.select(col(idCol), col("__len"))
       .select(col(idCol), col("__len"),
         explode(array((col("__len") / blockWidth).cast("long"),
                       (col("__len") / blockWidth).cast("long") + 1)).as("__blk"))
@@ -326,7 +412,7 @@ object TextDedup {
                    (col("__blk_y.__len") / blockWidth).cast("long")))
       .select(col(s"__blk_x.$idCol").as("a"), col(s"__blk_y.$idCol").as("b"))
       .distinct()
-    verifyJaccard(cand, sh, idCol, threshold, jaccardSorted)
+    expand(verifyJaccard(cand, sh, idCol, threshold, jaccardSorted))
   }
 
   /** Exact n-gram Jaccard dedup by PREFIX FILTERING (the ssjoin/PPJoin

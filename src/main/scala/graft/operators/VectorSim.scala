@@ -313,6 +313,49 @@ object VectorSim {
     if (dedup) cand.distinct() else cand
   }
 
+  /** Exact-duplicate collapse for vector-PAIR-LISTING pipelines (the
+    * embedding twin of [[graft.operators.TextDedup]]'s collapseExactDups;
+    * see that scaladoc for the output-identity argument). Byte-identical
+    * vectors collapse to their min-id representative BEFORE banding and
+    * rerank; `expand` maps representative pairs (a, b, cos) back to the
+    * full member pair list — cross-group pairs inherit the
+    * representative cosine (identical vectors ⇒ identical bands and
+    * cosines), intra-group pairs carry the COMPUTED self-cosine
+    * cos(v, v) of their group's vector (numerically ≈1 but not literal
+    * 1.0 — sqrt(d)² ≠ d in IEEE — and both engines compute the same
+    * value). Apply any cosine threshold AFTER expansion: cross pairs
+    * inherit the rep value so the filter commutes, and intra pairs get
+    * filtered on their actual self-cosine (a zero-norm vector's NaN
+    * self-cosine fails every threshold, matching the uncollapsed
+    * plan's NaN rerank). Candidate volume on a K-times-duplicated
+    * corpus drops from K² to the distinct volume + output-proportional
+    * expansion. */
+  def collapseExactVecDups(emb: DataFrame, idCol: String, vecCol: String)
+      : (DataFrame, DataFrame => DataFrame) = {
+    val repIds = emb.groupBy(col(vecCol)).agg(min(col(idCol)).as("__rep"))
+    val membership = emb.join(repIds, Seq(vecCol))
+      .select(col(idCol), col("__rep"))
+    val reps = emb.join(repIds.select(col("__rep").as(idCol)),
+      Seq(idCol), "left_semi")
+    def expand(repPairs: DataFrame): DataFrame = {
+      val ma = membership.select(col("__rep").as("a"), col(idCol).as("__ia"))
+      val mb = membership.select(col("__rep").as("b"), col(idCol).as("__ib"))
+      val cross = repPairs.join(ma, "a").join(mb, "b")
+        .select(least(col("__ia"), col("__ib")).as("a"),
+          greatest(col("__ia"), col("__ib")).as("b"), col("cos"))
+      val selfCos = reps.select(col(idCol).as("__rep"),
+        cosine(col(vecCol), col(vecCol)).as("cos"))
+      val m1 = membership.select(col("__rep"), col(idCol).as("__ia"))
+      val m2 = membership.select(col("__rep"), col(idCol).as("__ib"))
+      val intra = m1.join(m2, Seq("__rep"))
+        .filter(col("__ia") < col("__ib"))
+        .join(selfCos, "__rep")
+        .select(col("__ia").as("a"), col("__ib").as("b"), col("cos"))
+      cross.unionAll(intra)
+    }
+    (reps, expand)
+  }
+
   /** SemDeDup — embedding-level semantic dedup (the builder brief's
     * embedding-cosine near-dup family): assign every vector to its
     * best-cosine centroid cell, rank within the cell by ascending

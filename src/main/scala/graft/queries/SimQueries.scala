@@ -87,18 +87,27 @@ object SimQueries {
       // the codegen'd kernel is what makes the 32-planes-per-vector
       // pass cheap (the zip_with+aggregate HOF form measured 3-8 s at
       // sf0.1; this runs sub-second)
-      val cand = VectorSim.srpCandidates(emb, "vec_id", "embedding",
+      // exact-duplicate collapse before banding (collapseExactVecDups —
+      // the ×10 twin board put the uncollapsed band join at 13 s on
+      // ~100× true candidates); the threshold filter runs AFTER the
+      // expansion so intra-group pairs are filtered on their computed
+      // self-cosine, exactly like the uncollapsed plan
+      val (repEmb, expandPairs) =
+        VectorSim.collapseExactVecDups(emb, "vec_id", "embedding")
+      val cand = VectorSim.srpCandidates(repEmb, "vec_id", "embedding",
         dims = 64, nPlanes = 32, bandBits = 8)
-      val va = emb.select(col("vec_id").as("a"), col("embedding").as("__ea"))
-      val vb = emb.select(col("vec_id").as("b"), col("embedding").as("__eb"))
+      val va = repEmb.select(col("vec_id").as("a"), col("embedding").as("__ea"))
+      val vb = repEmb.select(col("vec_id").as("b"), col("embedding").as("__eb"))
       // NATIVE cosine kernel, not dotFold over the raw float arrays:
       // zip_with multiplies float32 on float inputs while the oracle
       // multiplies float64 — a 1.5e-8 cos divergence measured across
       // the 140k sf0.1 candidates, zero boundary flips only by luck.
       // CosineSim widens each element exactly and is one codegen'd
       // pass over the rerank, which dominates this row's runtime.
-      cand.join(va, "a").join(vb, "b")
+      val repPairs = cand.join(va, "a").join(vb, "b")
         .withColumn("cos", VectorSim.cosine(col("__ea"), col("__eb")))
+        .select(col("a"), col("b"), col("cos"))
+      expandPairs(repPairs)
         .filter(col("cos") >= 0.4)
         .select(col("a"), col("b"),
           floor(col("cos") * 1e6).cast("long").as("cos_micro"))

@@ -25,7 +25,13 @@ class DedupPropertySpec extends SparkSpec {
       words(rnd.nextInt(words.size)) = vocab(rnd.nextInt(vocab.size)) // 1-word edit
       (200L + i) -> words.mkString(" ")
     }
-    base ++ dups
+    // exact twins: byte-identical copies at new ids — a copy of the
+    // min-id doc, a TRIPLE group (7 twice), and 12 random copies. They
+    // route every pair operator below through the collapseExactDups
+    // path while the brute-force references keep scanning all copies.
+    val twins = (Seq(0, 7, 7) ++ Seq.fill(12)(rnd.nextInt(base.size)))
+      .zipWithIndex.map { case (src, i) => (300L + i) -> base(src)._2 }
+    base ++ dups ++ twins
   }
 
   private def exactPairs(threshold: Double): Set[(Long, Long)] = {
@@ -508,6 +514,72 @@ class DedupPropertySpec extends SparkSpec {
     assert(got2 == want2, s"operator recall mismatch: " +
       s"missing=${(want2 -- got2).take(3)} extra=${(got2 -- want2).take(3)}")
     assert(want2.size > 100, s"only ${want2.size} true pairs in fixture")
+  }
+
+  /** The length-blocked char-n-gram operator (its oracle can't run on
+    * the ×K twin boards — DuckDB's brute CTE exceeds local scratch), so
+    * its collapse path gets a dedicated driver-side proof: ids must
+    * match the brute-force length-banded jaccard over ALL copies, and
+    * every twin pair must carry jaccard exactly 1.0. */
+  test("ngramJaccardPairs with exact twins == brute-force banded jaccard") {
+    import spark.implicits._
+    val docs = corpus.toDF("doc_id", "text")
+    def shing(t: String): Set[String] = t.sliding(4).toSet
+    val want = (for {
+      (a, ta) <- corpus; (b, tb) <- corpus
+      if a < b && ta.length >= 4 && tb.length >= 4 &&
+        math.abs(ta.length - tb.length) <= 10
+      sa = shing(ta); sb = shing(tb)
+      if (sa & sb).size.toDouble / (sa | sb).size >= 0.6
+    } yield (a, b)).toSet
+    val rows = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+        lenCol = length(col("text")), n = 4, threshold = 0.6,
+        blockWidth = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val got = rows.map(t => (t._1, t._2)).toSet
+    assert(got == want, s"pair mismatch: missing=${(want -- got).take(3)} " +
+      s"extra=${(got -- want).take(3)}")
+    val byId = corpus.toMap
+    val twinPairs = rows.filter { case (a, b, _) => byId(a) == byId(b) }
+    assert(twinPairs.nonEmpty && twinPairs.forall(_._3 == 1.0),
+      "twin pairs must be present with jaccard exactly 1.0")
+  }
+
+  /** The SRP pair lister's collapse+expand must equal the uncollapsed
+    * band-join pipeline bit-for-bit on a corpus with byte-identical
+    * twin vectors — including the micro-floored cosine values (intra
+    * pairs carry the COMPUTED self-cosine, not a literal 1.0). */
+  test("srp collapse+expand == uncollapsed band-join pipeline on twins") {
+    import spark.implicits._
+    import graft.operators.VectorSim
+    import org.apache.spark.sql.DataFrame
+    val rnd = new scala.util.Random(31)
+    val dim = 16
+    def vec() = Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val base = (0L until 150L).map(i => (i, vec()))
+    val twins = (Seq(base(0)) ++ Seq.fill(20)(base(rnd.nextInt(base.size))) ++
+        Seq(base(3), base(3)))
+      .zipWithIndex.map { case ((_, v), k) => (500L + k, v) }
+    val emb = (base ++ twins).toDF("vec_id", "embedding")
+    def rerank(e: DataFrame, cand: DataFrame): DataFrame = {
+      val va = e.select(col("vec_id").as("a"), col("embedding").as("__ea"))
+      val vb = e.select(col("vec_id").as("b"), col("embedding").as("__eb"))
+      cand.join(va, "a").join(vb, "b")
+        .withColumn("cos", VectorSim.cosine(col("__ea"), col("__eb")))
+        .select(col("a"), col("b"), col("cos"))
+    }
+    def toSet(df: DataFrame) = df.filter(col("cos") >= 0.4)
+      .select(col("a"), col("b"), floor(col("cos") * 1e6).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = toSet(rerank(emb,
+      VectorSim.srpCandidates(emb, "vec_id", "embedding", dims = dim)))
+    val (reps, expand) = VectorSim.collapseExactVecDups(emb, "vec_id", "embedding")
+    val collapsed = toSet(expand(rerank(reps,
+      VectorSim.srpCandidates(reps, "vec_id", "embedding", dims = dim))))
+    assert(collapsed == plain, s"mismatch: missing=${(plain -- collapsed).take(3)} " +
+      s"extra=${(collapsed -- plain).take(3)}")
+    assert(plain.exists { case (a, b, _) => a >= 500 || b >= 500 },
+      "fixture must produce twin pairs")
   }
 
   /** VectorSim.semDedup's exact-duplicate collapse must be invisible:
