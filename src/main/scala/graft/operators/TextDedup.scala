@@ -104,9 +104,12 @@ object TextDedup {
     *
     * @return (reps, expand): `reps` keeps the original columns, one row
     *         per distinct signature (min id); `expand` maps rep pairs
-    *         (a, b, jaccard) to the full member pair list, a < b. */
-  private def collapseExactDups(rows: DataFrame, idCol: String,
-                                groupKey: Column)
+    *         (a, b, `valueCol`) to the full member pair list, a < b —
+    *         intra-group pairs carry `intraValue` (jaccard 1.0 by
+    *         default; pass e.g. 0 for an edit-distance output). */
+  def collapseExactDups(rows: DataFrame, idCol: String, groupKey: Column,
+                        valueCol: String = "jaccard",
+                        intraValue: Column = lit(1.0))
       : (DataFrame, DataFrame => DataFrame) = {
     val keyed = rows.withColumn("__g", groupKey)
     // (group, rep): an aggregate over the census scan. Deliberately
@@ -127,13 +130,13 @@ object TextDedup {
       // rep order — re-orient each expanded pair
       val cross = repPairs.join(ma, "a").join(mb, "b")
         .select(least(col("__ia"), col("__ib")).as("a"),
-          greatest(col("__ia"), col("__ib")).as("b"), col("jaccard"))
+          greatest(col("__ia"), col("__ib")).as("b"), col(valueCol))
       val m1 = membership.select(col("__rep"), col(idCol).as("__ia"))
       val m2 = membership.select(col("__rep"), col(idCol).as("__ib"))
       val intra = m1.join(m2, Seq("__rep"))
         .filter(col("__ia") < col("__ib"))
         .select(col("__ia").as("a"), col("__ib").as("b"),
-          lit(1.0).as("jaccard"))
+          intraValue.as(valueCol))
       cross.unionAll(intra)
     }
     (reps, expand)

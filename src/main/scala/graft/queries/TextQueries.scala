@@ -487,9 +487,22 @@ object TextQueries {
     "t_edit_distance" -> { (s, dir) =>
       // candidate generation is the library operator (round-10
       // promotion — this query is its oracle proof); the lossless
-      // combinatorics are property-tested in DedupPropertySpec
+      // combinatorics are property-tested in DedupPropertySpec.
+      // The pair semantics depend ONLY on (head-40, n_chars), so rows
+      // identical on both collapse to a representative before the
+      // segment join (collapseExactDups — twin pairs expand back with
+      // dist 0 = lev(h, h); the dist >= 0 threshold commutes with the
+      // expansion because cross pairs inherit the rep distance)
+      val (repDocs, expandPairs) = graft.operators.TextDedup
+        .collapseExactDups(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("text"), col("n_chars")),
+          "doc_id",
+          md5(concat(substring(col("text"), 1, 40), lit("|"),
+            col("n_chars").cast("string"))),
+          valueCol = "dist", intraValue = lit(0))
       val cand = graft.operators.TextDedup.passJoinCandidates(
-        Tables.documents(s, dir), "doc_id", "text",
+        repDocs, "doc_id", "text",
         maxEdits = 5, headLen = 40, lengthBand = 10,
         lenCol = Some("n_chars"))
       // thresholded kernel: the banded DP abandons a pair the moment its
@@ -501,12 +514,13 @@ object TextQueries {
       // Catalyst ordered it before the cheap id/length predicates and
       // re-evaluated it per raw segment-bucket co-occurrence (measured
       // 4.5 s vs 1.3 s at sf0.1).
-      cand
+      val repPairs = cand
         .groupBy(col("a"), col("b"))
         .agg(max(col("head_a")).as("__ha"), max(col("head_b")).as("__hb"))
         .withColumn("dist", levenshtein(col("__ha"), col("__hb"), 5))
         .filter(col("dist") >= 0)
         .select(col("a"), col("b"), col("dist"))
+      expandPairs(repPairs)
         .orderBy(col("a"), col("b"))
     },
 
