@@ -284,7 +284,10 @@ object VectorSim {
     *               band-join volume — that raw count is the cost driver
     *               a capacity plan needs.
     * @return (a, b) with a < b — candidate pairs for an exact rerank
-    *         (see s_srp_lsh for the native-cosine rerank pattern) */
+    *         (see s_srp_lsh for the native-cosine rerank pattern; on
+    *         corpora with exact-duplicate vectors, wrap the whole
+    *         candidates+rerank pipeline in [[collapseExactVecDups]]
+    *         so the band join sees only distinct vectors) */
   def srpCandidates(emb: DataFrame, idCol: String, vecCol: String,
                     dims: Int, nPlanes: Int = 32, bandBits: Int = 8,
                     seedK: Long = 2654435761L,
