@@ -448,9 +448,17 @@ object WindowQueries {
         |  ) AS DOUBLE) AS sliding_sum
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // DISTINCT intervals: a duplicate (custkey, date) order makes the
+    // two window operators' (b, e) tie orders independent, so the
+    // island-break flag can land mid-tie-group and glue two islands
+    // together (observed once in 1.47M rows on the ×10 twin board —
+    // the same tie-order defect class as st_session_window's replica;
+    // Spark's sweep was the correct side). A duplicate interval is
+    // wholly contained, so DISTINCT changes no island and makes the
+    // ORDER BY unique.
     "w8_interval_collapse" ->
       """WITH iv AS (
-        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS b,
+        |  SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS b,
         |         CAST(o_orderdate AS DATE) + 3 AS e
         |  FROM orders),
         |m AS (
