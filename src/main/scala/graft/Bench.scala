@@ -43,6 +43,9 @@ object Bench {
       }
       catch { case e: Throwable => errors(name) = e.getClass.getSimpleName }
       val sec = (System.nanoTime() - t0) / 1e9
+      // reliable-mode drills: each run rebuilds its materializations,
+      // so releasing after the sink write keeps scratch bounded
+      graft.core.Materialize.releaseScratch(spark)
       runLog(name) = runLog.getOrElse(name, Vector.empty) :+
         (sec, (gcMillis() - g0) / 1e3)
       sec

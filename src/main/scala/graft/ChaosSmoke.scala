@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Executor-loss chaos drill for [[graft.core.Materialize]] — the
+  * observation behind the scaladoc's rationale, not just the argument:
+  *
+  *   1. `reliable` mode (scratch-parquet round trip) must SURVIVE losing
+  *      an executor after the materialization: the data lives in shared
+  *      storage, any surviving/relaunched executor re-reads it.
+  *   2. `local` mode (`localCheckpoint`) must FAIL the same drill: the
+  *      RDD blocks are stored unreplicated on the killed executor and
+  *      lineage is truncated, so there is no recompute path. (The
+  *      standalone worker relaunches the executor process, but the new
+  *      JVM does not have the lost blocks — the job still dies.)
+  *
+  * Runs under `local-cluster[2,2,2048]` — two REAL executor JVMs, real
+  * serialization and block-manager boundaries. The kill is a SIGKILL of
+  * one CoarseGrainedExecutorBackend child process.
+  *
+  * Usage: run-main.sh graft.ChaosSmoke   (prints one [chaos] line per leg)
+  */
+object ChaosSmoke {
+
+  private def executorPids(): Seq[Int] = {
+    val procs = new java.io.File("/proc").listFiles()
+      .filter(f => f.getName.forall(_.isDigit))
+    procs.flatMap { p =>
+      try {
+        val cmd = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"/proc/${p.getName}/cmdline"))
+        if (cmd.contains("CoarseGrainedExecutorBackend")) Some(p.getName.toInt)
+        else None
+      } catch { case _: Throwable => None }
+    }.toSeq.sorted
+  }
+
+  private def killOneExecutor(): Int = {
+    val pids = executorPids()
+    require(pids.nonEmpty, "no executor JVMs found to kill")
+    val pid = pids.head
+    Runtime.getRuntime.exec(Array("kill", "-9", pid.toString)).waitFor()
+    // wait for the process to actually vanish before proceeding
+    var tries = 0
+    while (executorPids().contains(pid) && tries < 50) {
+      Thread.sleep(100); tries += 1
+    }
+    pid
+  }
+
+  def main(args: Array[String]): Unit = {
+    import graft.core.Materialize
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local-cluster[2,2,2048]")
+      .appName("graft-chaos")
+      .config("spark.executor.extraClassPath",
+        sys.env.getOrElse("SPARK_GRAFT_CLASSES",
+          "/root/repo/target/scala-2.13/classes"))
+      .config("spark.executor.extraJavaOptions",
+        Seq("java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+          "java.net", "java.nio", "java.util", "java.util.concurrent",
+          "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+          "sun.security.action", "sun.util.calendar")
+          .map(p => s"--add-opens java.base/$p=ALL-UNNAMED").mkString(" "))
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_chaos_warehouse")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // fail fast once the block is gone instead of retrying for minutes
+      .config("spark.task.maxFailures", "2")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def someFrame(seed: Int) = spark.range(0, 2000000, 1, 8)
+      .withColumn("k", pmod(hash(col("id") + lit(seed)), lit(1000)))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+
+    // Leg 1: reliable materialization survives executor loss.
+    spark.conf.set(Materialize.ModeKey, "reliable")
+    val reliable = Materialize(someFrame(1), eager = true)
+    val killed1 = killOneExecutor()
+    val leg1 =
+      try { val n = reliable.count(); s"SURVIVED n=$n" }
+      catch { case e: Throwable => s"DIED ${e.getClass.getSimpleName}" }
+    println(s"[chaos] reliable-mode after kill(pid=$killed1): $leg1")
+    Materialize.releaseScratch(spark)
+
+    // Leg 2: localCheckpoint dies with the executor that held its blocks.
+    // Kill BOTH current executors to guarantee the block holder is gone
+    // (blocks are unreplicated but their placement is scheduler-chosen).
+    spark.conf.set(Materialize.ModeKey, "local")
+    val local = Materialize(someFrame(2), eager = true)
+    val pids = executorPids()
+    pids.foreach { pid =>
+      Runtime.getRuntime.exec(Array("kill", "-9", pid.toString)).waitFor()
+    }
+    Thread.sleep(2000) // let the master notice; workers relaunch fresh JVMs
+    val leg2 =
+      try { val n = local.count(); s"SURVIVED n=$n (unexpected)" }
+      catch { case e: Throwable => s"DIED ${e.getClass.getSimpleName}" }
+    println(s"[chaos] local-mode (localCheckpoint) after kill(pids=$pids): $leg2")
+
+    // Leg 3: the relaunched executors run a fresh reliable materialization
+    // + consume end-to-end — the session itself stays usable after chaos.
+    spark.conf.set(Materialize.ModeKey, "reliable")
+    val again = Materialize(someFrame(3), eager = true)
+    println(s"[chaos] post-chaos reliable run: n=${again.count()}")
+    Materialize.releaseScratch(spark)
+    spark.stop()
+  }
+}

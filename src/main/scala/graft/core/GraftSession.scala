@@ -54,10 +54,32 @@ object GraftSession {
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
             appName: String = "graft"): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
+    // Operability drill hook: SPARK_GRAFT_MASTER=local-cluster[4,8,4096]
+    // runs the SAME session against a multi-JVM master — real executor
+    // processes, real serialization/broadcast boundaries, real executor
+    // loss. Executors are separate JVMs, so they need the engine classes
+    // on their own classpath and the Java-17 --add-opens set the driver
+    // launcher already applies.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
+    val builder =
+      if (!master.startsWith("local-cluster")) builder0
+      else builder0
+        .config("spark.executor.extraClassPath",
+          sys.env.getOrElse("SPARK_GRAFT_CLASSES",
+            "/root/repo/target/scala-2.13/classes"))
+        .config("spark.executor.extraJavaOptions",
+          Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+            "java.io", "java.net", "java.nio", "java.util",
+            "java.util.concurrent", "java.util.concurrent.atomic",
+            "sun.nio.ch", "sun.nio.cs", "sun.security.action",
+            "sun.util.calendar")
+            .map(p => s"--add-opens java.base/$p=ALL-UNNAMED")
+            .mkString(" "))
+    val s = builder
       // graft's native expressions (minhash/simhash) for SQL-string callers
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.warehouse.dir",

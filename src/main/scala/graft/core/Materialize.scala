@@ -35,9 +35,13 @@ import org.apache.spark.sql.DataFrame
   *
   * Scratch location (conf `graft.materialize.scratchDir`): defaults to
   * `<spark.sql.warehouse.dir>/_graft_scratch/<appId>`. Production
-  * deployments should point it at a TTL'd scratch prefix — files are
-  * written once per materialization and this process only best-effort
-  * deletes them on JVM exit (reliable storage has no ContextCleaner).
+  * deployments should point it at a TTL'd scratch prefix. Lifecycle:
+  * every written path is registered in a JVM-local ledger;
+  * [[releaseScratch]] deletes the registered paths at any quiescent
+  * point (a long-lived session calls it between queries — Verify and
+  * Bench do — so scratch stays bounded by ONE query's materializations
+  * instead of growing for the session's lifetime), and a shutdown hook
+  * plus the TTL'd prefix backstop whatever a crash leaves behind.
   *
   * Semantics contract: values are identical across modes (proven in
   * OperatorsSpec's reliable-mode equivalence gate); the one visible
@@ -74,17 +78,50 @@ object Materialize {
       Materialize(df, eager)
   }
 
-  private def roundTrip(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val root = spark.conf.getOption(ScratchKey).getOrElse {
+  private def scratchRoot(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.getOption(ScratchKey).getOrElse {
       val wh = spark.conf.get("spark.sql.warehouse.dir",
         System.getProperty("java.io.tmpdir"))
       s"$wh/_graft_scratch/${spark.sparkContext.applicationId}"
     }
+
+  private def roundTrip(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val root = scratchRoot(spark)
     val path = s"$root/mat_${java.util.UUID.randomUUID().toString.take(16)}"
     df.write.mode("overwrite").parquet(path)
+    written.computeIfAbsent(root,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[String]()).add(path)
     cleanupOnExit(spark, root)
     spark.read.parquet(path)
+  }
+
+  // JVM-local ledger of scratch paths written per root — the unit
+  // releaseScratch deletes. Paths, not the whole root: several sessions
+  // (or a driver restart) may share a root prefix.
+  private val written =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.ConcurrentLinkedQueue[String]]()
+
+  /** Delete every reliable-mode materialization this JVM has written
+    * under the session's current scratch root, emptying the ledger.
+    *
+    * Contract: call only at a QUIESCENT point — after every frame
+    * materialized so far has been fully consumed (board runners call it
+    * between queries). A DataFrame handle returned by a prior
+    * `Materialize(...)` is invalid after release (its backing files are
+    * gone). No-op in `local` mode or when nothing was written. */
+  def releaseScratch(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val q = written.remove(scratchRoot(spark))
+    if (q != null) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      q.forEach { p =>
+        try {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(conf).delete(hp, true)
+        } catch { case _: Throwable => () }
+      }
+    }
   }
 
   // one shutdown hook per scratch root per JVM — best-effort local

@@ -102,6 +102,28 @@ object TextDedup {
     * co-resident distinct signatures — negligible at any corpus size
     * this engine targets (same acceptance as [[charShingleHashes]]).
     *
+    * NULL group keys never collapse: SQL NULL is not equal to NULL, so
+    * the uncollapsed pair operators never equi-join two null-signature
+    * rows (a null head/text reaches no bucket). Each null-key row is
+    * therefore its own representative — it partitions alone (secondary
+    * window key = its own id, so a corpus of null texts is not a skew
+    * hazard either) and contributes no intra expansion.
+    *
+    * Plan shape (round-11 rework of the r10 groupBy-census + join):
+    * the census is ONE narrow (id, key) window — min(id) and count(*)
+    * over the key partition, one exchange, shared via ReuseExchange by
+    * every reference — and everything downstream consumes only the
+    * DUP-GROUP slice (count ≥ 2). On a mostly-clean corpus that slice
+    * is tiny, so `reps` is a broadcast ANTI-join against the non-rep
+    * dup ids (the base scan is never shuffled) and `expand`'s member
+    * joins broadcast instead of reshuffling a corpus-sized membership
+    * frame; on a heavily-duplicated corpus the slice grows with the
+    * duplicated rows — exactly the rows the collapse exists for — and
+    * AQE falls back to shuffled joins with the same asymptotics as
+    * before. Still deliberately LAZY — no driver action, no
+    * checkpoint: an eager census measured +2 s/row at sf0.1
+    * (NOTES_r10).
+    *
     * @return (reps, expand): `reps` keeps the original columns, one row
     *         per distinct signature (min id); `expand` maps rep pairs
     *         (a, b, `valueCol`) to the full member pair list, a < b —
@@ -111,28 +133,40 @@ object TextDedup {
                         valueCol: String = "jaccard",
                         intraValue: Column = lit(1.0))
       : (DataFrame, DataFrame => DataFrame) = {
-    val keyed = rows.withColumn("__g", groupKey)
-    // (group, rep): an aggregate over the census scan. Deliberately
-    // LAZY — no driver action, no checkpoint: each consumer folds the
-    // small re-aggregation into its own job as extra stages (AQE
-    // broadcasts it at runtime), which at small boards costs far less
-    // than extra eager jobs would, and at corpus scale is two linear
-    // combine-heavy scans.
-    val repIds = keyed.groupBy(col("__g")).agg(min(col(idCol)).as("__rep"))
-    val membership = keyed.select(col("__g"), col(idCol))
-      .join(repIds, "__g").select(col(idCol), col("__rep"))
-    val reps = rows.join(repIds.select(col("__rep").as(idCol)),
-      Seq(idCol), "left_semi")
+    import org.apache.spark.sql.expressions.Window
+    val census = rows.select(col(idCol), groupKey.as("__g"))
+    val w = Window.partitionBy(col("__g"),
+      when(col("__g").isNull, col(idCol)))
+    // members of groups of size >= 2 — the only rows the collapse acts
+    // on. Singleton groups (and every null-key row, which partitions
+    // alone by its own id) pass through untouched.
+    val dups = census
+      .select(col(idCol), min(col(idCol)).over(w).as("__rep"),
+        count(lit(1)).over(w).as("__cnt"))
+      .filter(col("__cnt") >= 2)
+      .select(col(idCol), col("__rep"))
+    val dupNonReps = dups.filter(col(idCol) =!= col("__rep"))
+      .select(col(idCol))
+    val reps = rows.join(dupNonReps, Seq(idCol), "left_anti")
     def expand(repPairs: DataFrame): DataFrame = {
-      val ma = membership.select(col("__rep").as("a"), col(idCol).as("__ia"))
-      val mb = membership.select(col("__rep").as("b"), col(idCol).as("__ib"))
-      // groups are disjoint, so member ids may interleave across the
-      // rep order — re-orient each expanded pair
-      val cross = repPairs.join(ma, "a").join(mb, "b")
-        .select(least(col("__ia"), col("__ib")).as("a"),
-          greatest(col("__ia"), col("__ib")).as("b"), col(valueCol))
-      val m1 = membership.select(col("__rep"), col(idCol).as("__ia"))
-      val m2 = membership.select(col("__rep"), col(idCol).as("__ib"))
+      // left-outer against the dup members: a rep outside any dup group
+      // maps to itself (coalesce), one inside fans out to its members.
+      // Groups are disjoint, so member ids may interleave across the
+      // rep order — re-orient each expanded pair.
+      val ma = dups.select(col("__rep").as("a"), col(idCol).as("__ia"))
+      val mb = dups.select(col("__rep").as("b"), col(idCol).as("__ib"))
+      val cross = repPairs
+        .join(ma, Seq("a"), "left_outer")
+        .join(mb, Seq("b"), "left_outer")
+        .select(
+          least(coalesce(col("__ia"), col("a")),
+                coalesce(col("__ib"), col("b"))).as("__a"),
+          greatest(coalesce(col("__ia"), col("a")),
+                   coalesce(col("__ib"), col("b"))).as("__b"),
+          col(valueCol))
+        .select(col("__a").as("a"), col("__b").as("b"), col(valueCol))
+      val m1 = dups.select(col("__rep"), col(idCol).as("__ia"))
+      val m2 = dups.select(col("__rep"), col(idCol).as("__ib"))
       val intra = m1.join(m2, Seq("__rep"))
         .filter(col("__ia") < col("__ib"))
         .select(col("__ia").as("a"), col("__ib").as("b"),
@@ -154,6 +188,10 @@ object TextDedup {
                       shingleN: Int = 3, threshold: Double = 0.7,
                       k: Int = 128, bands: Int = 32): DataFrame = {
     require(k % bands == 0, "k must divide into bands evenly")
+    // the exact-dup collapse emits intra-group pairs at their literal
+    // self-jaccard 1.0 unconditionally — sound for any threshold the
+    // verify filter could admit them under, so gate the degenerate case
+    require(threshold <= 1.0, s"threshold must be <= 1.0 (got $threshold)")
     val r = k / bands
     val sh0 = docs.select(col(idCol), col(textCol),
         wordShingles(col(textCol), shingleN).as("__sh"))
@@ -322,6 +360,8 @@ object TextDedup {
     require(64 % numBands == 0, "numBands must divide 64")
     require(maxHamming < numBands, s"banded recall only guaranteed to Hamming ${numBands - 1}")
     require(threshold >= 0.5, "length-block recall requires threshold >= 0.5")
+    // collapse-soundness gate — see minhashLshPairs
+    require(threshold <= 1.0, s"threshold must be <= 1.0 (got $threshold)")
     // Domain bound, not a heuristic: with k shingles each single-shingle
     // difference perturbs ~32/√k signature bits in expectation, so below
     // ~2 shingles per band (k < 2·numBands) a near-dup pair can exceed
@@ -384,6 +424,8 @@ object TextDedup {
                         lenCol: Column, n: Int = 4, threshold: Double = 0.6,
                         blockWidth: Int = 100): DataFrame = {
     val maxDiff = blockWidth / 2
+    // collapse-soundness gate — see minhashLshPairs
+    require(threshold <= 1.0, s"threshold must be <= 1.0 (got $threshold)")
     // char shingles are empty iff numChars < n — gate on length so the
     // candidate path never materializes shingle arrays (they were being
     // computed per doc just to evaluate a size()>0 filter)

@@ -335,21 +335,48 @@ object VectorSim {
     * expansion. */
   def collapseExactVecDups(emb: DataFrame, idCol: String, vecCol: String)
       : (DataFrame, DataFrame => DataFrame) = {
-    val repIds = emb.groupBy(col(vecCol)).agg(min(col(idCol)).as("__rep"))
-    val membership = emb.join(repIds, Seq(vecCol))
-      .select(col(idCol), col("__rep"))
-    val reps = emb.join(repIds.select(col("__rep").as(idCol)),
-      Seq(idCol), "left_semi")
+    import org.apache.spark.sql.expressions.Window
+    // Dup-group-only window census — same plan shape and rationale as
+    // [[TextDedup.collapseExactDups]]: one narrow (id, vec) shuffle
+    // computes min(id)/count(*) per distinct vector, and everything
+    // downstream consumes only the groups of size >= 2. On a clean
+    // corpus that slice is tiny (reps is a broadcast anti-join, the
+    // expand joins broadcast); on a duplicated corpus it grows with
+    // the duplicated rows and AQE falls back to shuffled joins. A NULL
+    // vector never collapses: it is its own representative (singleton
+    // window partition keyed by its own id), matching the uncollapsed
+    // plan where NULL never equi-joins.
+    val census = emb.select(col(idCol), col(vecCol))
+    val w = Window.partitionBy(col(vecCol),
+      when(col(vecCol).isNull, col(idCol)))
+    val dups = census
+      .select(col(idCol), col(vecCol),
+        min(col(idCol)).over(w).as("__rep"),
+        count(lit(1)).over(w).as("__cnt"))
+      .filter(col("__cnt") >= 2)
+      .select(col(idCol), col(vecCol), col("__rep"))
+    val dupNonReps = dups.filter(col(idCol) =!= col("__rep"))
+      .select(col(idCol))
+    val reps = emb.join(dupNonReps, Seq(idCol), "left_anti")
     def expand(repPairs: DataFrame): DataFrame = {
-      val ma = membership.select(col("__rep").as("a"), col(idCol).as("__ia"))
-      val mb = membership.select(col("__rep").as("b"), col(idCol).as("__ib"))
-      val cross = repPairs.join(ma, "a").join(mb, "b")
-        .select(least(col("__ia"), col("__ib")).as("a"),
-          greatest(col("__ia"), col("__ib")).as("b"), col("cos"))
-      val selfCos = reps.select(col(idCol).as("__rep"),
-        cosine(col(vecCol), col(vecCol)).as("cos"))
-      val m1 = membership.select(col("__rep"), col(idCol).as("__ia"))
-      val m2 = membership.select(col("__rep"), col(idCol).as("__ib"))
+      val ma = dups.select(col("__rep").as("a"), col(idCol).as("__ia"))
+      val mb = dups.select(col("__rep").as("b"), col(idCol).as("__ib"))
+      val cross = repPairs
+        .join(ma, Seq("a"), "left_outer")
+        .join(mb, Seq("b"), "left_outer")
+        .select(
+          least(coalesce(col("__ia"), col("a")),
+                coalesce(col("__ib"), col("b"))).as("a"),
+          greatest(coalesce(col("__ia"), col("a")),
+                   coalesce(col("__ib"), col("b"))).as("b"),
+          col("cos"))
+      // intra pairs exist only inside dup groups, so the self-cosine
+      // comes from the dup reps' own vectors (computed, not literal —
+      // sqrt(d)^2 != d in IEEE, and both engines compute this value)
+      val selfCos = dups.filter(col(idCol) === col("__rep"))
+        .select(col("__rep"), cosine(col(vecCol), col(vecCol)).as("cos"))
+      val m1 = dups.select(col("__rep"), col(idCol).as("__ia"))
+      val m2 = dups.select(col("__rep"), col(idCol).as("__ib"))
       val intra = m1.join(m2, Seq("__rep"))
         .filter(col("__ia") < col("__ib"))
         .join(selfCos, "__rep")
@@ -394,6 +421,13 @@ object VectorSim {
   def semDedup(emb: DataFrame, centroids: DataFrame, idCol: String,
                vecCol: String, simThreshold: Double): DataFrame = {
     import graft.core.Materialize.MaterializeOps
+    // the collapse's output-identity argument needs cos(v, v) (≈1) to
+    // clear the threshold — at simThreshold >= 1 the uncollapsed plan
+    // would KEEP exact copies while the collapse removes them
+    require(simThreshold < 1.0,
+      s"semDedup requires simThreshold < 1.0 (got $simThreshold): the " +
+      "exact-duplicate collapse is output-identical only when a copy's " +
+      "self-cosine clears the threshold")
     def dot(a: Column, b: Column): Column = dotFold(a, b)
     def cos(a: Column, b: Column): Column =
       dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

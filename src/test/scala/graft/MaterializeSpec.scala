@@ -71,4 +71,38 @@ class MaterializeSpec extends SparkSpec {
       spark.conf.unset(Materialize.ScratchKey)
     }
   }
+
+  test("releaseScratch keeps a long board run's scratch bounded") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mat-release").toString
+    spark.conf.set(Materialize.ModeKey, "reliable")
+    spark.conf.set(Materialize.ScratchKey, root)
+    def matDirs(): Seq[String] = {
+      val fs = new java.io.File(root).listFiles()
+      if (fs == null) Seq.empty
+      else fs.map(_.getName).filter(_.startsWith("mat_")).toSeq
+    }
+    try {
+      // a "board": every query materializes, consumes, then releases —
+      // the scratch root must never hold more than one query's worth
+      (1 to 5).foreach { i =>
+        val m = Materialize(Seq(i, i + 1).toDF("x"))
+        assert(m.count() == 2) // full consumption
+        assert(matDirs().size == 1, s"query $i left prior scratch behind")
+        Materialize.releaseScratch(spark)
+        assert(matDirs().isEmpty, s"release after query $i left files")
+      }
+      // release is per-ledger, not rm -rf root: a file some OTHER
+      // process put under the root survives
+      val foreign = new java.io.File(root, "mat_foreign")
+      assert(foreign.mkdir())
+      Materialize(Seq(1).toDF("x")).count()
+      Materialize.releaseScratch(spark)
+      assert(matDirs() == Seq("mat_foreign"))
+    } finally {
+      spark.conf.unset(Materialize.ModeKey)
+      spark.conf.unset(Materialize.ScratchKey)
+    }
+  }
 }

@@ -299,8 +299,18 @@ class PlanAuditSpec extends SparkSpec {
     // final anti-join consume the one materialized collapsed frame
     // (the t_doc_terms pin pattern).
     val p = plan("s_semdedup")
-    assert(!p.contains("FileScan parquet"),
-      "s_semdedup must consume only the materialized collapsed assignment")
+    val mode = spark.conf.getOption(graft.core.Materialize.ModeKey)
+      .getOrElse("local")
+    if (mode == "reliable")
+      // reliable materialization IS a parquet round trip, so the plan
+      // legitimately contains FileScans — of the scratch copy. The pin
+      // then becomes: no scan of the embeddings SOURCE table (the
+      // collapsed assignment is still the only thing the query reads).
+      assert(!p.contains("embeddings.parquet"),
+        "s_semdedup must not rescan the embeddings source in reliable mode")
+    else
+      assert(!p.contains("FileScan parquet"),
+        "s_semdedup must consume only the materialized collapsed assignment")
   }
 
   test("saltedJoin splits the hot key across reducers (skew balance gate)") {
