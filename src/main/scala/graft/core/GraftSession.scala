@@ -101,6 +101,16 @@ object GraftSession {
     // [[Materialize]] and SCALING.md's reliable-mode gate.
     sys.env.get("SPARK_GRAFT_MATERIALIZE_MODE")
       .foreach(m => s.conf.set(Materialize.ModeKey, m))
+    // Config-sensitivity drill hook: arbitrary conf overrides
+    // ("k=v;k2=v2") applied last, so the full board can be proven
+    // hash-identical under e.g. AQE off or the reference's 2560
+    // shuffle partitions (no query may silently depend on a conf).
+    sys.env.get("SPARK_GRAFT_CONF").foreach { spec =>
+      spec.split(';').filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        s.conf.set(k.trim, v.trim)
+      }
+    }
     s
   }
 }
