@@ -23,6 +23,13 @@ object GraftSql {
   def typeCollection(types: AbstractDataType*): AbstractDataType =
     org.apache.spark.sql.types.TypeCollection(types: _*)
 
+  /** Block until every queued listener event has been delivered —
+    * `private[spark]`, re-exported so metric harnesses (ShuffleSmoke) can
+    * snapshot listener-accumulated counters deterministically after a job
+    * instead of sleeping and hoping the bus drained. */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** The DataFrame without its trailing global Sort, if any. Catalog
     * queries end in `orderBy` purely so the driver's oracle hash is
     * order-stable; the benchmark measures the computation, not that
