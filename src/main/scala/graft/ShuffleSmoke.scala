@@ -26,7 +26,12 @@ import org.apache.spark.sql.graft.GraftSql
   * Metrics-harness-only — production sessions keep vectored IO.
   */
 object ShuffleSmoke {
-  private final class Tally extends SparkListener {
+  /** Task-metrics accumulator; public so ShuffleMetricsSpec can pin the
+    * measured byte/record flow of audited queries, not just plan shape.
+    * `snap` layout: input bytes, input records, shuffle-write bytes,
+    * shuffle-write records, shuffle-read bytes, shuffle-read records,
+    * memory-spill bytes, disk-spill bytes, task count. */
+  final class Tally extends SparkListener {
     val input = new AtomicLong; val inputRec = new AtomicLong
     val shWrite = new AtomicLong; val shWriteRec = new AtomicLong
     val shRead = new AtomicLong; val shReadRec = new AtomicLong
