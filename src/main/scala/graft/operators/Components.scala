@@ -30,7 +30,9 @@ object Components {
     * standard degree-ordering so wedges enumerate from low-degree
     * endpoints. Output: (node, n_triangles), nodes in ≥1 triangle. */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b"))
+    // three wedge-join references below — materialize so the (possibly
+    // expensive) pair-producing plan underneath runs once, not thrice
+    val e = edges.select(col("a"), col("b")).materialized()
     val tri = e.alias("__e1")
       .join(e.alias("__e2"), col("__e1.b") === col("__e2.a"))
       .join(e.alias("__e3"),
@@ -44,16 +46,20 @@ object Components {
 
   /** @param edges (a, b) undirected pairs
     * @return (node, component) — component = min node id reachable.
-    *         The result is materialized (cached when convergence was
-    *         shallow, Materialize-backed when deep); call
-    *         `.unpersist()` once consumed (a no-op on the checkpointed
-    *         form, where the context cleaner reclaims the storage).
+    *         The result is always Materialize-backed (never a frame
+    *         still registered in the session cache: see the note at the
+    *         return site); storage is reclaimed by the context cleaner
+    *         once the frame is unreachable.
     * @throws IllegalStateException if labels have not converged after
     *         maxIter passes — unconverged labels are silently WRONG
     *         (over-segmented components), never return them. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+    // the union's two branches are distinct subtrees, so a merely-cached
+    // sym still computes the edge-producing plan twice — materialize the
+    // edge list once and let both branches read the pinned blocks
+    val e = edges.select(col("a"), col("b")).materialized()
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .cache()
     // Each iteration references `labels` TWICE (offers + the propagated
@@ -127,7 +133,20 @@ object Components {
           "with pointer jumping that implies diameter beyond ~2^maxIter; " +
           "raise maxIter")
     }
-    labels.select(col("node"), col("component"))
+    // Decouple the result from the session cache registry: a returned
+    // CACHED frame stays in the CacheManager keyed by its canonical
+    // plan, so a later build of the same query (another bench run, or
+    // another catalog query over the same pair graph) silently reuses
+    // it — measured: warm board runs of the components consumers were
+    // skipping the whole pair+propagation computation. An eager
+    // checkpoint pins the data under a fresh RDD identity instead;
+    // every invocation pays (and times) its own work.
+    val out = labels.select(col("node"), col("component"))
+    if (labelsIsCached) {
+      val pinned = out.materialized(eager = true)
+      labels.unpersist()
+      pinned
+    } else out
   }
 
   /** Weighted PageRank over an edge list by power iteration through

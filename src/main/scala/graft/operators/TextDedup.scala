@@ -140,11 +140,16 @@ object TextDedup {
     // members of groups of size >= 2 — the only rows the collapse acts
     // on. Singleton groups (and every null-key row, which partitions
     // alone by its own id) pass through untouched.
+    // Materialized (lazily) because FIVE downstream references replan it
+    // otherwise — the reps anti-join plus expand's two member joins and
+    // its intra self-join — each re-running the corpus scan + window.
+    // Narrow (id, rep) rows, sized by the duplicated subset only.
     val dups = census
       .select(col(idCol), min(col(idCol)).over(w).as("__rep"),
         count(lit(1)).over(w).as("__cnt"))
       .filter(col("__cnt") >= 2)
       .select(col(idCol), col("__rep"))
+      .materialized()
     val dupNonReps = dups.filter(col(idCol) =!= col("__rep"))
       .select(col(idCol))
     val reps = rows.join(dupNonReps, Seq(idCol), "left_anti")
@@ -202,14 +207,21 @@ object TextDedup {
     // array serialization out of the census scan, and a text-equal
     // group trivially satisfies the signature-equality contract)
     val (shRep, expand) = collapseExactDups(sh0, idCol, md5(col(textCol)))
-    val sh = shRep.select(col(idCol), col("__sh"))
-    val banded = sh
-      .select(col(idCol), posexplode(minhashBands(col("__sh"), k, bands)))
+    // Rep-level derived frame, materialized ONCE (see the simhashPairs
+    // twin comment): the band self-join's two sides and the verify
+    // join's two sides otherwise each replan the corpus scan + tokenize
+    // + census window — consumer-specific pruning defeats ReuseExchange.
+    val base = shRep.select(col(idCol),
+        minhashBands(col("__sh"), k, bands).as("__mb"),
+        hashedShingles(col("__sh")).as("__shh"))
+      .materialized()
+    val banded = base
+      .select(col(idCol), posexplode(col("__mb")))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bsig")
     val cand = pairsFromBuckets(banded, idCol, Seq("__band", "__bsig"))
     // verify over hashed shingles: same Jaccard (collision-negligible),
     // far fewer join-shuffle bytes than the string arrays
-    val shHashed = sh.select(col(idCol), hashedShingles(col("__sh")).as("__sh"))
+    val shHashed = base.select(col(idCol), col("__shh").as("__sh"))
     expand(verifyJaccard(cand, shHashed, idCol, threshold, jaccardSorted))
   }
 
@@ -380,9 +392,18 @@ object TextDedup {
     // collapseExactDups; the minShingles domain gate is
     // signature-determined, so it runs first)
     val (shRep, expand) = collapseExactDups(sh0, idCol, md5(col(textCol)))
-    val sh = shRep.select(col(idCol), col("__sh"))
-    val sims = sh.select(col(idCol), size(col("__sh")).as("__n"),
-      simhash64(col("__sh")).as("__sim"))
+    // Rep-level derived frame, materialized ONCE (see [[Materialize]]):
+    // the band self-join's two sides and the verify join's two sides
+    // otherwise each replan the corpus scan + tokenize + census window —
+    // consumer-specific column pruning stops the subtrees canonicalizing
+    // equal, so ReuseExchange never merges them (same failure mode as
+    // the t_doc_terms r8 regression). One narrow row per rep: id,
+    // shingle count, 64-bit signature, hashed shingle array.
+    val base = shRep.select(col(idCol), size(col("__sh")).as("__n"),
+        simhash64(col("__sh")).as("__sim"),
+        hashedShingles(col("__sh")).as("__shh"))
+      .materialized()
+    val sims = base.select(col(idCol), col("__n"), col("__sim"))
     // Narrow bands have few distinct values (a 4-bit band: 16), so a band
     // key alone buckets O(N) docs. Compose a log2(shingle-count) block
     // into the key: Jaccard ≥ t ≥ 0.5 forces a size ratio ≥ t, i.e. the
@@ -407,7 +428,7 @@ object TextDedup {
       .filter(bit_count(col("__sim_x.__sim").bitwiseXOR(col("__sim_y.__sim"))) <= maxHamming)
       .select(col(s"__sim_x.$idCol").as("a"), col(s"__sim_y.$idCol").as("b"))
       .distinct()
-    val shHashed = sh.select(col(idCol), hashedShingles(col("__sh")).as("__sh"))
+    val shHashed = base.select(col(idCol), col("__shh").as("__sh"))
     expand(verifyJaccard(cand, shHashed, idCol, threshold, jaccardSorted))
   }
 
