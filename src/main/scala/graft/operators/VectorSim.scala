@@ -336,6 +336,7 @@ object VectorSim {
   def collapseExactVecDups(emb: DataFrame, idCol: String, vecCol: String)
       : (DataFrame, DataFrame => DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    import graft.core.Materialize.MaterializeOps
     // Dup-group-only window census — same plan shape and rationale as
     // [[TextDedup.collapseExactDups]]: one narrow (id, vec) shuffle
     // computes min(id)/count(*) per distinct vector, and everything
@@ -349,12 +350,18 @@ object VectorSim {
     val census = emb.select(col(idCol), col(vecCol))
     val w = Window.partitionBy(col(vecCol),
       when(col(vecCol).isNull, col(idCol)))
+    // Materialized (lazily): SIX downstream references (reps anti-join,
+    // expand's two member joins, the self-cosine frame, the intra
+    // self-join) otherwise each replan the embeddings scan + window.
+    // Rows carry the vector (selfCos needs it), sized by the duplicated
+    // subset only.
     val dups = census
       .select(col(idCol), col(vecCol),
         min(col(idCol)).over(w).as("__rep"),
         count(lit(1)).over(w).as("__cnt"))
       .filter(col("__cnt") >= 2)
       .select(col(idCol), col(vecCol), col("__rep"))
+      .materialized()
     val dupNonReps = dups.filter(col(idCol) =!= col("__rep"))
       .select(col(idCol))
     val reps = emb.join(dupNonReps, Seq(idCol), "left_anti")

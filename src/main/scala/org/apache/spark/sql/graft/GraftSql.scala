@@ -23,6 +23,15 @@ object GraftSql {
   def typeCollection(types: AbstractDataType*): AbstractDataType =
     org.apache.spark.sql.types.TypeCollection(types: _*)
 
+  /** Whether `df`'s plan is registered in the session CacheManager —
+    * the registry that silently serves any later canonically-equal
+    * build. Re-exported (the lookup needs the `classic` Dataset type)
+    * so tests can pin that operators release their internal caches. */
+  def isCacheRegistered(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds).isDefined
+  }
+
   /** Block until every queued listener event has been delivered —
     * `private[spark]`, re-exported so metric harnesses (ShuffleSmoke) can
     * snapshot listener-accumulated counters deterministically after a job

@@ -176,6 +176,27 @@ class OperatorsSpec extends SparkSpec {
     labels.unpersist()
   }
 
+  test("connectedComponents leaves no entry in the session cache registry") {
+    import graft.operators.Components
+    // Regression pin for the cache-leak class: a returned frame still
+    // registered in the CacheManager is served to ANY later build of a
+    // canonically-equal plan (another bench run, another query over the
+    // same pair graph) — warm board runs were skipping the whole
+    // pair+propagation computation. The operator must release every
+    // internal cache before returning.
+    import org.apache.spark.sql.graft.GraftSql.isCacheRegistered
+    val edges = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("a", "b")
+    val labels = Components.connectedComponents(edges)
+    labels.count()
+    assert(!isCacheRegistered(labels),
+      "returned components frame must not be cache-registered")
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+    assert(!isCacheRegistered(sym),
+      "internal sym cache must be released before returning")
+  }
+
   test("Multimodal: typed frame decode + resize plumbing (stub codec)") {
     import graft.operators.Multimodal
     val docs = graft.core.Tables.documents(spark, sf001).limit(20)
