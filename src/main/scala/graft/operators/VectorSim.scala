@@ -76,14 +76,26 @@ object VectorSim {
     * corpus. Output: (a, b, cos). */
   def cellCosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
                       cellCol: String, threshold: Double): DataFrame = {
-    val v = corpus.select(col(idCol).as("__id"), col(cellCol).as("__cell"),
+    // Exact-dup collapse keyed on (vector, cell) — the full derivation
+    // signature of this pipeline: bucketing uses the cell, scoring the
+    // vector, so (vector, cell)-identical rows are interchangeable and
+    // a re-crawled corpus (K byte-identical copies per doc) would
+    // otherwise pay K² cosines inside every cell (measured: 38× wall
+    // at ×30 twins before the collapse). The threshold filter runs
+    // AFTER the expansion, so intra-group pairs are filtered on their
+    // computed self-cosine exactly like the uncollapsed plan (a
+    // zero-norm vector's NaN self-cosine still fails every threshold).
+    val v0 = corpus.select(col(idCol), col(cellCol), col(vecCol))
+    val (reps, expand) =
+      collapseExactVecDups(v0, idCol, vecCol, Seq(col(cellCol)))
+    val v = reps.select(col(idCol).as("__id"), col(cellCol).as("__cell"),
       col(vecCol).as("__v"))
     val x = v.alias("__vx"); val y = v.alias("__vy")
-    x.join(y, col("__vx.__cell") === col("__vy.__cell") &&
+    val repPairs = x.join(y, col("__vx.__cell") === col("__vy.__cell") &&
         col("__vx.__id") < col("__vy.__id"))
       .withColumn("cos", cosine(col("__vx.__v"), col("__vy.__v")))
-      .filter(col("cos") >= threshold)
       .select(col("__vx.__id").as("a"), col("__vy.__id").as("b"), col("cos"))
+    expand(repPairs).filter(col("cos") >= threshold)
   }
 
   /** IVF-style ANN: the corpus is pre-partitioned into cells (here the
@@ -333,7 +345,8 @@ object VectorSim {
     * plan's NaN rerank). Candidate volume on a K-times-duplicated
     * corpus drops from K² to the distinct volume + output-proportional
     * expansion. */
-  def collapseExactVecDups(emb: DataFrame, idCol: String, vecCol: String)
+  def collapseExactVecDups(emb: DataFrame, idCol: String, vecCol: String,
+                           extraKeys: Seq[Column] = Nil)
       : (DataFrame, DataFrame => DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import graft.core.Materialize.MaterializeOps
@@ -347,9 +360,17 @@ object VectorSim {
     // vector never collapses: it is its own representative (singleton
     // window partition keyed by its own id), matching the uncollapsed
     // plan where NULL never equi-joins.
-    val census = emb.select(col(idCol), col(vecCol))
-    val w = Window.partitionBy(col(vecCol),
-      when(col(vecCol).isNull, col(idCol)))
+    // extraKeys extend the group signature for pipelines whose pairing
+    // depends on more than the vector (e.g. cellCosinePairs blocks on a
+    // cell label: equal vectors in DIFFERENT cells are not
+    // interchangeable, so they must not collapse). A NULL in ANY key
+    // component forces a singleton, matching the uncollapsed plans
+    // where NULL never equi-joins.
+    val census = emb
+    val nullKey = (col(vecCol).isNull +: extraKeys.map(_.isNull))
+      .reduce(_ || _)
+    val w = Window.partitionBy(
+      (col(vecCol) +: extraKeys) :+ when(nullKey, col(idCol)): _*)
     // Materialized (lazily): SIX downstream references (reps anti-join,
     // expand's two member joins, the self-cosine frame, the intra
     // self-join) otherwise each replan the embeddings scan + window.

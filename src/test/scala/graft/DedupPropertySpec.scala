@@ -582,6 +582,49 @@ class DedupPropertySpec extends SparkSpec {
       "fixture must produce twin pairs")
   }
 
+  test("cellCosinePairs collapse == uncollapsed within-cell join on twins") {
+    import spark.implicits._
+    import graft.operators.VectorSim
+    import org.apache.spark.sql.DataFrame
+    val rnd = new scala.util.Random(47)
+    val dim = 16
+    def vec() = Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    // base corpus over 3 cells; twins duplicate (vector, cell) rows —
+    // PLUS the adversarial cases the (vector, cell) group key exists
+    // for: the same vector planted in a DIFFERENT cell (must NOT
+    // collapse with its same-cell twins) and a NULL cell (must stay a
+    // singleton — NULL never equi-joins in the uncollapsed plan)
+    val base = (0L until 90L).map(i => (i, s"c${i % 3}", vec()))
+    val twins = Seq.fill(25)(base(rnd.nextInt(base.size)))
+      .zipWithIndex.map { case ((_, c, v), k) => (500L + k, c, v) }
+    val crossCell = (600L, "c1", base(0)._3) // base(0) lives in c0
+    val nullCell = (601L, null.asInstanceOf[String], base(1)._3)
+    val emb = (base ++ twins :+ crossCell :+ nullCell)
+      .toDF("vec_id", "label", "embedding")
+    def plainPairs(e: DataFrame): DataFrame = {
+      val v = e.select(col("vec_id").as("__id"), col("label").as("__cell"),
+        col("embedding").as("__v"))
+      val x = v.alias("__px"); val y = v.alias("__py")
+      x.join(y, col("__px.__cell") === col("__py.__cell") &&
+          col("__px.__id") < col("__py.__id"))
+        .withColumn("cos", VectorSim.cosine(col("__px.__v"), col("__py.__v")))
+        .filter(col("cos") >= 0.4)
+        .select(col("__px.__id").as("a"), col("__py.__id").as("b"), col("cos"))
+    }
+    def toSet(df: DataFrame) = df
+      .select(col("a"), col("b"), floor(col("cos") * 1e6).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = toSet(plainPairs(emb))
+    val collapsed = toSet(VectorSim.cellCosinePairs(
+      emb, "vec_id", "embedding", "label", 0.4))
+    assert(collapsed == plain, s"mismatch: missing=${(plain -- collapsed).take(3)} " +
+      s"extra=${(collapsed -- plain).take(3)}")
+    assert(plain.exists { case (a, b, _) => (a >= 500 && a < 600) || (b >= 500 && b < 600) },
+      "fixture must produce twin pairs")
+    assert(!plain.exists { case (a, b, _) => b == 600L && a == 0L },
+      "cross-cell planted row must not pair with its same-vector origin")
+  }
+
   /** VectorSim.semDedup's exact-duplicate collapse must be invisible:
     * the survivors on a corpus WITH byte-identical twins must equal a
     * driver-side reference that scans every copy (the uncollapsed
