@@ -22,27 +22,32 @@ import org.apache.spark.sql.functions._
   */
 object ChaosSmoke {
 
-  private def executorPids(): Seq[Int] = {
+  /** Executor JVMs belonging to THIS application only: the standalone
+    * executor launch command carries `--app-id <applicationId>`, so
+    * filtering on it keeps the SIGKILL away from any unrelated Spark
+    * app that happens to share the host. */
+  private def executorPids(appId: String): Seq[Int] = {
     val procs = new java.io.File("/proc").listFiles()
       .filter(f => f.getName.forall(_.isDigit))
     procs.flatMap { p =>
       try {
         val cmd = java.nio.file.Files.readString(
           java.nio.file.Paths.get(s"/proc/${p.getName}/cmdline"))
-        if (cmd.contains("CoarseGrainedExecutorBackend")) Some(p.getName.toInt)
+        if (cmd.contains("CoarseGrainedExecutorBackend") &&
+            cmd.contains(appId)) Some(p.getName.toInt)
         else None
       } catch { case _: Throwable => None }
     }.toSeq.sorted
   }
 
-  private def killOneExecutor(): Int = {
-    val pids = executorPids()
+  private def killOneExecutor(appId: String): Int = {
+    val pids = executorPids(appId)
     require(pids.nonEmpty, "no executor JVMs found to kill")
     val pid = pids.head
     Runtime.getRuntime.exec(Array("kill", "-9", pid.toString)).waitFor()
     // wait for the process to actually vanish before proceeding
     var tries = 0
-    while (executorPids().contains(pid) && tries < 50) {
+    while (executorPids(appId).contains(pid) && tries < 50) {
       Thread.sleep(100); tries += 1
     }
     pid
@@ -54,14 +59,9 @@ object ChaosSmoke {
       .master("local-cluster[2,2,2048]")
       .appName("graft-chaos")
       .config("spark.executor.extraClassPath",
-        sys.env.getOrElse("SPARK_GRAFT_CLASSES",
-          "/root/repo/target/scala-2.13/classes"))
+        graft.core.GraftSession.executorClasses)
       .config("spark.executor.extraJavaOptions",
-        Seq("java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
-          "java.net", "java.nio", "java.util", "java.util.concurrent",
-          "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
-          "sun.security.action", "sun.util.calendar")
-          .map(p => s"--add-opens java.base/$p=ALL-UNNAMED").mkString(" "))
+        graft.core.GraftSession.executorJavaOptions)
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft_chaos_warehouse")
@@ -71,6 +71,7 @@ object ChaosSmoke {
       .config("spark.task.maxFailures", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val appId = spark.sparkContext.applicationId
 
     def someFrame(seed: Int) = spark.range(0, 2000000, 1, 8)
       .withColumn("k", pmod(hash(col("id") + lit(seed)), lit(1000)))
@@ -79,7 +80,7 @@ object ChaosSmoke {
     // Leg 1: reliable materialization survives executor loss.
     spark.conf.set(Materialize.ModeKey, "reliable")
     val reliable = Materialize(someFrame(1), eager = true)
-    val killed1 = killOneExecutor()
+    val killed1 = killOneExecutor(appId)
     val leg1 =
       try { val n = reliable.count(); s"SURVIVED n=$n" }
       catch { case e: Throwable => s"DIED ${e.getClass.getSimpleName}" }
@@ -91,7 +92,7 @@ object ChaosSmoke {
     // (blocks are unreplicated but their placement is scheduler-chosen).
     spark.conf.set(Materialize.ModeKey, "local")
     val local = Materialize(someFrame(2), eager = true)
-    val pids = executorPids()
+    val pids = executorPids(appId)
     pids.foreach { pid =>
       Runtime.getRuntime.exec(Array("kill", "-9", pid.toString)).waitFor()
     }

@@ -30,14 +30,9 @@ object JdbcClusterSmoke {
       .master("local-cluster[2,4,3072]")
       .appName("graft-jdbc-smoke")
       .config("spark.executor.extraClassPath",
-        sys.env.getOrElse("SPARK_GRAFT_CLASSES",
-          "/root/repo/target/scala-2.13/classes"))
+        graft.core.GraftSession.executorClasses)
       .config("spark.executor.extraJavaOptions",
-        Seq("java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
-          "java.net", "java.nio", "java.util", "java.util.concurrent",
-          "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
-          "sun.security.action", "sun.util.calendar")
-          .map(p => s"--add-opens java.base/$p=ALL-UNNAMED").mkString(" "))
+        graft.core.GraftSession.executorJavaOptions)
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft_jdbc_smoke_wh")
@@ -69,9 +64,16 @@ object JdbcClusterSmoke {
 
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.hive.jdbc.HiveDriver")
+    // partition bounds from the ACTUAL key range, so each of the 4 JDBC
+    // partitions carries real rows at every scale factor (hardcoded
+    // bounds would funnel all rows into one stride's partition elsewhere)
+    val Array(bounds) = spark.table("customers")
+      .agg(min(col("c_custkey")).as("lo"), max(col("c_custkey")).as("hi"))
+      .collect()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val viaJdbc = graft.sources.JdbcIO.read(spark,
         s"jdbc:hive2://localhost:$port/default", "customers",
-        partitionColumn = Some(("c_custkey", 0L, 200000L, 4)), props = props)
+        partitionColumn = Some(("c_custkey", lo, hi + 1, 4)), props = props)
       .filter(col("c_acctbal") > 0.0)
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),

@@ -12,6 +12,30 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Executor classpath for `local-cluster` masters (separate executor
+    * JVMs need the engine classes on their OWN classpath). Resolution:
+    * `SPARK_GRAFT_CLASSES` if set, else this class's own code-source
+    * location — the directory/jar the driver itself loaded graft from,
+    * which on a shared-filesystem host is exactly what the executor
+    * JVMs should read. No environment-specific path is baked in. */
+  def executorClasses: String =
+    sys.env.getOrElse("SPARK_GRAFT_CLASSES", {
+      val src = getClass.getProtectionDomain.getCodeSource
+      require(src != null && src.getLocation != null,
+        "cannot locate graft classes for executor JVMs " +
+          "(opaque classloader) — set SPARK_GRAFT_CLASSES explicitly")
+      new java.io.File(src.getLocation.toURI).getAbsolutePath
+    })
+
+  /** Java-17 module opens Spark needs in executor JVMs (the driver
+    * launcher applies the same set via its own JVM flags). */
+  val executorJavaOptions: String =
+    Seq("java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+      "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar")
+      .map(p => s"--add-opens java.base/$p=ALL-UNNAMED").mkString(" ")
+
   /** Cluster-profile conf set for the 100 TB target (applied on top of a
     * user-provided builder; local() uses the laptop-profile values).
     * Rationale per key:
@@ -68,17 +92,8 @@ object GraftSession {
     val builder =
       if (!master.startsWith("local-cluster")) builder0
       else builder0
-        .config("spark.executor.extraClassPath",
-          sys.env.getOrElse("SPARK_GRAFT_CLASSES",
-            "/root/repo/target/scala-2.13/classes"))
-        .config("spark.executor.extraJavaOptions",
-          Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
-            "java.io", "java.net", "java.nio", "java.util",
-            "java.util.concurrent", "java.util.concurrent.atomic",
-            "sun.nio.ch", "sun.nio.cs", "sun.security.action",
-            "sun.util.calendar")
-            .map(p => s"--add-opens java.base/$p=ALL-UNNAMED")
-            .mkString(" "))
+        .config("spark.executor.extraClassPath", executorClasses)
+        .config("spark.executor.extraJavaOptions", executorJavaOptions)
     val s = builder
       // graft's native expressions (minhash/simhash) for SQL-string callers
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -105,10 +120,25 @@ object GraftSession {
     // ("k=v;k2=v2") applied last, so the full board can be proven
     // hash-identical under e.g. AQE off or the reference's 2560
     // shuffle partitions (no query may silently depend on a conf).
+    // Scope: runtime-modifiable SQL confs only (this runs AFTER session
+    // creation — static confs like executor memory cannot change here),
+    // and ';' is the entry separator so values may not contain it.
     sys.env.get("SPARK_GRAFT_CONF").foreach { spec =>
-      spec.split(';').filter(_.contains("=")).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        s.conf.set(k.trim, v.trim)
+      spec.split(';').map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2) match {
+          case a if a.length == 2 => a
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_CONF entry '$kv' is not of the form key=value")
+        }
+        require(k.trim.nonEmpty,
+          s"SPARK_GRAFT_CONF entry '$kv' has an empty key")
+        try s.conf.set(k.trim, v.trim)
+        catch {
+          case e: Throwable => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_CONF could not set '${k.trim}' " +
+              s"(static/non-runtime confs cannot be set post-session): " +
+              e.getMessage, e)
+        }
       }
     }
     s

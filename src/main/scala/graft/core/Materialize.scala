@@ -90,21 +90,24 @@ object Materialize {
     val root = scratchRoot(spark)
     val path = s"$root/mat_${java.util.UUID.randomUUID().toString.take(16)}"
     df.write.mode("overwrite").parquet(path)
-    written.computeIfAbsent(root,
+    written.computeIfAbsent(spark.sparkContext.applicationId,
       _ => new java.util.concurrent.ConcurrentLinkedQueue[String]()).add(path)
     cleanupOnExit(spark, root)
     spark.read.parquet(path)
   }
 
-  // JVM-local ledger of scratch paths written per root — the unit
-  // releaseScratch deletes. Paths, not the whole root: several sessions
-  // (or a driver restart) may share a root prefix.
+  // JVM-local ledger of scratch paths written per APPLICATION — keyed by
+  // applicationId, not by scratch root, so a `graft.materialize.scratchDir`
+  // (or warehouse-dir) change mid-session cannot strand earlier entries
+  // under a root releaseScratch no longer looks at. Paths are stored
+  // fully qualified, so deletion never re-derives the root.
   private val written =
     new java.util.concurrent.ConcurrentHashMap[
       String, java.util.concurrent.ConcurrentLinkedQueue[String]]()
 
-  /** Delete every reliable-mode materialization this JVM has written
-    * under the session's current scratch root, emptying the ledger.
+  /** Delete every reliable-mode materialization this application has
+    * written — regardless of which scratch root was configured at write
+    * time — emptying the ledger.
     *
     * Contract: call only at a QUIESCENT point — after every frame
     * materialized so far has been fully consumed (board runners call it
@@ -112,7 +115,7 @@ object Materialize {
     * `Materialize(...)` is invalid after release (its backing files are
     * gone). No-op in `local` mode or when nothing was written. */
   def releaseScratch(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val q = written.remove(scratchRoot(spark))
+    val q = written.remove(spark.sparkContext.applicationId)
     if (q != null) {
       val conf = spark.sparkContext.hadoopConfiguration
       q.forEach { p =>

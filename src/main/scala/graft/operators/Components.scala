@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.Materialize.MaterializeOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Connected components by iterative min-label propagation — turns
@@ -42,6 +42,125 @@ object Components {
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).cast("long").as("n_triangles"))
+  }
+
+  /** [[triangleCounts]] of the BLOWN-UP near-dup graph, computed on the
+    * collapsed rep graph — the scale-safe form for corpora with heavy
+    * exact duplication. Exact triangle enumeration on the expanded graph
+    * is cubic in duplicate copies: every k-copy dup group is a k-clique
+    * in the pair graph, so C(k,3) triangles per group must each be
+    * wedge-enumerated (measured 111 s at ×100 byte-identical twins — the
+    * only super-linear row of the r11 scale board). Here the enumeration
+    * runs on H = (repEdges over exact-dup representatives) with group
+    * sizes as node weights, and each member's count is the closed form
+    * over its group r and r's H-neighborhood:
+    *
+    *   T(u ∈ r) = C(w_r−1, 2)                       — both others in r
+    *            + (w_r−1) · Σ_{s∈N(r)} w_s           — one in r, one in s
+    *            + Σ_{s∈N(r)} C(w_s, 2)               — both in one s
+    *            + Σ_{(s,t)∈E(H)∩N(r)²} w_s·w_t       — H-triangle corners
+    *
+    * (the last term is the ordered H-wedge enumeration, each H-triangle
+    * contributing the product of the other two corners' weights to each
+    * corner). Every stage is linear in H plus one output-proportional
+    * member expansion; nothing scales with copy count. Output-identical
+    * to `triangleCounts(expand(repPairs))` because the expanded graph IS
+    * the blow-up: each dup group an intra-clique (identical signatures
+    * pair at jaccard 1.0 under any admissible threshold), each rep edge a
+    * complete bipartite bundle, and every member of a group is
+    * graph-automorphic to its rep (DedupPropertySpec proves equality on
+    * randomized planted-twin corpora).
+    *
+    * @param repEdges   (a, b) undirected rep pairs, a < b — the collapsed
+    *                   graph H (e.g. `minhashLshPairsCollapsed(...).repPairs`)
+    * @param dupMembers (rep, member) dup-group membership, rep = group min
+    *                   id, rep itself included, singletons absent
+    *                   ([[graft.operators.TextDedup.collapseExactDupsFull]])
+    * @return (node, n_triangles) over members AND singleton reps, nodes
+    *         in ≥ 1 triangle only — the [[triangleCounts]] contract */
+  def weightedTriangleCounts(repEdges: DataFrame,
+                             dupMembers: DataFrame): DataFrame = {
+    def c2(w: Column): Column = shiftright(w * (w - lit(1L)), 1)
+    // H is consumed by the wedge join (3 refs), the neighbor aggregate,
+    // and the node universe — materialize the (possibly expensive)
+    // pair-producing plan once, same rationale as triangleCounts
+    val e = repEdges.select(col("a"), col("b")).materialized()
+    val wTab = dupMembers.groupBy(col("rep"))
+      .agg(count(lit(1)).cast("long").as("__w"))
+    // node universe: H endpoints (weight 1 unless a dup rep) ∪ dup reps —
+    // an edge-less dup group of size ≥ 3 is still an expanded clique with
+    // C(w−1, 2) triangles per member, so it must not be dropped
+    val hNodes = e.select(col("a").as("rep"))
+      .unionAll(e.select(col("b").as("rep"))).distinct()
+    val base = hNodes.unionAll(wTab.select(col("rep"))).distinct()
+      .join(wTab, Seq("rep"), "left")
+      .select(col("rep"), coalesce(col("__w"), lit(1L)).as("__w"))
+      .materialized()
+    val sym = e.select(col("a").as("r"), col("b").as("s"))
+      .unionAll(e.select(col("b").as("r"), col("a").as("s")))
+    val nbr = sym.join(base.select(col("rep").as("s"), col("__w")), "s")
+      .groupBy(col("r"))
+      .agg(sum(col("__w")).as("__s1"), sum(c2(col("__w"))).as("__s2"))
+    val tri = e.alias("__e1")
+      .join(e.alias("__e2"), col("__e1.b") === col("__e2.a"))
+      .join(e.alias("__e3"),
+        col("__e3.a") === col("__e1.a") && col("__e3.b") === col("__e2.b"))
+      .select(col("__e1.a").as("x"), col("__e1.b").as("y"),
+        col("__e2.b").as("z"))
+    val t4 = tri
+      .join(base.select(col("rep").as("x"), col("__w").as("__wx")), "x")
+      .join(base.select(col("rep").as("y"), col("__w").as("__wy")), "y")
+      .join(base.select(col("rep").as("z"), col("__w").as("__wz")), "z")
+      .select(explode(array(
+        struct(col("x").as("r"), (col("__wy") * col("__wz")).as("__t")),
+        struct(col("y").as("r"), (col("__wx") * col("__wz")).as("__t")),
+        struct(col("z").as("r"), (col("__wx") * col("__wy")).as("__t"))))
+        .as("__c"))
+      .groupBy(col("__c.r").as("r")).agg(sum(col("__c.__t")).as("__t4"))
+    val perMember = base
+      .join(nbr.withColumnRenamed("r", "rep"), Seq("rep"), "left")
+      .join(t4.withColumnRenamed("r", "rep"), Seq("rep"), "left")
+      .select(col("rep"),
+        (c2(col("__w") - 1)
+          + (col("__w") - 1) * coalesce(col("__s1"), lit(0L))
+          + coalesce(col("__s2"), lit(0L))
+          + coalesce(col("__t4"), lit(0L))).cast("long").as("n_triangles"))
+      .filter(col("n_triangles") > 0)
+    perMember.join(dupMembers, Seq("rep"), "left")
+      .select(coalesce(col("member"), col("rep")).as("node"),
+        col("n_triangles"))
+  }
+
+  /** [[connectedComponents]] of the BLOWN-UP near-dup graph, computed on
+    * the collapsed rep graph. Sound because each dup group's rep IS its
+    * minimum member id ([[graft.operators.TextDedup.collapseExactDupsFull]]'s
+    * contract): a group's members connect only through their rep's
+    * H-component, so components(expanded) == expand(components(H)) — the
+    * min id of an expanded component is the min REP of its H-component,
+    * which is exactly H's own label. Label propagation then runs over H
+    * (its size tracks distinct content, not copies) and the result maps
+    * back through one membership join; the ×100 twin cost of iterating
+    * over a copy-proportional edge list is gone.
+    *
+    * @param repEdges   (a, b) rep pairs over H
+    * @param dupMembers (rep, member) per [[weightedTriangleCounts]]
+    * @return (node, component) over exactly the expanded graph's nodes:
+    *         all dup-group members plus singleton reps with an H edge */
+  def connectedComponentsCollapsed(repEdges: DataFrame,
+                                   dupMembers: DataFrame,
+                                   maxIter: Int = 20): DataFrame = {
+    val compH = connectedComponents(repEdges, maxIter)
+    val dupReps = dupMembers.select(col("rep")).distinct()
+    // a dup group whose rep has no qualifying H edge is still its own
+    // expanded component (the intra clique), labeled by the rep itself
+    val repLab = dupReps
+      .join(compH.withColumnRenamed("node", "rep"), Seq("rep"), "left")
+      .select(col("rep"), coalesce(col("component"), col("rep")).as("component"))
+    val members = dupMembers.join(repLab, "rep")
+      .select(col("member").as("node"), col("component"))
+    val hOnly = compH
+      .join(dupReps.withColumnRenamed("rep", "node"), Seq("node"), "left_anti")
+    members.unionByName(hOnly)
   }
 
   /** @param edges (a, b) undirected pairs

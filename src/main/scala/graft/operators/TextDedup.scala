@@ -133,6 +133,27 @@ object TextDedup {
                         valueCol: String = "jaccard",
                         intraValue: Column = lit(1.0))
       : (DataFrame, DataFrame => DataFrame) = {
+    val c = collapseExactDupsFull(rows, idCol, groupKey, valueCol, intraValue)
+    (c.reps, c.expand)
+  }
+
+  /** The collapse of [[collapseExactDups]] plus its dup-group MEMBERSHIP
+    * frame — what graph consumers need to stay on the collapsed graph
+    * instead of expanding pairs only to re-contract them.
+    *
+    * `dupMembers` is (rep, member): one row per member of each dup group
+    * (groups of ≥ 2 equal signatures; the rep itself included, singletons
+    * absent). `rep` is always the group's MINIMUM member id — the
+    * invariant [[graft.operators.Components]]' collapsed-graph operators
+    * rely on (a component's label equals its min id, and each group's
+    * min IS its rep, so labels computed on the rep graph are already the
+    * labels of the expanded graph). */
+  final case class DupCollapse(reps: DataFrame, dupMembers: DataFrame,
+                               expand: DataFrame => DataFrame)
+
+  def collapseExactDupsFull(rows: DataFrame, idCol: String, groupKey: Column,
+                            valueCol: String = "jaccard",
+                            intraValue: Column = lit(1.0)): DupCollapse = {
     import org.apache.spark.sql.expressions.Window
     val census = rows.select(col(idCol), groupKey.as("__g"))
     val w = Window.partitionBy(col("__g"),
@@ -178,7 +199,8 @@ object TextDedup {
           intraValue.as(valueCol))
       cross.unionAll(intra)
     }
-    (reps, expand)
+    DupCollapse(reps,
+      dups.select(col("__rep").as("rep"), col(idCol).as("member")), expand)
   }
 
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
@@ -192,6 +214,30 @@ object TextDedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, threshold: Double = 0.7,
                       k: Int = 128, bands: Int = 32): DataFrame = {
+    val c = minhashLshPairsCollapsed(docs, idCol, textCol, shingleN,
+      threshold, k, bands)
+    c.expand(c.repPairs)
+  }
+
+  /** The COLLAPSED form of [[minhashLshPairs]]: qualifying pairs over the
+    * exact-dup REPRESENTATIVES plus the dup-group membership, NOT yet
+    * expanded to the member pair list. The expanded near-dup graph is
+    * exactly the blow-up of this one — each dup group a clique (every
+    * intra pair has jaccard 1.0), each rep pair a complete bipartite
+    * bundle — so graph consumers (components, triangle counts) can run on
+    * the small rep graph and map results back through `dupMembers`
+    * ([[graft.operators.Components.connectedComponentsCollapsed]] /
+    * [[graft.operators.Components.weightedTriangleCounts]]), skipping the
+    * quadratic-in-copies pair expansion a re-crawled corpus would pay
+    * (measured: d_triangles 111 s → linear at ×100 twins, SCALING.md).
+    *
+    * @return repPairs (a, b, jaccard) with a < b over reps only;
+    *         dupMembers (rep, member) per [[collapseExactDupsFull]];
+    *         expand maps rep pairs to the full member pair list — the
+    *         identity `expand(repPairs) == minhashLshPairs(...)`. */
+  def minhashLshPairsCollapsed(docs: DataFrame, idCol: String, textCol: String,
+                               shingleN: Int = 3, threshold: Double = 0.7,
+                               k: Int = 128, bands: Int = 32): CollapsedPairs = {
     require(k % bands == 0, "k must divide into bands evenly")
     // the exact-dup collapse emits intra-group pairs at their literal
     // self-jaccard 1.0 unconditionally — sound for any threshold the
@@ -206,12 +252,12 @@ object TextDedup {
     // before banding (see collapseExactDups; keying on md5(text) keeps
     // array serialization out of the census scan, and a text-equal
     // group trivially satisfies the signature-equality contract)
-    val (shRep, expand) = collapseExactDups(sh0, idCol, md5(col(textCol)))
+    val c = collapseExactDupsFull(sh0, idCol, md5(col(textCol)))
     // Rep-level derived frame, materialized ONCE (see the simhashPairs
     // twin comment): the band self-join's two sides and the verify
     // join's two sides otherwise each replan the corpus scan + tokenize
     // + census window — consumer-specific pruning defeats ReuseExchange.
-    val base = shRep.select(col(idCol),
+    val base = c.reps.select(col(idCol),
         minhashBands(col("__sh"), k, bands).as("__mb"),
         hashedShingles(col("__sh")).as("__shh"))
       .materialized()
@@ -222,8 +268,14 @@ object TextDedup {
     // verify over hashed shingles: same Jaccard (collision-negligible),
     // far fewer join-shuffle bytes than the string arrays
     val shHashed = base.select(col(idCol), col("__shh").as("__sh"))
-    expand(verifyJaccard(cand, shHashed, idCol, threshold, jaccardSorted))
+    CollapsedPairs(
+      verifyJaccard(cand, shHashed, idCol, threshold, jaccardSorted),
+      c.dupMembers, c.expand)
   }
+
+  /** See [[minhashLshPairsCollapsed]]. */
+  final case class CollapsedPairs(repPairs: DataFrame, dupMembers: DataFrame,
+                                  expand: DataFrame => DataFrame)
 
   /** Winnowing fingerprints of a text column (rolling-hash k-grams →
     * sliding-window minima; [[graft.functions.WinnowFingerprints]]) as a

@@ -91,10 +91,16 @@ object DedupQueries {
     // connected components — each doc labeled with its cluster's minimum
     // id (the canonical survivor); the actual dedup is then "keep rows
     // where doc_id == component".
+    // Runs on the COLLAPSED rep graph (minhashLshPairsCollapsed →
+    // connectedComponentsCollapsed): propagation cost tracks distinct
+    // content, not copy count — on a re-crawled corpus the expanded pair
+    // graph is quadratic-in-copies per dup group, and iterating over it
+    // was the r11 ×100 board's components-family cost (16-29 s/row).
     "d_dedup_clusters" -> { (s, dir) =>
-      val pairs = TextDedup.minhashLshPairs(Tables.documents(s, dir),
+      val c = TextDedup.minhashLshPairsCollapsed(Tables.documents(s, dir),
         "doc_id", "text", shingleN = 3, threshold = 0.7)
-      graft.operators.Components.connectedComponents(pairs.select("a", "b"))
+      graft.operators.Components
+        .connectedComponentsCollapsed(c.repPairs.select("a", "b"), c.dupMembers)
         .orderBy("node")
     },
 
@@ -106,10 +112,10 @@ object DedupQueries {
     // key at any corpus size.
     "d_canonical_docs" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+      val c = TextDedup.minhashLshPairsCollapsed(docs, "doc_id", "text",
         shingleN = 3, threshold = 0.7)
       val comp = graft.operators.Components
-        .connectedComponents(pairs.select("a", "b"))
+        .connectedComponentsCollapsed(c.repPairs.select("a", "b"), c.dupMembers)
         .withColumnRenamed("node", "doc_id")
       docs.select(col("doc_id"), col("n_chars"))
         .join(comp, Seq("doc_id"), "left")
@@ -127,12 +133,17 @@ object DedupQueries {
     // Triangle participation in the near-dup graph: template spam shows
     // up as near-dup CLIQUES (every pair similar), organic duplication
     // as chains — per-doc triangle counts separate the two where
-    // component size alone cannot. Ordered wedge join (x<y<z), three
-    // equi-joins, nothing all-pairs.
+    // component size alone cannot. Weighted closed form on the COLLAPSED
+    // rep graph (see Components.weightedTriangleCounts): exact
+    // enumeration on the expanded graph is cubic in duplicate copies
+    // (C(k,3) wedge triples per k-copy group — 117× wall at ×100 twins,
+    // the r11 board's one super-linear row), while this form is linear
+    // in the rep graph and output-identical.
     "d_triangles" -> { (s, dir) =>
-      val pairs = TextDedup.minhashLshPairs(Tables.documents(s, dir),
+      val c = TextDedup.minhashLshPairsCollapsed(Tables.documents(s, dir),
         "doc_id", "text", shingleN = 3, threshold = 0.7)
-      graft.operators.Components.triangleCounts(pairs.select("a", "b"))
+      graft.operators.Components
+        .weightedTriangleCounts(c.repPairs.select("a", "b"), c.dupMembers)
         .withColumnRenamed("node", "doc_id")
         .orderBy("doc_id")
     },
@@ -147,10 +158,10 @@ object DedupQueries {
     // the output: per-split n_clusters sums to the global cluster count.
     "d_leakage_safe_split" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+      val c = TextDedup.minhashLshPairsCollapsed(docs, "doc_id", "text",
         shingleN = 3, threshold = 0.7)
       val comp = graft.operators.Components
-        .connectedComponents(pairs.select("a", "b"))
+        .connectedComponentsCollapsed(c.repPairs.select("a", "b"), c.dupMembers)
         .withColumnRenamed("node", "doc_id")
       docs.select(col("doc_id"), col("n_chars"))
         .join(comp, Seq("doc_id"), "left")

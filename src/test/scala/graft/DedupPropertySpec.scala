@@ -625,6 +625,39 @@ class DedupPropertySpec extends SparkSpec {
       "cross-cell planted row must not pair with its same-vector origin")
   }
 
+  /** The round-12 rep-graph operators must equal the expanded-graph
+    * composition bit-for-bit on the twin corpus: the blown-up pair graph
+    * (what minhashLshPairs emits) fed to the ENUMERATING operators vs
+    * the collapsed rep graph fed to the closed-form/label-expansion
+    * ones. The corpus's triple twin group (7,301,302) plus twins of
+    * near-dup endpoints exercise intra-clique, bipartite-bundle, and
+    * H-triangle corner terms at once. */
+  test("rep-graph triangles + components == expanded-graph composition on twins") {
+    import spark.implicits._
+    import graft.operators.Components
+    import org.apache.spark.sql.DataFrame
+    val docs = corpus.toDF("doc_id", "text")
+    val c = TextDedup.minhashLshPairsCollapsed(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.7)
+    val expanded = c.expand(c.repPairs).select("a", "b")
+    def keyed(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantTri = keyed(Components.triangleCounts(expanded))
+    val gotTri = keyed(Components.weightedTriangleCounts(
+      c.repPairs.select("a", "b"), c.dupMembers))
+    assert(gotTri == wantTri, s"triangle mismatch: " +
+      s"missing=${(wantTri -- gotTri).take(3)} extra=${(gotTri -- wantTri).take(3)}")
+    assert(gotTri.nonEmpty, "fixture must produce triangles")
+    val wantComp = keyed(Components.connectedComponents(expanded))
+    val gotComp = keyed(Components.connectedComponentsCollapsed(
+      c.repPairs.select("a", "b"), c.dupMembers))
+    assert(gotComp == wantComp, s"component mismatch: " +
+      s"missing=${(wantComp -- gotComp).take(3)} extra=${(gotComp -- wantComp).take(3)}")
+    // the twin groups must actually be present as dup members (else this
+    // test silently degenerates to the w=1 case)
+    assert(c.dupMembers.count() >= 15)
+  }
+
   /** VectorSim.semDedup's exact-duplicate collapse must be invisible:
     * the survivors on a corpus WITH byte-identical twins must equal a
     * driver-side reference that scans every copy (the uncollapsed

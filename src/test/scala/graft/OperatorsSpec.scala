@@ -394,6 +394,46 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L))
   }
 
+  test("weightedTriangleCounts: hand-computed blow-up cases, all four terms") {
+    import graft.operators.Components
+    def run(edges: Seq[(Long, Long)], members: Seq[(Long, Long)]) = {
+      val e = if (edges.isEmpty)
+        Seq((0L, 0L)).toDF("a", "b").filter(lit(false))
+      else edges.toDF("a", "b")
+      Components.weightedTriangleCounts(e, members.toDF("rep", "member"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    // edge-less dup group of size 4 = expanded K4: 3 per member (the
+    // intra-clique C(w-1, 2) term alone; the group must not be dropped
+    // just because its rep has no H edge)
+    assert(run(Nil, Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L))) ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // H path 1-10-20 with w(1)=3 {1,2,3}: expanded = clique{1,2,3} +
+    // {1,2,3}x{10} + (10,20). Exercises intra, rep-edge, neighbor-clique
+    // terms; 20 is in no triangle and must be absent.
+    assert(run(Seq((1L, 10L), (10L, 20L)),
+      Seq((1L, 1L), (1L, 2L), (1L, 3L))) ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 10L -> 3L))
+    // H triangle (1,10,20) with w(1)=2 {1,2}: exercises the fourth
+    // (H-triangle corner product) term — node 10 counts 1 neighbor-clique
+    // triangle (1,2,10) plus w1*w20 = 2 corner triangles
+    assert(run(Seq((1L, 10L), (1L, 20L), (10L, 20L)),
+      Seq((1L, 1L), (1L, 2L))) ==
+      Map(1L -> 3L, 2L -> 3L, 10L -> 3L, 20L -> 3L))
+  }
+
+  test("connectedComponentsCollapsed: members inherit H labels; edge-less groups self-label") {
+    import graft.operators.Components
+    // H edge (1,3) where group 3 = {3,4}; group 5 = {5,6,7} has no H edge
+    val edges = Seq((1L, 3L)).toDF("a", "b")
+    val members = Seq((3L, 3L), (3L, 4L), (5L, 5L), (5L, 6L), (5L, 7L))
+      .toDF("rep", "member")
+    val got = Components.connectedComponentsCollapsed(edges, members)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
   test("scd2Apply: change/carry/insert/delete transitions; closed rows pass through") {
     import java.sql.Date
     val d0 = Date.valueOf("2020-01-01"); val d1 = Date.valueOf("2021-01-01")
