@@ -160,6 +160,95 @@ object Windows {
     df.join(slid, cond).drop(gcols.map(c => s"__r_$c"): _*)
   }
 
+  /** Exact sliding RANGE-frame DISTINCT count for LOW-CARDINALITY
+    * partition keys — the scalable form of
+    * `size(collect_set(x)).over(Window.partitionBy(keys).orderBy(ts).rangeBetween(-w, 0))`
+    * (SQL `COUNT(DISTINCT x) OVER (... RANGE BETWEEN w PRECEDING AND
+    * CURRENT ROW)`).
+    *
+    * Distinct counts don't decompose into per-tick partials the way sums
+    * do ([[slidingRangeSum]]), so the two-level trick needs a different
+    * algebra — COVERAGE intervals. A value x occurring at ticks
+    * t₁ < t₂ < … is counted in the window ending at t iff
+    * t ∈ ∪ᵢ [tᵢ, tᵢ+w]. Right endpoints increase with i, so interval i's
+    * overlap with the union of its predecessors is exactly its overlap
+    * with interval i−1, giving an exact delta decomposition:
+    *
+    *   +1 at tᵢ, −1 at tᵢ+w+1                    for every occurrence
+    *   −1 at tᵢ, +1 at tᵢ₋₁+w+1  when tᵢ ≤ tᵢ₋₁+w (the pairwise overlap)
+    *
+    * and `count_distinct(window ending at t) = Σ deltas at ticks ≤ t`.
+    *
+    * Cost shape at 100 TB: one whole-relation hash aggregate to distinct
+    * (keys, x, tick) occurrences; a window KEYED BY (keys, x) for the
+    * `lag` (parallelism = distinct values, not distinct keys — the
+    * opposite of the direct form's bottleneck); a hash aggregate of
+    * deltas to (keys, tick); a running sum over the COLLAPSED per-tick
+    * frame (bounded by distinct ticks/key, 86 400/day at second
+    * granularity); one join back per row. Nothing buffers a
+    * rows-proportional frame. The direct form measured 26× at ×100
+    * twins (SCALING.md) because 5 keyed tasks each re-scan a
+    * copy-proportional set frame per row.
+    *
+    * Semantics matched to the direct form: NULL `x` never counts
+    * (collect_set / COUNT(DISTINCT) drop nulls); NULL-tick rows form one
+    * peer group per key counting that group's distinct values (SQL RANGE
+    * treats NULL ordering values as mutual peers); NULL keys are a
+    * regular group (null-safe join-back, as in [[slidingRangeSum]]). */
+  def slidingDistinctCount(df: DataFrame, keys: Seq[String], tsTickCol: String,
+                           distinctCol: String, windowTicks: Long,
+                           outCol: String): DataFrame = {
+    val gcols = keys :+ tsTickCol
+    val kcols = keys.map(col)
+    val wPlus1 = lit(windowTicks + 1L)
+    // distinct occurrence ticks per (keys, value) — the only
+    // whole-relation aggregate; everything after is occurrence-sized
+    val occ = df.filter(col(distinctCol).isNotNull && col(tsTickCol).isNotNull)
+      .select((keys :+ distinctCol :+ tsTickCol).map(col): _*)
+      .distinct()
+      .withColumn("__t", col(tsTickCol).cast("long"))
+    val byVal = Window.partitionBy((keys :+ distinctCol).map(col): _*)
+      .orderBy(col("__t"))
+    val withPrev = occ.withColumn("__prev", lag(col("__t"), 1).over(byVal))
+    val baseEvents = array(
+      struct(col("__t").as("t"), lit(1L).as("d")),
+      struct((col("__t") + wPlus1).as("t"), lit(-1L).as("d")))
+    val overlapEvents = when(
+      col("__prev").isNotNull && col("__t") <= col("__prev") + lit(windowTicks),
+      array(
+        struct(col("__t").as("t"), lit(-1L).as("d")),
+        struct((col("__prev") + wPlus1).as("t"), lit(1L).as("d"))))
+      .otherwise(array().cast("array<struct<t:long,d:long>>"))
+    val deltas = withPrev
+      .select((kcols :+ explode(concat(baseEvents, overlapEvents)).as("__e")): _*)
+      .select((kcols :+ col("__e.t").as("__t") :+ col("__e.d").as("__d")): _*)
+    // tick universe must include event ticks with no delta of their own
+    // (e.g. all-null values at that tick) so the join-back never drops a
+    // row; zero-delta rows union in and the aggregate collapses them
+    val evTicks = df.filter(col(tsTickCol).isNotNull)
+      .select(gcols.map(col): _*).distinct()
+      .select((kcols :+ col(tsTickCol).cast("long").as("__t")): _*)
+      .withColumn("__d", lit(0L))
+    val perTick = deltas.unionByName(evTicks)
+      .groupBy((kcols :+ col("__t")): _*).agg(sum(col("__d")).as("__d"))
+    val run = Window.partitionBy(kcols: _*).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val counted = perTick.withColumn(outCol, sum(col("__d")).over(run))
+      .drop("__d")
+    // NULL-tick peer group: distinct values among the key's null-tick rows
+    val nullTicks = df.filter(col(tsTickCol).isNull)
+      .groupBy(kcols: _*)
+      .agg(count_distinct(col(distinctCol)).as(outCol))
+      .withColumn("__t", lit(null).cast("long"))
+      .select((kcols :+ col("__t") :+ col(outCol)): _*)
+    val slid0 = counted.unionByName(nullTicks)
+    val slid = keys.foldLeft(slid0) { (d, c) => d.withColumnRenamed(c, s"__r_$c") }
+    val cond = (keys.map(c => df(c) <=> slid(s"__r_$c")) :+
+      (df(tsTickCol).cast("long") <=> slid("__t"))).reduce(_ && _)
+    df.join(slid, cond)
+      .drop((keys.map(c => s"__r_$c") :+ "__t"): _*)
+  }
+
   /** Exact NTILE(k) built on [[globalRowNumber]] — same tile assignment as
     * `ntile(k).over(Window.orderBy(...))` (first n%k tiles are one row
     * larger), with no single-task global sort. */

@@ -196,13 +196,17 @@ object IoQueries {
            |FROM v_cust_spend GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     },
 
-    // S10+S19: JDBC sink + partitioned parallel JDBC scan (Derby
-    // in-memory), predicate pushed to the source.
+    // S10+S19: JDBC sink + partitioned parallel JDBC scan, predicate
+    // pushed to the source. Endpoint by topology (jdbcFixtureEndpoint):
+    // in-memory Derby on single-JVM masters, a network thrift socket
+    // under local-cluster — same operator chain, deployment-appropriate
+    // database.
     "io_jdbc_roundtrip" -> { (s, dir) =>
-      val url = s"jdbc:derby:memory:graft_${new java.io.File(dir).getName.replace('.', '_')};create=true"
-      JdbcIO.write(Tables.customer(s, dir), url, "customers")
+      val (url, props, stSink) = jdbcFixtureEndpoint(s,
+        s"graft_${new java.io.File(dir).getName.replace('.', '_')}")
+      jdbcFixtureWrite(Tables.customer(s, dir), url, "customers", props, stSink)
       JdbcIO.read(s, url, "customers",
-          partitionColumn = Some(("c_custkey", 0L, 200000L, 4)))
+          partitionColumn = Some(("c_custkey", 0L, 200000L, 4)), props = props)
         .filter(col("c_acctbal") > 0.0)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal"))

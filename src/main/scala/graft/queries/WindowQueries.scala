@@ -179,6 +179,25 @@ object WindowQueries {
         .orderBy("event_id")
     },
 
+    // W6 two-level scalable exact-DISTINCT twin: the SAME 10-minute frame
+    // and answer as w6c, but through Windows.slidingDistinctCount —
+    // coverage-interval deltas per (type, user) occurrence run, running
+    // sum over the collapsed per-second frame, join back per event.
+    // Distinct counts don't decompose into per-tick partials the way w6d's
+    // sums do, so this is the missing scalable form for the family: the
+    // direct collect_set frame measured 26× at ×100 twins (five keyed
+    // tasks re-scan a copy-proportional set per row), while every stage
+    // here is bounded by distinct occurrences and distinct ticks.
+    "w6e_sliding_distinct_scalable" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_sec", expr("ts_ns div 1000000000"))
+      Windows.slidingDistinctCount(ev, Seq("event_type"), "ts_sec",
+          "user_id", 600L, "users_10m")
+        .select(col("event_id"), col("event_type"), col("ts_sec"),
+          col("users_10m").cast("long").as("users_10m"))
+        .orderBy("event_id")
+    },
+
     // first/last/nth over an unbounded frame: per user the first,
     // second, and last event type — the named-position window family
     // (first_value / nth_value / last_value) in one partitioned pass.
@@ -438,6 +457,15 @@ object WindowQueries {
         |    PARTITION BY event_type ORDER BY ts
         |    RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW
         |  ) AS DOUBLE) AS sliding_sum
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "w6e_sliding_distinct_scalable" ->
+      """SELECT event_id, event_type,
+        |  epoch_ns(ts) // 1000000000 AS ts_sec,
+        |  COUNT(DISTINCT user_id) OVER (
+        |    PARTITION BY event_type ORDER BY (epoch_ns(ts) // 1000000000)
+        |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
+        |  ) AS users_10m
         |FROM events ORDER BY event_id""".stripMargin,
 
     "w6d_sliding_sum_scalable" ->

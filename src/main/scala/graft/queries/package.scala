@@ -60,6 +60,46 @@ package object queries {
   def sqlMd5Bucket(e: String, m: Long): String =
     s"CAST(concat('0x', substr(md5($e), 1, 8)) AS BIGINT) % $m"
 
+  /** JDBC fixture endpoint chosen by topology: embedded in-memory Derby
+    * under single-JVM masters (fast, self-contained), the session
+    * catalog served over a network thrift socket
+    * ([[graft.sources.ThriftEndpoint]]) under `local-cluster` masters —
+    * embedded Derby is a per-JVM database, so executor-side JDBC
+    * connections under a multi-JVM master would each boot a PRIVATE
+    * empty instance and the fixture could never complete (Spark's own
+    * JDBCSuite carries the same constraint). The operator chain under
+    * test (JDBC sink → partitioned JDBC scan with pushdown) is identical
+    * either way; only the endpoint — a deployment property, exactly as
+    * in production — differs. Returns (url, props, statementSink):
+    * `statementSink` selects [[graft.sources.JdbcIO.writeStatements]],
+    * because hive2 endpoints reject prepared-statement batches. */
+  def jdbcFixtureEndpoint(s: SparkSession, memName: String)
+      : (String, java.util.Properties, Boolean) =
+    if (s.sparkContext.master.startsWith("local-cluster"))
+      (graft.sources.ThriftEndpoint.ensure(s),
+        graft.sources.ThriftEndpoint.clientProps(), true)
+    else
+      (s"jdbc:derby:memory:$memName;create=true",
+        new java.util.Properties(), false)
+
+  /** Sink dispatch for [[jdbcFixtureEndpoint]]'s `statementSink` flag.
+    * The statement sink runs on ONE connection: a Spark-SQL thrift
+    * endpoint backs its tables with committer-staged files, and
+    * concurrent INSERT appends race on the shared `_temporary` dir
+    * (rows silently lost — observed, not theorized). A real RDBMS
+    * endpoint takes the parallel path ([[graft.sources.JdbcIO.write]],
+    * connection-capped), which the Derby branch exercises; the thrift
+    * branch's job is the JVM/network boundary, which one writer
+    * connection plus the 4-way partitioned read still cross. */
+  def jdbcFixtureWrite(df: DataFrame, url: String, table: String,
+                       props: java.util.Properties,
+                       statementSink: Boolean): Unit =
+    if (statementSink)
+      graft.sources.JdbcIO.writeStatements(df, url, table,
+        maxConnections = 1, props = props)
+    else
+      graft.sources.JdbcIO.write(df, url, table, props = props)
+
   /** Per-(family, sf) scratch dir for queries that round-trip through a
     * real sink — sf0.01 verify and sf0.1 bench must not collide. */
   def scratchDir(family: String, sfDir: String, leaf: String): String =

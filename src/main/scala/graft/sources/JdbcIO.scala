@@ -36,4 +36,82 @@ object JdbcIO {
       else df
     capped.write.mode(mode).jdbc(url, table, props)
   }
+
+  /** JDBC sink for endpoints WITHOUT prepared-statement batch support
+    * (hive-jdbc / Spark thrift: `addBatch` throws "Method not
+    * supported", which kills Spark's stock JDBC writer). Executors
+    * stream multi-row `INSERT INTO … VALUES (…), (…)` statement TEXT
+    * over their own connections instead — same overwrite semantics and
+    * connection cap as [[write]], DDL derived from the frame's schema
+    * (Spark SQL type names, which hive2 endpoints parse natively).
+    *
+    * Deadlock note for in-process thrift endpoints ([[ThriftEndpoint]]):
+    * each INSERT the server executes needs a task slot, while
+    * `maxConnections` writer tasks sit occupied waiting on their
+    * statements — keep `maxConnections` well under the cluster's total
+    * cores (the default 10 is fine for the 32-core drills). */
+  def writeStatements(df: DataFrame, url: String, table: String,
+                      maxConnections: Int = 10,
+                      rowsPerStatement: Int = 500,
+                      props: java.util.Properties = new java.util.Properties()): Unit = {
+    val schema = df.schema
+    val ddlCols = schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    withConnection(url, props) { st =>
+      st.execute(s"DROP TABLE IF EXISTS `$table`")
+      st.execute(s"CREATE TABLE `$table` ($ddlCols)")
+    }
+    val capped =
+      if (df.rdd.getNumPartitions > maxConnections) df.coalesce(maxConnections)
+      else df
+    val (u, t, n, p) = (url, table, rowsPerStatement, propsMap(props))
+    capped.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      if (it.hasNext) {
+        val pp = new java.util.Properties()
+        p.foreach { case (k, v) => pp.setProperty(k, v) }
+        withConnection(u, pp) { st =>
+          it.grouped(n).foreach { chunk =>
+            val values = chunk.map(r =>
+              (0 until r.length).map(i => sqlLiteral(r.get(i)))
+                .mkString("(", ", ", ")")).mkString(", ")
+            st.execute(s"INSERT INTO `$t` VALUES $values")
+          }
+        }
+      }
+    }
+  }
+
+  private def propsMap(props: java.util.Properties): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    props.stringPropertyNames().asScala.map(k => k -> props.getProperty(k)).toMap
+  }
+
+  private def withConnection(url: String, props: java.util.Properties)
+                            (body: java.sql.Statement => Unit): Unit = {
+    Option(props.getProperty("driver"))
+      .foreach(c => Class.forName(c)) // force driver registration
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try body(st) finally st.close()
+    } finally conn.close()
+  }
+
+  /** Literal SQL rendering for [[writeStatements]] — covers the types a
+    * fixture/warehouse landing actually ships (integral, fractional,
+    * decimal, string, boolean, date, timestamp). */
+  private def sqlLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case d: java.sql.Date => s"DATE '$d'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case b: Boolean => if (b) "true" else "false"
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: BigDecimal => d.underlying.toPlainString
+    case f: Float => s"CAST(${f.toString} AS FLOAT)"
+    case d: Double => s"CAST(${d.toString} AS DOUBLE)"
+    case n: Number => n.toString
+    case other => throw new IllegalArgumentException(
+      s"writeStatements cannot render ${other.getClass.getName} as a SQL literal")
+  }
 }

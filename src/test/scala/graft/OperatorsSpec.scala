@@ -672,6 +672,47 @@ class OperatorsSpec extends SparkSpec {
     assert(direct.except(two).count() == 0 && two.except(direct).count() == 0)
   }
 
+  test("slidingDistinctCount == direct collect_set RANGE window, incl. NULL key/tick/value") {
+    import org.apache.spark.sql.expressions.Window
+    // hand-built adversarial slice: repeated values inside one window
+    // (must count once), a value re-appearing after expiry (counts
+    // again), interval-chain overlaps (t2 <= t1+w), ties on (k, t),
+    // NULL values (never counted), a NULL key group, NULL ticks (peer
+    // group), and a tick whose only value is NULL (zero-delta tick)
+    val df = Seq[(Option[String], Option[Long], Option[Long])](
+      (Some("a"), Some(10L), Some(1L)), (Some("a"), Some(12L), Some(1L)),
+      (Some("a"), Some(13L), Some(2L)), (Some("a"), Some(15L), Some(1L)),
+      (Some("a"), Some(15L), Some(3L)), (Some("a"), Some(30L), Some(1L)),
+      (Some("a"), Some(17L), None),     // null value at live tick
+      (Some("a"), Some(40L), None),     // tick with ONLY a null value
+      (Some("b"), Some(10L), Some(1L)), (Some("b"), Some(16L), Some(9L)),
+      (None, Some(12L), Some(5L)), (None, Some(13L), Some(5L)),
+      (Some("a"), None, Some(7L)), (Some("a"), None, Some(7L)),
+      (None, None, None)
+    ).toDF("k", "t", "v")
+    val direct = df.withColumn("c",
+      size(collect_set(col("v")).over(Window.partitionBy(col("k"))
+        .orderBy(col("t")).rangeBetween(-5, 0))).cast("long"))
+    val two = Windows.slidingDistinctCount(df, Seq("k"), "t", "v", 5L, "c")
+    assert(direct.count() == 15 && two.count() == 15,
+      "two-level form dropped rows (null join keys?)")
+    assert(direct.except(two).count() == 0 && two.except(direct).count() == 0,
+      s"mismatch: direct=${direct.orderBy("k", "t").collect().mkString(";")} " +
+        s"two=${two.orderBy("k", "t").collect().mkString(";")}")
+    // randomized cross-check: dense tick collisions + heavy value reuse
+    val rnd = new scala.util.Random(1234)
+    val rand = Seq.fill(400)((
+      Some(s"k${rnd.nextInt(3)}"): Option[String],
+      Some(rnd.nextInt(60).toLong): Option[Long],
+      Some(rnd.nextInt(8).toLong): Option[Long])).toDF("k", "t", "v")
+    val d2 = rand.withColumn("c",
+      size(collect_set(col("v")).over(Window.partitionBy(col("k"))
+        .orderBy(col("t")).rangeBetween(-7, 0))).cast("long"))
+    val t2 = Windows.slidingDistinctCount(rand, Seq("k"), "t", "v", 7L, "c")
+    assert(d2.except(t2).count() == 0 && t2.except(d2).count() == 0)
+    assert(t2.count() == 400)
+  }
+
   test("Normalize: nullIfBlank / blankIfNull / isBlank") {
     import graft.operators.Normalize
     val df = Seq(("a"), (""), ("  "), (null: String)).toDF("v")
