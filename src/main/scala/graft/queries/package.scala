@@ -90,13 +90,20 @@ package object queries {
     * endpoint takes the parallel path ([[graft.sources.JdbcIO.write]],
     * connection-capped), which the Derby branch exercises; the thrift
     * branch's job is the JVM/network boundary, which one writer
-    * connection plus the 4-way partitioned read still cross. */
+    * connection plus the 4-way partitioned read still cross.
+    * rowsPerStatement is sized so a 15k-row fixture lands in ~3
+    * statements: every statement a thrift endpoint executes is a full
+    * parse+plan+file-commit cycle (~0.25 s under local-cluster), so
+    * statement count — not row volume — is the landing's cost driver
+    * (measured: 30 × 500-row statements ≈ 8 s/query on the timed
+    * multi-JVM board; ~1 MB of VALUES text parses in a fraction of
+    * that). */
   def jdbcFixtureWrite(df: DataFrame, url: String, table: String,
                        props: java.util.Properties,
                        statementSink: Boolean): Unit =
     if (statementSink)
       graft.sources.JdbcIO.writeStatements(df, url, table,
-        maxConnections = 1, props = props)
+        maxConnections = 1, rowsPerStatement = 5000, props = props)
     else
       graft.sources.JdbcIO.write(df, url, table, props = props)
 
