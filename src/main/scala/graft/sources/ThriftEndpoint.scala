@@ -30,8 +30,28 @@ object ThriftEndpoint {
   /** Start (once) and return the endpoint's JDBC url. */
   def ensure(spark: SparkSession): String = synchronized {
     startedUrl.getOrElse {
-      val port = sys.env.get("SPARK_GRAFT_THRIFT_PORT")
-        .map(_.toInt).getOrElse(10124)
+      // The port must be FREE before start: HiveThriftServer2's bind
+      // failure doesn't propagate here, so with a stale server from
+      // another JVM still listening, the readiness probe below would
+      // reach the FOREIGN endpoint and the fixture would silently run
+      // against the wrong catalog. An explicitly requested port that's
+      // taken is a hard error; the default falls back to an ephemeral
+      // free port (each app serves its own endpoint — the url returned
+      // is what consumers dial, so the number itself is arbitrary).
+      def free(p: Int): Boolean =
+        try { new java.net.ServerSocket(p).close(); true }
+        catch { case _: java.io.IOException => false }
+      val port = sys.env.get("SPARK_GRAFT_THRIFT_PORT").map(_.toInt) match {
+        case Some(p) =>
+          require(free(p), s"SPARK_GRAFT_THRIFT_PORT=$p is already bound " +
+            "by another process — a stale endpoint there would serve the " +
+            "wrong catalog")
+          p
+        case None =>
+          if (free(10124)) 10124
+          else { val s = new java.net.ServerSocket(0)
+                 try s.getLocalPort finally s.close() }
+      }
       SparkSqlDialect.register()
       // HiveConf picks hive.* system properties up at construction time
       System.setProperty("hive.server2.thrift.port", port.toString)
