@@ -11,6 +11,34 @@ case class EventLine(event_type: String, user_id: Long, value: Double)
 /** Struct payload for the F4 struct-returning udf. */
 case class PrioParts(num: Int, label: String)
 
+/** Buffer for [[GeoMean]] — decimal ln-sum + count. The sum is of
+  * per-row 6-dp-rounded ln values (exact decimal addition, so the
+  * aggregate is order-insensitive — the same trick as `dsum`), which is
+  * what lets a custom UDAF produce a hash-stable double under Spark's
+  * nondeterministic partial-aggregation order. */
+case class GeoBuf(s: BigDecimal, n: Long)
+
+/** F6 custom typed UDAF (ref has none — capability beyond the survey's
+  * declared scope): exact-decimal geometric mean via
+  * `org.apache.spark.sql.expressions.Aggregator` + `functions.udaf`.
+  * Non-positive and null inputs are skipped (ln undefined), mirroring
+  * SQL aggregate null semantics. */
+object GeoMean extends org.apache.spark.sql.expressions.Aggregator[
+    java.lang.Double, GeoBuf, Double] {
+  private def lnDec(x: Double): BigDecimal =
+    BigDecimal(math.log(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+  def zero: GeoBuf = GeoBuf(BigDecimal(0), 0L)
+  def reduce(b: GeoBuf, x: java.lang.Double): GeoBuf =
+    if (x == null || x <= 0.0) b else GeoBuf(b.s + lnDec(x), b.n + 1)
+  def merge(a: GeoBuf, b: GeoBuf): GeoBuf = GeoBuf(a.s + b.s, a.n + b.n)
+  def finish(b: GeoBuf): Double =
+    if (b.n == 0) Double.NaN else math.exp(b.s.toDouble / b.n)
+  def bufferEncoder: org.apache.spark.sql.Encoder[GeoBuf] =
+    org.apache.spark.sql.Encoders.product[GeoBuf]
+  def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+    org.apache.spark.sql.Encoders.scalaDouble
+}
+
 /** UDF-surface catalog (SURVEY.md §2.10 F1-F4, F8).
   *
   * Everything here is deliberately ALSO expressible with native functions —
@@ -110,6 +138,43 @@ object UdfQueries {
              countDistinct(col("user_id")).as("n_users"),
              dsum(col("value")).as("value_sum"))
         .orderBy(col("event_type"))
+    },
+
+    // F5 udf over ML VectorUDT (ref: automl_linearreg_process_stocks.py:
+    // 470-474 — a udf consuming org.apache.spark.ml.linalg vectors).
+    // Assemble per-line features into a DenseVector, then a second udf
+    // CONSUMES the vector (element extract + L2 norm) — the UDT crosses
+    // the udf boundary in both directions. Per-row sqrt is IEEE-identical
+    // to the oracle's arithmetic re-derivation; dsum makes the aggregate
+    // order-insensitive.
+    "f_vector_udf" -> { (s, dir) =>
+      import org.apache.spark.ml.linalg.{Vector, Vectors}
+      val assemble = udf((q: Double, p: Double, d: Double) =>
+        Vectors.dense(q, p, d))
+      val firstEl = udf((v: Vector) => v(0))
+      val l2 = udf((v: Vector) =>
+        math.sqrt(v.toArray.foldLeft(0.0)((acc, x) => acc + x * x)))
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          assemble(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")).as("fv"))
+        .select(col("l_returnflag"),
+          firstEl(col("fv")).as("q"), l2(col("fv")).as("nrm"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("q")).as("q_sum"),
+          dsum(col("nrm")).as("norm_sum"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // F6 custom UDAF: decimal-exact geometric mean of l_quantity per
+    // return flag through the Aggregator/udaf registration path.
+    "f_udaf_geomean" -> { (s, dir) =>
+      val geomean = udaf(GeoMean)
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          geomean(col("l_quantity")).as("geomean_qty"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -143,6 +208,18 @@ object UdfQueries {
     "f_typed_map_logparse" ->
       s"""SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
          |  ${sqlDsum("value")} AS value_sum
-         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "f_vector_udf" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlDsum("l_quantity")} AS q_sum,
+         |  ${sqlDsum("SQRT(l_quantity * l_quantity + l_extendedprice * l_extendedprice + l_discount * l_discount)")} AS norm_sum
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f_udaf_geomean" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  EXP(CAST(SUM(CAST(LN(l_quantity) AS DECIMAL(18,6))) AS DOUBLE)
+        |      / COUNT(*)) AS geomean_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
