@@ -22,26 +22,60 @@ object Components {
 
   /** Triangle counts per node over an undirected edge list given as
     * (a, b) pairs with a < b (the near-dup pair-graph convention).
-    * Triangles are enumerated once each via the ordered wedge join —
-    * e1=(x,y) ⋈ e2=(y,z) closes with e3=(x,z), x < y < z throughout —
-    * three equi-joins on node keys, never an all-pairs step. Dense
-    * triangle participation is the clique signal (template spam shows
-    * up as near-dup cliques, not chains). At production scale, add the
-    * standard degree-ordering so wedges enumerate from low-degree
-    * endpoints. Output: (node, n_triangles), nodes in ≥1 triangle. */
+    * Triangles are enumerated once each via the DEGREE-ORDERED wedge
+    * join ([[orientedTriangles]]) — three equi-joins on node keys,
+    * never an all-pairs step, with wedge volume bounded O(|E|^1.5)
+    * even on hub-skewed graphs. Dense triangle participation is the
+    * clique signal (template spam shows up as near-dup cliques, not
+    * chains). Output: (node, n_triangles), nodes in ≥1 triangle. */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    // three wedge-join references below — materialize so the (possibly
-    // expensive) pair-producing plan underneath runs once, not thrice
-    val e = edges.select(col("a"), col("b")).materialized()
-    val tri = e.alias("__e1")
-      .join(e.alias("__e2"), col("__e1.b") === col("__e2.a"))
-      .join(e.alias("__e3"),
-        col("__e3.a") === col("__e1.a") && col("__e3.b") === col("__e2.b"))
-      .select(col("__e1.a").as("x"), col("__e1.b").as("y"),
-        col("__e2.b").as("z"))
+    // orientedTriangles reads its input twice — materialize so the
+    // (possibly expensive) pair-producing plan underneath runs once
+    val tri = orientedTriangles(
+      edges.select(col("a"), col("b")).materialized())
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).cast("long").as("n_triangles"))
+  }
+
+  /** Each triangle of an a<b undirected edge list exactly once, as
+    * (x, y, z) — corners in DEGREE-(then id-)rank order, not id order.
+    * The standard degree-ordering: every edge is oriented from its
+    * lower-(degree, id) endpoint to its higher one, so wedges enumerate
+    * only from each node's higher-ranked neighbors — total wedge volume
+    * O(|E|^1.5) regardless of skew, where the id-ordered wedge join is
+    * Σ deg² and blows up on hubs (a 10^5-degree template hub would
+    * otherwise contribute 5·10^9 wedges alone). The enumerated SET of
+    * triangles is identical under any orientation — ordering changes
+    * which of a triangle's three wedges is the one enumerated, never
+    * whether the triangle is found — so consumers that symmetrize over
+    * corners ([[triangleCounts]], [[weightedTriangleCounts]]' corner
+    * products) are output-unchanged.
+    *
+    * `edges` is read by the degree census and the orientation, each
+    * replicated under the three wedge-join references — callers pass an
+    * already-materialized frame so only the cheap census/orientation
+    * layer replans (identical subtrees, so ReuseExchange shares the
+    * census shuffle); pinning the oriented list too measured SLOWER at
+    * sf0.1 (an extra materialization job outweighs three plannings of
+    * two small joins). */
+  private def orientedTriangles(e0: DataFrame): DataFrame = {
+    val deg = e0.select(col("a").as("n")).unionAll(e0.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("__d"))
+    val oriented = e0
+      .join(deg.select(col("n").as("a"), col("__d").as("__da")), "a")
+      .join(deg.select(col("n").as("b"), col("__d").as("__db")), "b")
+      .select(when(col("__da") < col("__db")
+          || (col("__da") === col("__db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("__e"))
+      .select(col("__e.u").as("u"), col("__e.v").as("v"))
+    oriented.alias("__e1")
+      .join(oriented.alias("__e2"), col("__e1.v") === col("__e2.u"))
+      .join(oriented.alias("__e3"),
+        col("__e3.u") === col("__e1.u") && col("__e3.v") === col("__e2.v"))
+      .select(col("__e1.u").as("x"), col("__e1.v").as("y"),
+        col("__e2.v").as("z"))
   }
 
   /** [[triangleCounts]] of the BLOWN-UP near-dup graph, computed on the
@@ -81,9 +115,10 @@ object Components {
   def weightedTriangleCounts(repEdges: DataFrame,
                              dupMembers: DataFrame): DataFrame = {
     def c2(w: Column): Column = shiftright(w * (w - lit(1L)), 1)
-    // H is consumed by the wedge join (3 refs), the neighbor aggregate,
-    // and the node universe — materialize the (possibly expensive)
-    // pair-producing plan once, same rationale as triangleCounts
+    // H is consumed by the triangle enumeration (2 refs), the neighbor
+    // aggregate, and the node universe — materialize the (possibly
+    // expensive) pair-producing plan once, same rationale as
+    // triangleCounts
     val e = repEdges.select(col("a"), col("b")).materialized()
     val wTab = dupMembers.groupBy(col("rep"))
       .agg(count(lit(1)).cast("long").as("__w"))
@@ -101,12 +136,9 @@ object Components {
     val nbr = sym.join(base.select(col("rep").as("s"), col("__w")), "s")
       .groupBy(col("r"))
       .agg(sum(col("__w")).as("__s1"), sum(c2(col("__w"))).as("__s2"))
-    val tri = e.alias("__e1")
-      .join(e.alias("__e2"), col("__e1.b") === col("__e2.a"))
-      .join(e.alias("__e3"),
-        col("__e3.a") === col("__e1.a") && col("__e3.b") === col("__e2.b"))
-      .select(col("__e1.a").as("x"), col("__e1.b").as("y"),
-        col("__e2.b").as("z"))
+    // degree-ordered enumeration; the corner products below symmetrize
+    // over (x, y, z), so the rank order of corners is irrelevant
+    val tri = orientedTriangles(e)
     val t4 = tri
       .join(base.select(col("rep").as("x"), col("__w").as("__wx")), "x")
       .join(base.select(col("rep").as("y"), col("__w").as("__wy")), "y")

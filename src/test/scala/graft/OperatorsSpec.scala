@@ -394,6 +394,21 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L))
   }
 
+  test("triangleCounts: hub-skewed star — degree ordering finds the same set") {
+    import graft.operators.Components
+    // node 1 is a degree-12 hub: 10 pendant leaves (100..109, no
+    // triangles through them) plus two triangles sharing the hub,
+    // (1,2,3) and (1,4,5), with no edge between the triangle pairs.
+    // Under id-ordered wedges the hub would enumerate C(12,2)=66
+    // wedges; degree ordering points every hub edge AT the hub, so the
+    // hub contributes zero wedges — same triangles found either way.
+    val edges = ((2 to 5).map(x => (1, x)) ++ (100 to 109).map(x => (1, x)) ++
+        Seq((2, 3), (4, 5))).toDF("a", "b")
+    val got = Components.triangleCounts(edges)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(got == Map(1 -> 2L, 2 -> 1L, 3 -> 1L, 4 -> 1L, 5 -> 1L))
+  }
+
   test("weightedTriangleCounts: hand-computed blow-up cases, all four terms") {
     import graft.operators.Components
     def run(edges: Seq[(Long, Long)], members: Seq[(Long, Long)]) = {
