@@ -108,6 +108,44 @@ object ChaosSmoke {
     val again = Materialize(someFrame(3), eager = true)
     println(s"[chaos] post-chaos reliable run: n=${again.count()}")
     Materialize.releaseScratch(spark)
+
+    // Leg 4: a partitioned JDBC scan over the network thrift endpoint
+    // survives an executor SIGKILL mid-scan. Two failure surfaces at
+    // once: the CLIENT-side scan tasks (each holding a JDBC connection)
+    // are retried by the scheduler on surviving/relaunched JVMs, and the
+    // SERVER-side statement jobs (each partition SELECT is a Spark job
+    // inside the driver-hosted endpoint) lose their own tasks to the
+    // same kill and retry too. 2 read partitions, not 4: the endpoint
+    // executes server-side jobs on the same 4 cluster cores the client
+    // tasks occupy, and a full-width scan would starve the server until
+    // the worker relaunches the killed JVM.
+    val url = graft.sources.ThriftEndpoint.ensure(spark)
+    val tprops = graft.sources.ThriftEndpoint.clientProps()
+    val src = spark.range(0, 200000, 1, 8)
+      .select(col("id").as("k"), pmod(hash(col("id")), lit(997)).as("v"))
+    graft.sources.JdbcIO.writeStatements(src, url, "chaos_scan",
+      maxConnections = 1, rowsPerStatement = 5000, props = tprops)
+    val want = src.agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .collect()(0)
+    val scan = graft.sources.JdbcIO.read(spark, url, "chaos_scan",
+        partitionColumn = Some(("k", 0L, 200000L, 2)), props = tprops)
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    val pending = new java.util.concurrent.CompletableFuture[org.apache.spark.sql.Row]()
+    val t = new Thread(() =>
+      try pending.complete(scan.collect()(0))
+      catch { case e: Throwable => pending.completeExceptionally(e) })
+    t.start()
+    Thread.sleep(1500) // let partition tasks start before the kill
+    val midFlight = !pending.isDone
+    val killed4 = killOneExecutor(appId)
+    val leg4 =
+      try {
+        val got = pending.get(180, java.util.concurrent.TimeUnit.SECONDS)
+        val ok = got.getLong(0) == want.getLong(0) && got.getLong(1) == want.getLong(1)
+        s"${if (ok) "SURVIVED-EXACT" else s"WRONG got=$got want=$want"}" +
+          s"${if (midFlight) "" else " (kill landed post-completion — inconclusive)"}"
+      } catch { case e: Throwable => s"DIED ${e.getClass.getSimpleName}" }
+    println(s"[chaos] thrift-jdbc scan after kill(pid=$killed4): $leg4")
     spark.stop()
   }
 }
