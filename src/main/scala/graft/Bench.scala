@@ -19,10 +19,49 @@ package graft
   * complete warm+cold per-query detail lands in bench_detail.json.
   */
 object Bench {
+
+  /** First three fields of /proc/loadavg (1/5/15-min host run-queue
+    * averages) — empty string off Linux. */
+  private def loadAvg(): String =
+    try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim.split("\\s+")
+      .take(3).mkString(",")
+    catch { case _: Throwable => "" }
+
+  /** Fixed-work host-speed probe: wall seconds for a constant
+    * single-threaded integer workload (xorshift64* chain — pure
+    * register ALU work, no allocation, no memory traffic to speak of).
+    * Run before and after the board, it makes any cross-session drift
+    * in the recorded totals adjudicable from the bench artifact alone:
+    * identical binaries on an identically-fast host produce identical
+    * calib values, so a run whose total rose while its calib also rose
+    * was a slow/contended HOST, not a slower engine. The workload is
+    * JIT-warmed by an untimed 1/32 prefix; the result is folded into a
+    * sink check so the loop cannot be dead-code-eliminated. */
+  private def calibrate(): Double = {
+    def chain(n: Long): Long = {
+      var x = 0x9E3779B97F4A7C15L; var acc = 0L; var i = 0L
+      while (i < n) {
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        acc += x * 0x2545F4914F6CDD1DL; i += 1
+      }
+      acc
+    }
+    val N = 1000000000L
+    val sink0 = chain(N / 32) // JIT warm, untimed
+    val t0 = System.nanoTime()
+    val sink = chain(N)
+    val sec = (System.nanoTime() - t0) / 1e9
+    require(sink != 0 || sink0 != 0, "calibration sink") // defeat DCE
+    sec
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
+    val loadPre = loadAvg()
+    val calibPre = calibrate()
     val spark = graft.core.GraftSession.local(cpus, "graft-bench")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // per-query sequence of (wallSec, gcSec-during-run) — diagnosis trail
@@ -152,12 +191,21 @@ object Bench {
     var used = 0
     val keep = bySlowest.takeWhile { case (k, v) =>
       val c = k.length + 8 + num("%.2f", v).length
-      if (used + c <= 1600) { used += c; true } else false
+      if (used + c <= 1450) { used += c; true } else false
     }
     val runsJson = runLog.map { case (k, rs) =>
       "\"" + k + "\":[" + rs.map { case (t, g) =>
         "[" + num("%.3f", t) + "," + num("%.3f", g) + "]" }.mkString(",") + "]"
     }.mkString("{", ",", "}")
+    spark.stop()
+    // Post-board fingerprint AFTER spark.stop() so the probe measures the
+    // bare host, not leftover executor threads.
+    val loadPost = loadAvg()
+    val calibPost = calibrate()
+    val env = s""""env":{"cores":${Runtime.getRuntime.availableProcessors()},""" +
+      s""""load_pre":"$loadPre","load_post":"$loadPost",""" +
+      s""""calib_pre_sec":${num("%.2f", calibPre)},""" +
+      s""""calib_post_sec":${num("%.2f", calibPost)}}"""
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},
          |"queries":${fmt(bySlowest)},
@@ -166,10 +214,10 @@ object Bench {
          |"errors":$es,
          |"rerun_errors":${rerunErrors.map { case (k, v) =>
              "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")},
+         |$env,
          |"sf":"$sfDir"}""".stripMargin.replace("\n", "")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail)
-    spark.stop()
-    println(s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","n_queries":${ok.size},"queries":${fmt(keep)},"errors":$es,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","n_queries":${ok.size},"queries":${fmt(keep)},"errors":$es,$env,"detail":"bench_detail.json","sf":"$sfDir"}""")
   }
 }

@@ -443,8 +443,14 @@ object PipelineQueries {
       import graft.sources.{JdbcIO, RestSource}
       import s.implicits._
       // endpoint fixture: per-customer "team headcount" rows derived
-      // arithmetically from the customer dim, 40 rows per page
-      val rows = Tables.customer(s, dir).orderBy("c_custkey")
+      // arithmetically from the customer dim, 40 rows per page.
+      // Volume PINNED at c_custkey <= 200000 (no-op at real scale
+      // factors; ×K twin boards land copy 0 only) — the fixture proves
+      // the REST→JDBC→scan chain, not endpoint ingest throughput, and
+      // the page fixture is a driver-side collect that must stay
+      // bounded. Oracle carries the same predicate.
+      val rows = Tables.customer(s, dir)
+        .filter(col("c_custkey") <= 200000L).orderBy("c_custkey")
         .select(to_json(struct(
           col("c_custkey").as("team_id"),
           (col("c_custkey") % 97 + 1).cast("int").as("headcount"),
@@ -804,7 +810,8 @@ object PipelineQueries {
     "pl_graphql_ingest" ->
       """SELECT c_mktsegment AS segment, COUNT(*) AS n_teams,
         |  CAST(SUM(c_custkey % 97 + 1) AS BIGINT) AS headcount_sum
-        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM customer WHERE c_custkey <= 200000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // rebuilds the identical metadata JSON, replays the 8-CTE chain, and
     // (junk batch overwritten) selects exactly the pipeline output

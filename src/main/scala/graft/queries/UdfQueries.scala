@@ -29,7 +29,11 @@ object GeoMean extends org.apache.spark.sql.expressions.Aggregator[
     BigDecimal(math.log(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
   def zero: GeoBuf = GeoBuf(BigDecimal(0), 0L)
   def reduce(b: GeoBuf, x: java.lang.Double): GeoBuf =
-    if (x == null || x <= 0.0) b else GeoBuf(b.s + lnDec(x), b.n + 1)
+    // NaN/Infinity join null and non-positives as ln-undefined skips:
+    // they pass a bare `<= 0` guard (NaN compares false) and
+    // BigDecimal(log(x)) would then throw, failing the whole job
+    if (x == null || x.isNaN || x.isInfinite || x <= 0.0) b
+    else GeoBuf(b.s + lnDec(x), b.n + 1)
   def merge(a: GeoBuf, b: GeoBuf): GeoBuf = GeoBuf(a.s + b.s, a.n + b.n)
   def finish(b: GeoBuf): Double =
     if (b.n == 0) Double.NaN else math.exp(b.s.toDouble / b.n)

@@ -76,7 +76,11 @@ package object queries {
   def jdbcFixtureEndpoint(s: SparkSession, memName: String)
       : (String, java.util.Properties, Boolean) =
     if (s.sparkContext.master.startsWith("local-cluster"))
-      (graft.sources.ThriftEndpoint.ensure(s),
+      // memName scopes the thrift namespace too (per-memName database):
+      // the Derby branch isolates scale factors via the memory-db name,
+      // and without the twin here two scales running in one app would
+      // silently share graft_jdbc_fx.customers
+      (graft.sources.ThriftEndpoint.ensureDb(s, memName),
         graft.sources.ThriftEndpoint.clientProps(), true)
     else
       (s"jdbc:derby:memory:$memName;create=true",

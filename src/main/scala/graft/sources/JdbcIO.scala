@@ -99,16 +99,31 @@ object JdbcIO {
 
   /** Literal SQL rendering for [[writeStatements]] — covers the types a
     * fixture/warehouse landing actually ships (integral, fractional,
-    * decimal, string, boolean, date, timestamp). */
+    * decimal, string, boolean, date, timestamp).
+    *
+    * Quotes are escaped by ANSI-standard `''` doubling (parses on every
+    * SQL endpoint, including Spark thrift under default AND
+    * `escapedStringLiterals=true` parser modes — verified empirically on
+    * this Spark). Backslashes are ADDITIONALLY doubled because the
+    * target endpoints are Spark-dialect (default parser treats `\` as an
+    * escape introducer); an ANSI-only endpoint that takes backslashes
+    * literally would see them doubled — acceptable for the fixture
+    * paths, flagged here for any future non-Spark target. Non-finite
+    * floats render as string-cast forms (`CAST('NaN' AS DOUBLE)`): the
+    * bare tokens NaN/Infinity are not valid SQL literals anywhere. */
   private def sqlLiteral(v: Any): String = v match {
     case null => "NULL"
-    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
     case d: java.sql.Date => s"DATE '$d'"
     case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
     case b: Boolean => if (b) "true" else "false"
     case d: java.math.BigDecimal => d.toPlainString
     case d: BigDecimal => d.underlying.toPlainString
+    case f: Float if f.isNaN || f.isInfinite =>
+      s"CAST('${if (f.isNaN) "NaN" else if (f > 0) "Infinity" else "-Infinity"}' AS FLOAT)"
     case f: Float => s"CAST(${f.toString} AS FLOAT)"
+    case d: Double if d.isNaN || d.isInfinite =>
+      s"CAST('${if (d.isNaN) "NaN" else if (d > 0) "Infinity" else "-Infinity"}' AS DOUBLE)"
     case d: Double => s"CAST(${d.toString} AS DOUBLE)"
     case n: Number => n.toString
     case other => throw new IllegalArgumentException(

@@ -27,6 +27,23 @@ object ThriftEndpoint {
 
   @volatile private var startedUrl: Option[String] = None
 
+  /** [[ensure]] + a caller-scoped database: fixture tables written by
+    * different scale factors (sf0.01 verify vs sf0.1 bench) must not
+    * share one `graft_jdbc_fx.customers` — the Derby branch of
+    * `jdbcFixtureEndpoint` encodes that isolation in the memory-db name,
+    * and this is the thrift twin. The db location carries the
+    * applicationId (same staleness reasoning as [[ensure]]'s base db);
+    * the returned url's path segment makes it the connection's current
+    * database, so callers keep using unqualified table names. */
+  def ensureDb(spark: SparkSession, db: String): String = synchronized {
+    val base = ensure(spark)
+    val safe = db.replaceAll("[^A-Za-z0-9_]", "_")
+    val loc = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_jdbc_fx_${safe}_${spark.sparkContext.applicationId}"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $safe LOCATION '$loc'")
+    base.substring(0, base.lastIndexOf('/') + 1) + safe
+  }
+
   /** Start (once) and return the endpoint's JDBC url. */
   def ensure(spark: SparkSession): String = synchronized {
     startedUrl.getOrElse {
@@ -57,13 +74,6 @@ object ThriftEndpoint {
       System.setProperty("hive.server2.thrift.port", port.toString)
       org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
         .startWithContext(spark.sqlContext)
-      var up = false
-      var tries = 0
-      while (!up && tries < 60) {
-        try { new java.net.Socket("localhost", port).close(); up = true }
-        catch { case _: Throwable => Thread.sleep(500); tries += 1 }
-      }
-      require(up, s"thrift endpoint :$port did not come up")
       // Serve an APP-SCOPED database: managed-table locations under the
       // shared warehouse dir outlive the JVM while the metastore does
       // not, so a `default`-database fixture table re-created by the
@@ -71,12 +81,46 @@ object ThriftEndpoint {
       // location carries the applicationId gives every run a fresh
       // namespace; the url's path segment makes it the connection's
       // current database, so unqualified fixture table names resolve
-      // there.
+      // there. Created BEFORE the readiness probe (on our own session —
+      // independent of server state) because the probe verifies it.
       val db = "graft_jdbc_fx"
       val loc = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft_jdbc_fx_${spark.sparkContext.applicationId}"
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      // Identity-checking readiness probe: the free(port) check above is
+      // check-then-bind — another process can take the port before
+      // HiveThriftServer2 binds, and a bare socket connect would then
+      // "validate" the FOREIGN listener (exactly the wrong-catalog
+      // failure the free-check exists to prevent). So the probe is a
+      // real hive-jdbc session that must see OUR catalog: DESCRIBE
+      // DATABASE EXTENDED graft_jdbc_fx has to report the app-scoped
+      // location above. A foreign listener either rejects the protocol,
+      // lacks the database, or reports a different applicationId in the
+      // location — all land in the retry/fail path, never silent reuse.
       val url = s"jdbc:hive2://localhost:$port/$db"
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      def servesOurCatalog(): Boolean = {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val rs = conn.createStatement()
+            .executeQuery(s"DESCRIBE DATABASE EXTENDED $db")
+          val seen = Iterator.continually(rs)
+            .takeWhile(_.next()).map(r => (1 to 2).map(i =>
+              Option(r.getString(i)).getOrElse("")).mkString(" "))
+            .mkString("\n")
+          seen.contains(spark.sparkContext.applicationId)
+        } finally conn.close()
+      }
+      var up = false
+      var tries = 0
+      while (!up && tries < 60) {
+        try up = servesOurCatalog()
+        catch { case _: Throwable => }
+        if (!up) { Thread.sleep(500); tries += 1 }
+      }
+      require(up, s"thrift endpoint :$port did not come up serving THIS " +
+        s"app's catalog (database $db at $loc) — either startup failed or " +
+        "a foreign process won the port race")
       startedUrl = Some(url)
       url
     }
