@@ -16,7 +16,23 @@ import org.apache.spark.sql.functions._
   * dedup paths see K× docs AND K²-ish intra-cluster pair volume, the
   * worst realistic shape for web-scale dedup.
   *
-  * Usage: runMain graft.ScaleSmoke [srcSfDir] [K] [query,query,...] [nowarm]
+  * `mutate` flips that adversarial axis: byte-identical copies are
+  * absorbed by the exact-dup collapse (every rep graph H stays 1×-sized,
+  * so the collapsed-graph machinery is never stressed), so the mutated
+  * board perturbs each copy i>0 deterministically — ~3% of tokens
+  * substituted per document, ±0.1% relative noise per embedding
+  * component — making the copies NEAR-dups instead. H itself then grows
+  * ×K and minhash/simhash/ngram/edit/semdedup/components/triangles pay
+  * full candidate volume. Mutations are seeded by CONTENT hash (not
+  * doc_id), so the base data's exact-dup groups still mutate identically
+  * within one copy — the collapse path keeps real work too. Jaccard of a
+  * mutated copy vs its source ≈ (1−p)/(1+p) ≈ 0.94 at p=0.03, inside
+  * every near-dup threshold the catalog uses, so the pair family still
+  * FINDS the twins (candidate volume is paid, not skipped). Copy 0 is
+  * unmutated.
+  *
+  * Usage: runMain graft.ScaleSmoke [srcSfDir] [K] [query,query,...]
+  *          [nowarm] [mutate]
   *
   * `nowarm` skips the untimed JIT warm-up run per (query, dir): for
   * multi-minute ×100 rows the warm-up doubles a long measurement to
@@ -39,9 +55,58 @@ object ScaleSmoke {
 
   private val dims = Seq("region", "nation")
 
-  def build(spark: SparkSession, src: String, out: String, k: Int): Unit = {
+  /** splitmix64 finalizer — the deterministic per-(content, copy, pos)
+    * stream driving the mutated-twin builder. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def pctLt(h: Long, pct: Int): Boolean =
+    java.lang.Long.remainderUnsigned(h, 100L) < pct
+
+  /** ~3% of space-separated tokens replaced by a hash-derived token.
+    * Seeded by text CONTENT + copy index: identical texts mutate
+    * identically within a copy (exact-dup groups survive per-copy),
+    * while each copy mutates differently (copies are near-, not exact-,
+    * dups of each other). Pure function — twin boards are reproducible. */
+  private[graft] def mutateText(text: String, copy: Int): String = {
+    if (text == null || copy == 0) return text
+    val base = mix64(text.hashCode.toLong * 0x100000001B3L + copy)
+    val toks = text.split(" ", -1)
+    var j = 0
+    while (j < toks.length) {
+      val h = mix64(base + j)
+      if (pctLt(h, 3))
+        toks(j) = "mt" + java.lang.Long.remainderUnsigned(mix64(h), 99991L)
+      j += 1
+    }
+    toks.mkString(" ")
+  }
+
+  /** ±0.1% relative noise per component, content-seeded like
+    * [[mutateText]]: cosine(mutated, source) ≈ 0.9999997 — firmly inside
+    * every embedding near-dup threshold, but no longer bit-equal, so the
+    * exact-vector collapse cannot absorb the copies. */
+  private[graft] def mutateVec(v: Seq[Float], copy: Int): Seq[Float] = {
+    if (v == null || copy == 0) return v
+    val base = mix64(v.hashCode.toLong + copy * 0x9E3779B9L)
+    v.zipWithIndex.map { case (x, j) =>
+      val eps = (java.lang.Long.remainderUnsigned(mix64(base + j), 2001L)
+        .toInt - 1000) * 1e-6f
+      x * (1f + eps)
+    }
+  }
+
+  def build(spark: SparkSession, src: String, out: String, k: Int,
+            mutate: Boolean = false): Unit = {
     val done = new java.io.File(s"$out/_DONE_$k")
     if (done.exists()) return
+    // tooling-only UDFs (twin-board construction, not an engine path)
+    val mutTextUdf = udf(mutateText _)
+    val mutVecUdf = udf(mutateVec _)
     dims.foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -49,8 +114,20 @@ object ScaleSmoke {
     keyCols.foreach { case (t, keys) =>
       val base = spark.read.parquet(s"$src/$t.parquet")
       val copies = (0 until k).map { i =>
-        keys.foldLeft(base) { (df, c) =>
+        val shifted = keys.foldLeft(base) { (df, c) =>
           df.withColumn(c, col(c) + lit(i * Offset))
+        }
+        if (!mutate) shifted
+        else t match {
+          case "documents" => shifted
+            .withColumn("text", mutTextUdf(col("text"), lit(i)))
+            // n_chars = length(text) in the generated data; keep the
+            // invariant on mutated rows or length-blocked operators
+            // (PassJoin, quality scores) would read stale lengths
+            .withColumn("n_chars", length(col("text")).cast("long"))
+          case "embeddings" => shifted
+            .withColumn("embedding", mutVecUdf(col("embedding"), lit(i)))
+          case _ => shifted
         }
       }
       copies.reduce(_ unionAll _)
@@ -63,20 +140,34 @@ object ScaleSmoke {
     val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
   }
 
+  /** The near-dup pair family — the operators whose candidate volume the
+    * mutated board exists to stress (collapsed rep graph H grows ×K). */
+  private val mutFamily = Seq(
+    "d_exact_dedup", "d_minhash_lsh", "d_simhash", "d_ngram_jaccard",
+    "d_dedup_clusters", "d_canonical_docs", "d_leakage_safe_split",
+    "d_triangles", "d_incremental_dedup", "d_bloom_incremental",
+    "s_embed_neardup", "s_semdedup", "s_srp_lsh", "t_edit_distance",
+    "t_winnow_fingerprint", "t_fingerprint", "t_passage_scrub",
+    "t_decontaminate")
+
   def main(args: Array[String]): Unit = {
+    val flags = args.drop(3).toSet
+    val mutate = flags.contains("mutate")
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val k = if (args.length > 1) args(1).toInt else 10
     val names: Seq[String] =
-      if (args.length > 2) args(2).split(",").toSeq
+      if (args.length > 2 && args(2) != "-") args(2).split(",").toSeq
+      else if (mutate) mutFamily
       else Seq("a1_pricing_summary", "j1_star_revenue", "w2_dedup_latest_event",
         "e_sessionize", "w8_interval_collapse", "w6b_sliding_range_sum",
         "d_exact_dedup", "d_minhash_lsh", "s_cosine_ann_ivf", "t_token_stats")
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_scale_x$k"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_scale_" +
+      (if (mutate) "m" else "x") + k
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = graft.core.GraftSession.local(cpus, "graft-scale-smoke")
-    build(spark, src, out, k)
-    val warmup = !(args.length > 3 && args(3) == "nowarm")
+    build(spark, src, out, k, mutate)
+    val warmup = !flags.contains("nowarm")
     def run(name: String, dir: String): Double = {
       def once() = org.apache.spark.sql.graft.GraftSql
         .stripTrailingSort(SparkEntry.queries(name)(spark, dir))

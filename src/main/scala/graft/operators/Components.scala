@@ -325,7 +325,8 @@ object Components {
   def pageRank(edges: DataFrame, nodes: DataFrame,
                fromCol: String, toCol: String, weightCol: String,
                damping: Double = 0.85, iters: Int = 10,
-               tmpDir: Option[String] = None): DataFrame = {
+               tmpDir: Option[String] = None,
+               materializeEvery: Int = 2): DataFrame = {
     import graft.queries.dec
     // materialize the (possibly expensive) edge/node plans ONCE — every
     // iteration joins against them, and an unmaterialized lineage would
@@ -353,6 +354,11 @@ object Components {
         .select(col("node"),
           (lit((1.0 - damping) / nNodes) +
             lit(damping) * coalesce(col("__contrib"), lit(0.0))).as("rank"))
-    }, numSteps = iters, tmpDir = tmpDir)
+    }, numSteps = iters, tmpDir = tmpDir,
+      // two generations per parquet round-trip by default: halves the
+      // fixed-point job count (the floor of a small-graph rank like
+      // e_pagerank is per-job overhead, not compute) at identical
+      // arithmetic — values are unchanged by where materialization lands
+      materializeEvery = materializeEvery)
   }
 }

@@ -46,23 +46,37 @@ object FixedPoint {
     cur
   }
 
-  /** Exactly `numSteps` materialized generations — the FIXED-STEP
-    * schedule (power iteration and friends) where convergence is
-    * analytic, not count-based: no per-generation count job runs and no
-    * convergence predicate applies. Kept separate from [[iterate]] so a
-    * fixed-step intent can never silently interact with count-based
-    * convergence. */
+  /** Exactly `numSteps` generations — the FIXED-STEP schedule (power
+    * iteration and friends) where convergence is analytic, not
+    * count-based: no per-generation count job runs and no convergence
+    * predicate applies. Kept separate from [[iterate]] so a fixed-step
+    * intent can never silently interact with count-based convergence.
+    *
+    * `materializeEvery` batches generations per parquet round-trip: with
+    * 2, steps run as step(step(gen)) inside ONE job before the write —
+    * identical arithmetic (materialization never changes values; doubles
+    * round-trip parquet exactly), half the job count, and the lineage
+    * stays bounded at `materializeEvery` plan copies. The LAST generation
+    * is always materialized so the returned frame reads from storage, not
+    * a deep plan. Keep the value small (2-3): each unmaterialized step
+    * multiplies the plan under the write, and optimizer time grows with
+    * it. */
   def iterateSteps(init: DataFrame, step: DataFrame => DataFrame,
-                   numSteps: Int, tmpDir: Option[String] = None): DataFrame = {
+                   numSteps: Int, tmpDir: Option[String] = None,
+                   materializeEvery: Int = 1): DataFrame = {
     require(numSteps > 0, "numSteps must be positive")
+    require(materializeEvery > 0, "materializeEvery must be positive")
     val spark = init.sparkSession
     val dir = genDir(tmpDir)
     var cur = init
     var i = 0
     while (i < numSteps) {
-      val path = s"$dir/iter$i"
-      step(cur).write.mode(SaveMode.Overwrite).parquet(path)
-      cur = spark.read.parquet(path)
+      val next = step(cur)
+      if ((i + 1) % materializeEvery == 0 || i == numSteps - 1) {
+        val path = s"$dir/iter$i"
+        next.write.mode(SaveMode.Overwrite).parquet(path)
+        cur = spark.read.parquet(path)
+      } else cur = next
       i += 1
     }
     cur

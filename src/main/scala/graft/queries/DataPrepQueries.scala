@@ -152,8 +152,10 @@ object DataPrepQueries {
     // PageRank over the event-type transition graph (edges shared with
     // e_transitions via transitionEdges) — the fixed-point/recursive-CTE
     // substitute of SURVEY §4 as a GREEN row: 8 power iterations through
-    // FixedPoint.iterateSteps, each generation materialized (one-step
-    // lineage) under a stable scratch dir that reruns overwrite. The
+    // FixedPoint.iterateSteps, generations materialized in pairs
+    // (materializeEvery=2 — bounded two-step lineage, half the job
+    // count, identical arithmetic; r12 verdict item 5 A/B: 3.14→2.19 s)
+    // under a stable scratch dir that reruns overwrite. The
     // oracle unrolls the identical 8 iterations as chained CTEs with the
     // same decimal-exact per-node sums and explicit DOUBLE casts on
     // every constant, so both engines execute the same IEEE operation
