@@ -474,10 +474,44 @@ object VectorSim {
       .materialized(eager = true)
     val higher = assigned.select(col("cell").as("h_cell"),
       col(vecCol).as("hv"), col("rank").as("h_rank"))
-    val removedIds = assigned.join(higher,
+    // Pair test on the NATIVE cosine kernel (same sequential-fold IEEE
+    // arithmetic as the dotFold composition — bit-identical value, so
+    // the > test decides identically) — the HOF form allocates per pair
+    // and dominates the scan on candidate-heavy boards.
+    def prunes(v: Column, hv: Column): Column =
+      cosine(v, hv) > lit(simThreshold)
+    // Existence test "∃ earlier-ranked in-cell neighbor above threshold",
+    // split EXACTLY by where the witness ranks — output-invariant, cost
+    // no longer quadratic on dedup-heavy corpora:
+    //   phase A probes only each cell's kPrefix earliest-ranked rows
+    //     (cells × kPrefix rows — broadcastable; O(N·kPrefix) pair tests).
+    //     On a near-dup-heavy corpus almost every removed row has a
+    //     prefix witness (in-cell members share the centroid direction,
+    //     so the earliest ranks prune nearly everything above a loose
+    //     threshold), which is exactly the corpus where the full scan
+    //     went quadratic (mutated ×10 twin board: output flat 646→643
+    //     rows while the one-phase wall grew 18×).
+    //   phase B runs the original full earlier-ranked scan over ONLY the
+    //     rows phase A left standing — |rest| ≈ survivors + the rows
+    //     whose every witness ranks past kPrefix, so its pair volume is
+    //     output-shaped, not corpus-shaped. Worst case (nothing prunes in
+    //     the prefix) degrades to exactly the one-phase plan.
+    val kPrefix = 8
+    val prefix = higher.filter(col("h_rank") <= kPrefix)
+    val removedByPrefix = assigned.join(prefix,
         col("cell") === col("h_cell") && col("h_rank") < col("rank") &&
-          cos(col(vecCol), col("hv")) > lit(simThreshold), "left_semi")
+          prunes(col(vecCol), col("hv")), "left_semi")
       .select(col(idCol).as("rm_id"))
+      .materialized()
+    val rest = assigned.join(removedByPrefix,
+        col(idCol) === col("rm_id"), "left_anti")
+      .filter(col("rank") > kPrefix) // ranks ≤ kPrefix saw all their
+                                     // earlier ranks in phase A already
+    val removedByRest = rest.join(higher,
+        col("cell") === col("h_cell") && col("h_rank") < col("rank") &&
+          prunes(col(vecCol), col("hv")), "left_semi")
+      .select(col(idCol).as("rm_id"))
+    val removedIds = removedByPrefix.unionAll(removedByRest)
     assigned.join(removedIds, col(idCol) === col("rm_id"), "left_anti")
       .select(col("cell"), col(idCol), col("ccos"))
   }
