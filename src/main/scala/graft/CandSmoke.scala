@@ -16,13 +16,19 @@ import org.apache.spark.sql.functions._
   * bucket holds K× members and candidate volume grows ~K² within
   * buckets — the counts printed here are exactly that blowup, measured.
   *
-  * Usage: runMain graft.CandSmoke [srcSfDir] [K]
+  * Usage: runMain graft.CandSmoke [srcSfDir] [K] [outDirOverride]
+  *
+  * `outDirOverride` points the K× leg at an already-built twin dir (e.g.
+  * the mutated-twin board `/tmp/graft_scale_m10`) instead of
+  * building/reusing the exact-twin dir.
   */
 object CandSmoke {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val k = if (args.length > 1) args(1).toInt else 100
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_scale_x$k"
+    val out =
+      if (args.length > 2) args(2)
+      else s"${System.getProperty("java.io.tmpdir")}/graft_scale_x$k"
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = graft.core.GraftSession.local(cpus, "graft-cand-smoke")
