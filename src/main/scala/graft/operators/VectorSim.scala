@@ -295,6 +295,19 @@ object VectorSim {
     *               bands (one extra shuffle). Pass false to get the raw
     *               band-join volume — that raw count is the cost driver
     *               a capacity plan needs.
+    *
+    * CAPACITY RULE (bandBits vs corpus size): a band key has 2^bandBits
+    * values, so RANDOM collisions alone contribute ~bands·N²/2^(bandBits+1)
+    * candidate pairs — quadratic in N for fixed bandBits (birthday
+    * model; measured on the mutated twin boards: 140k pairs at N=2k,
+    * 14.1M at N=20k, ~9× that again at N=60k, all at 8-bit bands, wall
+    * flat at ~1-1.6 µs per candidate). Size bandBits ≳ log2(N) − 3 to
+    * keep expected bucket occupancy O(10); raising bits lowers recall
+    * per band (P(match) = (1−θ/π)^bandBits), so add bands (raise
+    * nPlanes) to buy it back. This is the same class of knob as
+    * shuffle-partition sizing: a deployment parameter, not a plan
+    * property — the 8-bit default fits the 2k-vector fixture the
+    * catalog oracle replicates.
     * @return (a, b) with a < b — candidate pairs for an exact rerank
     *         (see s_srp_lsh for the native-cosine rerank pattern; on
     *         corpora with exact-duplicate vectors, wrap the whole
