@@ -416,7 +416,17 @@ object TextDedup {
     * near-dups at Hamming ~11, so wide tolerance is the default here);
     * a corpus enforcing the classic strict distance ≤ 3 should use
     * 4×16-bit bands for far fewer candidates.
-    * Output: (a, b, jaccard), a < b. */
+    *
+    * CAPACITY RULE (same class as srpCandidates' bandBits): a band key
+    * has 2^(64/numBands) values × the log2-size classes, so random
+    * collisions contribute ~numBands·N²/2^(width+1) candidate pairs —
+    * quadratic in N at fixed width (4-bit bands ⇒ 16 values per band;
+    * the mutated ×10/×30 twin boards pay exactly this volume, wall flat
+    * per candidate). numBands is therefore a DEPLOYMENT knob: at large N
+    * use fewer, wider bands (8×8-bit guarantees Hamming ≤ 7; 4×16-bit
+    * Hamming ≤ 3), accepting the tighter Hamming guarantee — or shard
+    * the corpus before banding. The 16-band default fits the catalog
+    * fixture whose oracle replicates the full band chain. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, maxHamming: Int = 15,
                    threshold: Double = 0.5, numBands: Int = 16,
