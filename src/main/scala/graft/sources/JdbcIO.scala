@@ -111,7 +111,7 @@ object JdbcIO {
     * paths, flagged here for any future non-Spark target. Non-finite
     * floats render as string-cast forms (`CAST('NaN' AS DOUBLE)`): the
     * bare tokens NaN/Infinity are not valid SQL literals anywhere. */
-  private def sqlLiteral(v: Any): String = v match {
+  private[graft] def sqlLiteral(v: Any): String = v match {
     case null => "NULL"
     case s: String => "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
     case d: java.sql.Date => s"DATE '$d'"

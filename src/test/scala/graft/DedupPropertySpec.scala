@@ -708,4 +708,107 @@ class DedupPropertySpec extends SparkSpec {
     assert(twins.map(_._1).forall(id => !got.exists(_._2 == id)))
     assert(got.size < all.size && got.nonEmpty)
   }
+
+  /** The r13 two-phase witness search (prefix-kPrefix probe + full scan
+    * over the remainder) must be invisible on a NEAR-dup corpus — the
+    * shape where the exact collapse does nothing and the split carries
+    * all the work. Same driver-side uncollapsed reference as the
+    * exact-twins test; the corpus is built so phase B is provably
+    * exercised (some removed row's every witness ranks past the
+    * prefix). */
+  test("semDedup near-dup corpus == uncollapsed reference (two-phase split)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val dim = 8
+    def vec() = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+    val base = (0L until 150L).map(i => (i, vec()))
+    // near-dup twins: ±0.1% perturbed copies (distinct bytes — the
+    // collapse sees nothing) of random rows at higher ids
+    val twins = (0 until 40).map { k =>
+      val (_, v) = base(rnd.nextInt(base.size))
+      (300L + k, v.map(x => x * (1.0 + (rnd.nextDouble() - 0.5) * 2e-3)))
+    }
+    val all = base ++ twins
+    val cents = (0 until 3).map(c => (s"c$c", vec()))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val thr = 0.3
+    val assigned = all.map { case (id, v) =>
+      val (lbl, cc) = cents.map { case (l, c) => (l, cos(v, c)) }
+        .minBy { case (l, cc) => (-cc, l) }
+      (id, v, lbl, cc)
+    }
+    val byCell = assigned.groupBy(_._3).map { case (lbl, cell) =>
+      lbl -> cell.sortBy { case (id, _, _, cc) => (cc, id) }
+    }
+    val want = byCell.values.flatten.collect {
+      case (id, v, lbl, cc) if !byCell(lbl).takeWhile(_._1 != id)
+        .exists { case (_, hv, _, _) => cos(v, hv) > thr } =>
+        (lbl, id, math.floor(cc * 1e6).toLong)
+    }.toSet
+    // phase-B coverage proof: at least one REMOVED row must have no
+    // witness inside the prefix the production code probes (kPrefix=8)
+    // but a witness beyond it — without such a row this test would pass
+    // on a phase-A-only implementation
+    val phaseBRows = byCell.values.flatMap { ranked =>
+      ranked.zipWithIndex.collect { case ((id, v, _, _), r) if r >= 8 &&
+        !ranked.take(8).exists { case (_, hv, _, _) => cos(v, hv) > thr } &&
+        ranked.slice(8, r).exists { case (_, hv, _, _) => cos(v, hv) > thr } =>
+          id
+      }
+    }
+    assert(phaseBRows.nonEmpty,
+      "corpus does not exercise phase B — regenerate with another seed")
+    val emb = all.toDF("vec_id", "v")
+    val cdf = cents.toDF("c_label", "c")
+    val got = graft.operators.VectorSim
+      .semDedup(emb, cdf, "vec_id", "v", simThreshold = thr)
+      .select(col("cell"), col("vec_id"),
+        floor(col("ccos") * 1e6).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"survivor mismatch: missing=${(want -- got).take(3)} " +
+      s"extra=${(got -- want).take(3)}")
+  }
+
+  /** ScaleSmoke's mutated-twin builder must be a pure function (twin
+    * boards are reproducible) with the documented invariants: copy 0
+    * untouched, identical texts mutate identically within a copy,
+    * different copies diverge, substitution rate near the nominal 3%. */
+  test("ScaleSmoke mutators: deterministic, content-seeded, copy-0 identity") {
+    val text = (1 to 400).map(i => s"tok$i").mkString(" ")
+    assert(ScaleSmoke.mutateText(text, 0) == text)
+    val m1 = ScaleSmoke.mutateText(text, 1)
+    assert(m1 == ScaleSmoke.mutateText(text, 1)) // deterministic
+    assert(m1 != ScaleSmoke.mutateText(text, 2)) // copies diverge
+    val changed = text.split(" ").zip(m1.split(" ")).count { case (a, b) => a != b }
+    assert(changed > 0 && changed < 40, s"substitution rate off: $changed/400")
+    val v = Seq.tabulate(64)(i => (i + 1) * 0.125f)
+    assert(ScaleSmoke.mutateVec(v, 0) == v)
+    val mv = ScaleSmoke.mutateVec(v, 3)
+    assert(mv == ScaleSmoke.mutateVec(v, 3) && mv != v)
+    assert(v.zip(mv).forall { case (a, b) => math.abs(b / a - 1.0) <= 1.001e-3 })
+  }
+
+  /** sqlLiteral renders every fixture-travelling type as parseable SQL:
+    * ANSI '' quote doubling, string-cast forms for non-finite floats
+    * (bare NaN/Infinity tokens are not valid SQL anywhere). */
+  test("JdbcIO.sqlLiteral: quote doubling and non-finite floats") {
+    import graft.sources.JdbcIO.sqlLiteral
+    assert(sqlLiteral("don't") == "'don''t'")
+    assert(sqlLiteral("a\\b") == "'a\\\\b'")
+    assert(sqlLiteral(Double.NaN) == "CAST('NaN' AS DOUBLE)")
+    assert(sqlLiteral(Double.PositiveInfinity) == "CAST('Infinity' AS DOUBLE)")
+    assert(sqlLiteral(Float.NegativeInfinity) == "CAST('-Infinity' AS FLOAT)")
+    assert(sqlLiteral(null) == "NULL")
+    assert(sqlLiteral(1.5) == "CAST(1.5 AS DOUBLE)")
+    // the doubled-quote form must parse back to the original on this
+    // engine (Spark accepts '' under both parser modes)
+    val got = spark.sql(s"SELECT ${sqlLiteral("don't")} AS s")
+      .collect().head.getString(0)
+    assert(got == "don't")
+  }
 }
