@@ -48,17 +48,30 @@ object PipelineQueries {
   private def resourceRawLanding(s: org.apache.spark.sql.SparkSession,
                                  dir: String): (String, String) = {
     val root = scratchDir("pl", dir, "resource_raw")
-    val d1 = s"$root/raw_day1"; val d2 = s"$root/raw_day2"
+    // _mf leaf suffix = the multi-file landing layout below (versioned
+    // name so hosts carrying the old single-file landing rebuild —
+    // ensureOnce's staleness clock watches testdata, not fixture code)
+    val d1 = s"$root/raw_day1_mf"; val d2 = s"$root/raw_day2_mf"
     val li = Tables.lineitem(s, dir)
+    // Landing layout: 16 part files, as a real fetcher writes (the
+    // reference's MFS extractor lands many files per day). The JSON
+    // text for a full day compresses to one ~60 MB parquet file if
+    // written naively, and maxPartitionBytes then hands the WHOLE
+    // day's parse to a single scan task — the downstream staging
+    // (from_json over 600k rows at sf0.1) measured 2.9 s serial vs
+    // ~0.3 s over 16 files. The landing is the query's INPUT; its
+    // file count is a fixture property, the staging plan is unchanged.
     // d1 derives from lineitem AND orders — guard against the whole
     // testdata dir so a regenerated orders table rebuilds the landing
     ensureOnce(d1, dir) {
       rawLinesJson(li.filter(col("l_shipdate") < ingestCutoff))
         .unionByName(rawOrdersJson(Tables.orders(s, dir)))
+        .repartition(16)
         .write.mode("overwrite").parquet(d1)
     }
     ensureOnce(d2, s"$dir/lineitem.parquet") {
       rawLinesJson(li.filter(col("l_shipdate") >= ingestCutoff))
+        .repartition(16)
         .write.mode("overwrite").parquet(d2)
     }
     (d1, d2)
