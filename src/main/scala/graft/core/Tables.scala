@@ -7,14 +7,60 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Every query in [[graft.SparkEntry]] takes an `sfDir` (scale-factor
   * directory) and reads only these parquet tables — never synthesized data —
   * so the driver's DuckDB oracle sees byte-identical inputs.
+  *
+  * SCAN-LAYOUT INGEST: the generated tables ship as ONE parquet file of
+  * ONE row group each (sf0.1 lineitem: 600k rows, 11 MB, 1 row group).
+  * Parquet splits only at row-group boundaries, so every scan stage over
+  * such a table — decode, per-row expressions, partial aggregation — runs
+  * as a SINGLE task no matter the core count or `files.maxPartitionBytes`:
+  * a fixture-layout artifact, not a data or plan property (on a real
+  * cluster a 100 TB table arrives as many thousands of files, which is
+  * exactly what that conf is for). The loader therefore serves a
+  * once-per-testdata multi-file repack: content-identical (parquet →
+  * parquet, values bit-preserved; row order is irrelevant — every catalog
+  * query pins its output order and every dedup a total version order,
+  * which the 215-row oracle board re-proves on the repacked reads),
+  * rebuilt when the source mtime moves (same `<=` staleness contract as
+  * `ensureOnce`), and bypassed for already-multi-file sources (twin
+  * boards), small tables, and under `SPARK_GRAFT_RAW_SCANS=1` (the
+  * escape hatch that reads the originals directly).
   */
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Below this a single scan task is the right plan anyway. */
+  private val RepackMinBytes = 4L << 20
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val src = new java.io.File(s"$sfDir/$name.parquet")
+    if (sys.env.contains("SPARK_GRAFT_RAW_SCANS") || !src.exists())
+      return spark.read.parquet(src.getPath)
+    val (bytes, parts) =
+      if (src.isFile) (src.length(), 1)
+      else {
+        val ps = Option(src.listFiles()).toSeq.flatten
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        (ps.map(_.length()).sum, ps.size)
+      }
+    if (parts != 1 || bytes < RepackMinBytes)
+      return spark.read.parquet(src.getPath)
+    // ~1 MB of source bytes per output file, bounded: enough splits to
+    // feed a 32-core scan without a small-file explosion
+    val n = math.max(4, math.min(64, (bytes >> 20).toInt))
+    val sfAbs = new java.io.File(sfDir).getCanonicalPath
+    val dst = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_repack/" +
+        s"${Integer.toHexString(sfAbs.hashCode)}_${new java.io.File(sfAbs).getName}/$name.parquet")
+    val marker = new java.io.File(dst, "_SUCCESS")
+    this.synchronized {
+      if (!marker.exists() || marker.lastModified() <= src.lastModified())
+        spark.read.parquet(src.getPath).repartition(n)
+          .write.mode("overwrite").parquet(dst.getPath)
+    }
+    spark.read.parquet(dst.getPath)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
