@@ -26,13 +26,22 @@ object CandSmoke {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val k = if (args.length > 1) args(1).toInt else 100
+    val override_ = args.length > 2
     val out =
-      if (args.length > 2) args(2)
-      else s"${System.getProperty("java.io.tmpdir")}/graft_scale_x$k"
+      if (override_) {
+        // an override dir is a PRE-BUILT board (e.g. the mutated twins);
+        // require its completion marker rather than silently building
+        // EXACT twins into a path whose name promises something else —
+        // wrong K or a partial build must fail fast, not mislabel counts
+        require(new java.io.File(s"${args(2)}/_DONE_$k").exists(),
+          s"override dir ${args(2)} lacks _DONE_$k — wrong K or partial " +
+            "build; refusing to overwrite it with exact twins")
+        args(2)
+      } else s"${System.getProperty("java.io.tmpdir")}/graft_scale_x$k"
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = graft.core.GraftSession.local(cpus, "graft-cand-smoke")
-    ScaleSmoke.build(spark, src, out, k)
+    if (!override_) ScaleSmoke.build(spark, src, out, k)
     println(f"${"dir"}%-34s ${"pj_raw"}%12s ${"pj_pairs"}%12s ${"srp_raw"}%12s ${"srp_pairs"}%12s")
     Seq(src, out).foreach { dir =>
       val docs = graft.core.Tables.documents(spark, dir)

@@ -20,10 +20,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parquet, values bit-preserved; row order is irrelevant — every catalog
   * query pins its output order and every dedup a total version order,
   * which the 215-row oracle board re-proves on the repacked reads),
-  * rebuilt when the source mtime moves (same `<=` staleness contract as
-  * `ensureOnce`), and bypassed for already-multi-file sources (twin
-  * boards), small tables, and under `SPARK_GRAFT_RAW_SCANS=1` (the
-  * escape hatch that reads the originals directly).
+  * rebuilt when the source mtime moves (the version dir name carries the
+  * source mtime, superseding the old `<=` marker-mtime contract), and
+  * bypassed for already-multi-file sources (twin boards), small tables,
+  * and under `SPARK_GRAFT_RAW_SCANS=1` (the escape hatch that reads the
+  * originals directly; any other value leaves the repack on).
+  *
+  * CROSS-PROCESS SAFETY (round 14): the served repack path appears only
+  * via an atomic rename of a fully-written staging dir, so a concurrent
+  * reader sees either no dir (and builds its own) or a complete one —
+  * never a half-written listing. Two processes racing on the same
+  * testdata each stage into a process-unique `.tmp_*` sibling and race
+  * the rename; the loser's staging dir is discarded (both stagings are
+  * content-identical reshuffles of the same source). A crash mid-repack
+  * leaves only a `.tmp_*` orphan that no reader ever lists and the next
+  * successful repack sweeps. The old design overwrote the served path in
+  * place under a JVM-local lock — a concurrent Verify + Bench pair could
+  * read a directory mid-overwrite.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -33,9 +46,19 @@ object Tables {
   /** Below this a single scan task is the right plan anyway. */
   private val RepackMinBytes = 4L << 20
 
+  /** Repack cache root — overridable for tests and race drills. */
+  private[graft] def repackRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_REPACK_DIR",
+      s"${System.getProperty("java.io.tmpdir")}/graft_repack")
+
+  /** The documented escape-hatch contract: ONLY the literal "1"
+    * disables the repack (SPARK_GRAFT_RAW_SCANS=0 leaves it on). */
+  private[graft] def rawScansRequested(v: Option[String]): Boolean =
+    v.contains("1")
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val src = new java.io.File(s"$sfDir/$name.parquet")
-    if (sys.env.contains("SPARK_GRAFT_RAW_SCANS") || !src.exists())
+    if (rawScansRequested(sys.env.get("SPARK_GRAFT_RAW_SCANS")) || !src.exists())
       return spark.read.parquet(src.getPath)
     val (bytes, parts) =
       if (src.isFile) (src.length(), 1)
@@ -46,20 +69,73 @@ object Tables {
       }
     if (parts != 1 || bytes < RepackMinBytes)
       return spark.read.parquet(src.getPath)
+    val sfAbs = new java.io.File(sfDir).getCanonicalPath
+    val base = new java.io.File(
+      s"$repackRoot/${Integer.toHexString(sfAbs.hashCode)}_${new java.io.File(sfAbs).getName}")
+    // this.synchronized dedupes repack WORK within one JVM; correctness
+    // across JVMs comes from the atomic-rename protocol in repackInto
+    val dst = this.synchronized { repackInto(spark, src, base, name, bytes) }
+    spark.read.parquet(dst.getPath)
+  }
+
+  /** Stage-and-atomically-publish one table's repack under `base`.
+    * Versioned by source mtime: `<name>.parquet.v<mtime>` either exists
+    * complete (it only ever appears via an atomic rename) or is built
+    * into a process-unique staging dir and renamed in. Loser of a
+    * cross-process rename race discards its staging dir. Returns the
+    * published version dir. Package-private so the concurrency spec can
+    * drive the race directly, bypassing the JVM-local lock. */
+  private[graft] def repackInto(spark: SparkSession, src: java.io.File,
+                                base: java.io.File, name: String,
+                                bytes: Long): java.io.File = {
+    val dst = new java.io.File(base, s"$name.parquet.v${src.lastModified()}")
+    if (new java.io.File(dst, "_SUCCESS").exists()) return dst
     // ~1 MB of source bytes per output file, bounded: enough splits to
     // feed a 32-core scan without a small-file explosion
     val n = math.max(4, math.min(64, (bytes >> 20).toInt))
-    val sfAbs = new java.io.File(sfDir).getCanonicalPath
-    val dst = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_repack/" +
-        s"${Integer.toHexString(sfAbs.hashCode)}_${new java.io.File(sfAbs).getName}/$name.parquet")
-    val marker = new java.io.File(dst, "_SUCCESS")
-    this.synchronized {
-      if (!marker.exists() || marker.lastModified() <= src.lastModified())
-        spark.read.parquet(src.getPath).repartition(n)
-          .write.mode("overwrite").parquet(dst.getPath)
+    val tmp = new java.io.File(base,
+      s".tmp_${name}_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+    spark.read.parquet(src.getPath).repartition(n)
+      .write.mode("overwrite").parquet(tmp.getPath)
+    try
+      java.nio.file.Files.move(tmp.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // rename onto an existing non-empty dir surfaces as a generic
+      // FileSystemException (ENOTEMPTY/EEXIST) — it means another
+      // process published the same (content-identical) version between
+      // our existence check and rename. Verify the winner's publish is
+      // complete before discarding ours; anything else is a real error.
+      case e: java.nio.file.FileSystemException =>
+        if (new java.io.File(dst, "_SUCCESS").exists()) deleteRecursively(tmp)
+        else throw e
     }
-    spark.read.parquet(dst.getPath)
+    require(new java.io.File(dst, "_SUCCESS").exists(),
+      s"repack publish failed: $dst has no _SUCCESS after rename")
+    sweepStale(base, name, dst.getName)
+    dst
+  }
+
+  /** Best-effort cleanup: superseded version dirs (older source mtimes)
+    * and crashed staging orphans older than an hour. Failures ignored —
+    * stale dirs cost disk, never correctness (readers hold the exact
+    * version dir they resolved). */
+  private def sweepStale(base: java.io.File, name: String,
+                         keep: String): Unit =
+    try {
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      Option(base.listFiles()).toSeq.flatten.foreach { f =>
+        val stale =
+          (f.getName.startsWith(s"$name.parquet.v") && f.getName != keep) ||
+          (f.getName.startsWith(s".tmp_${name}_") && f.lastModified() < cutoff)
+        if (stale) deleteRecursively(f)
+      }
+    } catch { case _: Throwable => () }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten
+      .foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")

@@ -54,6 +54,9 @@ object JdbcIO {
                       maxConnections: Int = 10,
                       rowsPerStatement: Int = 500,
                       props: java.util.Properties = new java.util.Properties()): Unit = {
+    // dialect by URL: hive2/Spark-thrift parses backslash escapes in
+    // string literals; everything else (Derby et al.) is ANSI-literal
+    val backslashEscapes = url.startsWith("jdbc:hive2:")
     val schema = df.schema
     val ddlCols = schema.fields
       .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
@@ -64,7 +67,8 @@ object JdbcIO {
     val capped =
       if (df.rdd.getNumPartitions > maxConnections) df.coalesce(maxConnections)
       else df
-    val (u, t, n, p) = (url, table, rowsPerStatement, propsMap(props))
+    val (u, t, n, p, bs) =
+      (url, table, rowsPerStatement, propsMap(props), backslashEscapes)
     capped.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       if (it.hasNext) {
         val pp = new java.util.Properties()
@@ -72,7 +76,7 @@ object JdbcIO {
         withConnection(u, pp) { st =>
           it.grouped(n).foreach { chunk =>
             val values = chunk.map(r =>
-              (0 until r.length).map(i => sqlLiteral(r.get(i)))
+              (0 until r.length).map(i => sqlLiteral(r.get(i), bs))
                 .mkString("(", ", ", ")")).mkString(", ")
             st.execute(s"INSERT INTO `$t` VALUES $values")
           }
@@ -104,16 +108,18 @@ object JdbcIO {
     * Quotes are escaped by ANSI-standard `''` doubling (parses on every
     * SQL endpoint, including Spark thrift under default AND
     * `escapedStringLiterals=true` parser modes — verified empirically on
-    * this Spark). Backslashes are ADDITIONALLY doubled because the
-    * target endpoints are Spark-dialect (default parser treats `\` as an
-    * escape introducer); an ANSI-only endpoint that takes backslashes
-    * literally would see them doubled — acceptable for the fixture
-    * paths, flagged here for any future non-Spark target. Non-finite
+    * this Spark). Backslash handling is DIALECT-DEPENDENT and therefore
+    * a parameter: Spark/Hive's default parser treats `\` as an escape
+    * introducer (so it must be doubled), while ANSI endpoints (Derby,
+    * Postgres standard_conforming_strings) take it literally (doubling
+    * would corrupt the value — 'a\b' landing as 'a\\b'). Non-finite
     * floats render as string-cast forms (`CAST('NaN' AS DOUBLE)`): the
     * bare tokens NaN/Infinity are not valid SQL literals anywhere. */
-  private[graft] def sqlLiteral(v: Any): String = v match {
+  private[graft] def sqlLiteral(v: Any, backslashEscapes: Boolean = true): String = v match {
     case null => "NULL"
-    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+    case s: String =>
+      val b = if (backslashEscapes) s.replace("\\", "\\\\") else s
+      "'" + b.replace("'", "''") + "'"
     case d: java.sql.Date => s"DATE '$d'"
     case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
     case b: Boolean => if (b) "true" else "false"

@@ -799,7 +799,10 @@ class DedupPropertySpec extends SparkSpec {
   test("JdbcIO.sqlLiteral: quote doubling and non-finite floats") {
     import graft.sources.JdbcIO.sqlLiteral
     assert(sqlLiteral("don't") == "'don''t'")
-    assert(sqlLiteral("a\\b") == "'a\\\\b'")
+    // backslash handling is dialect-threaded: doubled for Spark/hive2
+    // endpoints (escape-parsing), literal for ANSI endpoints (Derby)
+    assert(sqlLiteral("a\\b", backslashEscapes = true) == "'a\\\\b'")
+    assert(sqlLiteral("a\\b", backslashEscapes = false) == "'a\\b'")
     assert(sqlLiteral(Double.NaN) == "CAST('NaN' AS DOUBLE)")
     assert(sqlLiteral(Double.PositiveInfinity) == "CAST('Infinity' AS DOUBLE)")
     assert(sqlLiteral(Float.NegativeInfinity) == "CAST('-Infinity' AS FLOAT)")
