@@ -502,13 +502,32 @@ object TextDedup {
     * ~3× fewer candidate-join shuffle bytes than string arrays and a
     * zero-allocation merge probe per pair — exact up to xxhash64
     * collisions (~k²/2⁶⁴ per pair, negligible).
-    * Output: (a, b, jaccard), a < b. */
+    * Output: (a, b, jaccard), a < b.
+    *
+    * BOUNDED-SCRATCH SHARDING (`shards` > 1, r14): the candidate join's
+    * shuffle footprint is proportional to the length-block pair
+    * population, and one monolithic pass needs all of it on scratch disk
+    * at once (measured: the mutated ×100 board's 500k-doc corpus ran a
+    * single 32-core host out of 85+ GB of spill — twice, lz4 and zstd).
+    * With `shards = S` the pair space is partitioned by the emitting
+    * block's residue (`__blk % S` — each pair is emitted by exactly ONE
+    * block under the larger-own-block rule, so residue classes are a
+    * true partition), and the driver materializes the shards
+    * SEQUENTIALLY, so peak scratch is ~1/S of the total at the cost of
+    * S scans of the (small) blocked/shingle tables. Output is the union
+    * of the residue classes — identical rows for every S, which
+    * DedupPropertySpec asserts. The same grace-staging pattern as an
+    * out-of-core hash join; on a real cluster aggregate executor disk
+    * usually makes S = 1 the right setting, which is why the default
+    * stays 1 and the catalog derives S from the corpus count the same
+    * way srpBandBits derives band geometry. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         lenCol: Column, n: Int = 4, threshold: Double = 0.6,
-                        blockWidth: Int = 100): DataFrame = {
+                        blockWidth: Int = 100, shards: Int = 1): DataFrame = {
     val maxDiff = blockWidth / 2
     // collapse-soundness gate — see minhashLshPairs
     require(threshold <= 1.0, s"threshold must be <= 1.0 (got $threshold)")
+    require(shards >= 1, s"shards must be >= 1 (got $shards)")
     // char shingles are empty iff numChars < n — gate on length so the
     // candidate path never materializes shingle arrays (they were being
     // computed per doc just to evaluate a size()>0 filter)
@@ -525,23 +544,50 @@ object TextDedup {
       .select(col(idCol), col("__len"),
         explode(array((col("__len") / blockWidth).cast("long"),
                       (col("__len") / blockWidth).cast("long") + 1)).as("__blk"))
-    val x = blocked.alias("__blk_x"); val y = blocked.alias("__blk_y")
-    val cand = x.join(y,
-        col("__blk_x.__blk") === col("__blk_y.__blk") &&
-        col(s"__blk_x.$idCol") < col(s"__blk_y.$idCol") &&
-        abs(col("__blk_x.__len") - col("__blk_y.__len")) <= maxDiff &&
-        // each doc sits in blocks {own, own+1}, so a pair co-occurs twice
-        // iff both share the same own-block; keeping only the bucket equal
-        // to the LARGER doc's own block emits every pair exactly once —
-        // uniqueness by construction replaces a distinct() shuffle of the
-        // whole candidate set (the largest intermediate in the plan)
-        col("__blk_x.__blk") ===
-          greatest((col("__blk_x.__len") / blockWidth).cast("long"),
-                   (col("__blk_y.__len") / blockWidth).cast("long")))
-      .select(col(s"__blk_x.$idCol").as("a"), col(s"__blk_y.$idCol").as("b"))
-      .distinct()
-    expand(verifyJaccard(cand, sh, idCol, threshold, jaccardSorted))
+    def pairsOf(blk: DataFrame): DataFrame = {
+      val x = blk.alias("__blk_x"); val y = blk.alias("__blk_y")
+      val cand = x.join(y,
+          col("__blk_x.__blk") === col("__blk_y.__blk") &&
+          col(s"__blk_x.$idCol") < col(s"__blk_y.$idCol") &&
+          abs(col("__blk_x.__len") - col("__blk_y.__len")) <= maxDiff &&
+          // each doc sits in blocks {own, own+1}, so a pair co-occurs twice
+          // iff both share the same own-block; keeping only the bucket equal
+          // to the LARGER doc's own block emits every pair exactly once —
+          // uniqueness by construction replaces a distinct() shuffle of the
+          // whole candidate set (the largest intermediate in the plan)
+          col("__blk_x.__blk") ===
+            greatest((col("__blk_x.__len") / blockWidth).cast("long"),
+                     (col("__blk_y.__len") / blockWidth).cast("long")))
+        .select(col(s"__blk_x.$idCol").as("a"), col(s"__blk_y.$idCol").as("b"))
+        .distinct()
+      verifyJaccard(cand, sh, idCol, threshold, jaccardSorted)
+    }
+    val pairs =
+      if (shards <= 1) pairsOf(blocked)
+      else (0 until shards).map { s =>
+        // one residue class at a time; eager materialization is the
+        // sequencing point, and the GC nudge lets the ContextCleaner
+        // drop the finished shard's shuffle files before the next shard
+        // starts writing its own (same role as spark.cleaner.periodicGC,
+        // just aligned to the shard boundary)
+        val p = graft.core.Materialize(
+          pairsOf(blocked.filter(pmod(col("__blk"), lit(shards)) === s)),
+          eager = true)
+        System.gc()
+        p
+      }.reduce(_ unionAll _)
+    expand(pairs)
   }
+
+  /** Bounded-scratch shard count for [[ngramJaccardPairs]], derived from
+    * the corpus size (the srpBandBits philosophy: the documented capacity
+    * rule IS the default): 1 up to 60k docs — every correctness board and
+    * the ×10 twin run the historical monolithic plan — then one shard per
+    * additional 60k, capped at 32. 60k docs kept the ×30 mutated board's
+    * single pass inside this host's scratch; beyond that the single-pass
+    * spill grows linearly past what one machine holds. */
+  def ngramScratchShards(nDocs: Long): Int =
+    math.min(32L, math.max(1L, (nDocs + 59999L) / 60000L)).toInt
 
   /** Exact n-gram Jaccard dedup by PREFIX FILTERING (the ssjoin/PPJoin
     * family; public literature, e.g. Bayardo et al. "Scaling Up All

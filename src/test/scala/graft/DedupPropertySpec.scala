@@ -543,6 +543,24 @@ class DedupPropertySpec extends SparkSpec {
     val twinPairs = rows.filter { case (a, b, _) => byId(a) == byId(b) }
     assert(twinPairs.nonEmpty && twinPairs.forall(_._3 == 1.0),
       "twin pairs must be present with jaccard exactly 1.0")
+    // r14 bounded-scratch sharding: the residue partition of the pair
+    // space must be invisible — every shard count yields the same rows
+    // (values included), because each pair is emitted by exactly one
+    // block and each block lives in exactly one residue class
+    val sharded = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+        lenCol = length(col("text")), n = 4, threshold = 0.6,
+        blockWidth = 20, shards = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sharded == rows.toSet, s"shards=3 diverges: " +
+      s"missing=${(rows.toSet -- sharded).take(3)} " +
+      s"extra=${(sharded -- rows.toSet).take(3)}")
+    // derivation ladder for the catalog's shard count
+    assert(TextDedup.ngramScratchShards(500) == 1 &&
+      TextDedup.ngramScratchShards(60000) == 1 &&
+      TextDedup.ngramScratchShards(60001) == 2 &&
+      TextDedup.ngramScratchShards(150000) == 3 &&
+      TextDedup.ngramScratchShards(500000) == 9 &&
+      TextDedup.ngramScratchShards(100000000L) == 32)
   }
 
   /** The SRP pair lister's collapse+expand must equal the uncollapsed

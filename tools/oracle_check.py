@@ -1,11 +1,15 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB oracle compare.
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [skip1,skip2]
 
 For each query dir under verifyOutDir: read the Spark parquet result, run
 the oracle SQL from oracle_sql.json in DuckDB against the sfDir parquet
 tables, sort columns by name, round doubles, and compare row-by-row.
+The optional third arg names queries to SKIP (comma-separated) — used on
+×10-scale boards for the two rows whose brute pair CTE exceeds DuckDB
+scratch (d_ngram_jaccard, d_triangles); those run through the exact
+sharded rewrite in oracle_shard_sf1.py instead.
 This is validation tooling only — the engine itself has no Python.
 """
 import sys, json, glob, math
@@ -33,7 +37,7 @@ def canon(rows, cols):
         out.append("\x1f".join(vals))
     return out
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     import os
     for t in TABLES:
@@ -47,6 +51,9 @@ def main(sf_dir, out_dir):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracles):
+        if name in skip:
+            print(f"SKIP  {name} (sharded oracle — see oracle_shard_sf1.py)")
+            continue
         qdir = f"{out_dir}/{name}"
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
@@ -85,4 +92,5 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  skip=set(sys.argv[3].split(",")) if len(sys.argv) > 3 else ()))

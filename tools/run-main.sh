@@ -13,5 +13,9 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# SPARK_GRAFT_JVM_OPTS: extra -D flags (e.g. spark confs — Spark reads
+# system properties), used by scratch-constrained drills to set
+# -Dspark.io.compression.codec=zstd for denser shuffle spill
 exec java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  ${SPARK_GRAFT_JVM_OPTS:-} \
   -Xmx${SPARK_DRIVER_MEM:-8g} -cp "$CP" "$@"
