@@ -56,10 +56,42 @@ object Bench {
     sec
   }
 
+  /** 1-minute loadavg, or 0 where /proc/loadavg is unreadable. */
+  private def load1(): Double =
+    loadAvg().split(",").headOption.filter(_.nonEmpty)
+      .flatMap(_.toDoubleOption).getOrElse(0.0)
+
+  /** LOAD GATE (r15): a contaminated board must be impossible to produce
+    * silently. The r14 official record ran at loadavg 27.99 on a 32-core
+    * host and read +33% vs two same-HEAD controlled boards — external
+    * load, not the engine. Before any timing starts, wait (bounded) for
+    * the 1-min loadavg to fall under the gate; the wait and the gate
+    * verdict are recorded in the env block so a board that STILL started
+    * loaded carries the evidence on its face. Thresholds overridable:
+    * SPARK_GRAFT_BENCH_MAX_LOAD (default 4.0 — ~12% of a 32-core host)
+    * and SPARK_GRAFT_BENCH_MAX_WAIT_SEC (default 900).
+    * @return (waited seconds, still-over-gate after the bounded wait) */
+  private def loadGate(): (Int, Boolean) = {
+    val gate = sys.env.get("SPARK_GRAFT_BENCH_MAX_LOAD")
+      .flatMap(_.toDoubleOption).getOrElse(4.0)
+    val maxWait = sys.env.get("SPARK_GRAFT_BENCH_MAX_WAIT_SEC")
+      .flatMap(_.toIntOption).getOrElse(900)
+    var waited = 0
+    while (load1() > gate && waited < maxWait) {
+      System.err.println(
+        s"bench load gate: 1-min loadavg ${load1()} > $gate — waiting " +
+          s"($waited/$maxWait s)")
+      Thread.sleep(10000)
+      waited += 10
+    }
+    (waited, load1() > gate)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
+    val (loadWaitSec, loadGateExceeded) = loadGate()
     val loadPre = loadAvg()
     val calibPre = calibrate()
     val spark = graft.core.GraftSession.local(cpus, "graft-bench")
@@ -222,6 +254,8 @@ object Bench {
     val calibPost = calibrate()
     val env = s""""env":{"cores":${Runtime.getRuntime.availableProcessors()},""" +
       s""""load_pre":"$loadPre","load_post":"$loadPost",""" +
+      s""""load_wait_sec":$loadWaitSec,""" +
+      s""""load_gate_exceeded":$loadGateExceeded,""" +
       s""""calib_pre_sec":${num("%.2f", calibPre)},""" +
       s""""calib_post_sec":${num("%.2f", calibPost)},""" +
       s""""floor_probe_sec":${num("%.3f", floorSec)}}"""

@@ -32,11 +32,13 @@ import org.apache.spark.sql.functions._
   * unmutated.
   *
   * Usage: runMain graft.ScaleSmoke [srcSfDir] [K] [query,query,...]
-  *          [nowarm] [mutate]
+  *          [nowarm] [mutate] [shape]
   *
   * `nowarm` skips the untimed JIT warm-up run per (query, dir): for
   * multi-minute ×100 rows the warm-up doubles a long measurement to
-  * shave noise that is already <1% of it.
+  * shave noise that is already <1% of it. `shape` (implies `mutate`)
+  * regenerates documents as the natural-shape Zipf corpus — see
+  * [[shapeText]] and NgramRouteSmoke.
   */
 object ScaleSmoke {
 
@@ -86,6 +88,37 @@ object ScaleSmoke {
     toks.mkString(" ")
   }
 
+  /** Natural-shape text generator (r15, verdict item 3): replaces a base
+    * doc's text with Zipf-distributed tokens and a lognormal-ish length,
+    * seeded by the BASE doc id — the corpus shape where the prefix
+    * filter's "rare tokens exist" premise holds, unlike the synthetic
+    * documents table (~1k distinct char-4-grams, no rare token
+    * anywhere). Combined with the ×K near-dup mutator this builds the
+    * natural-shape twin board: copies of one base doc are near-dups of
+    * each other, unrelated base docs share only Zipf-head tokens.
+    *
+    * Token ranks draw from P(r) ∝ 1/r over V=50k (inverse-CDF r = V^u:
+    * the head token covers ~6% of positions, like "the" in English);
+    * token count is exp(4 + 1.2·z) with z ≈ N(0,1) via Irwin-Hall —
+    * median ~55 tokens (~300 chars, the synthetic corpus's center) with
+    * a realistic spread of ~30 to ~30k chars. Pure function. */
+  private[graft] def shapeText(baseId: Long): String = {
+    val V = 50000.0
+    def unif(x: Long): Double = (mix64(x) >>> 11).toDouble / (1L << 53).toDouble
+    val h0 = mix64(baseId * 0x100000001B3L + 0x5EED)
+    val z = ((1 to 4).map(i => unif(h0 + i)).sum - 2.0) * 1.732
+    val nTok = math.min(5000, math.max(8, math.exp(4.0 + 1.2 * z).toInt))
+    val sb = new java.lang.StringBuilder(nTok * 6)
+    var j = 0
+    while (j < nTok) {
+      val r = math.pow(V, unif(h0 + 100 + j)).toLong.max(1L)
+      if (j > 0) sb.append(' ')
+      sb.append('w').append(r)
+      j += 1
+    }
+    sb.toString
+  }
+
   /** ±0.1% relative noise per component, content-seeded like
     * [[mutateText]]: cosine(mutated, source) ≈ 0.9999997 — firmly inside
     * every embedding near-dup threshold, but no longer bit-equal, so the
@@ -101,18 +134,27 @@ object ScaleSmoke {
   }
 
   def build(spark: SparkSession, src: String, out: String, k: Int,
-            mutate: Boolean = false): Unit = {
+            mutate: Boolean = false, shape: Boolean = false): Unit = {
     val done = new java.io.File(s"$out/_DONE_$k")
     if (done.exists()) return
     // tooling-only UDFs (twin-board construction, not an engine path)
     val mutTextUdf = udf(mutateText _)
     val mutVecUdf = udf(mutateVec _)
+    val shapeTextUdf = udf(shapeText _)
     dims.foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
     keyCols.foreach { case (t, keys) =>
-      val base = spark.read.parquet(s"$src/$t.parquet")
+      val base0 = spark.read.parquet(s"$src/$t.parquet")
+      // natural-shape board: regenerate documents text from the BASE id
+      // (pre-shift, so a doc's K copies shape identically and the ×K
+      // mutator then makes them near-dups); n_chars re-derived below
+      val base =
+        if (shape && t == "documents")
+          base0.withColumn("text", shapeTextUdf(col("doc_id")))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+        else base0
       val copies = (0 until k).map { i =>
         val shifted = keys.foldLeft(base) { (df, c) =>
           df.withColumn(c, col(c) + lit(i * Offset))
@@ -152,7 +194,11 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     val flags = args.drop(3).toSet
-    val mutate = flags.contains("mutate")
+    // `shape` (natural-shape Zipf corpus, r15) implies the near-dup
+    // mutator — a shaped board without near-dup structure measures
+    // nothing the pair family cares about
+    val shape = flags.contains("shape")
+    val mutate = shape || flags.contains("mutate")
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val k = if (args.length > 1) args(1).toInt else 10
     val names: Seq[String] =
@@ -162,11 +208,11 @@ object ScaleSmoke {
         "e_sessionize", "w8_interval_collapse", "w6b_sliding_range_sum",
         "d_exact_dedup", "d_minhash_lsh", "s_cosine_ann_ivf", "t_token_stats")
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_scale_" +
-      (if (mutate) "m" else "x") + k
+      (if (shape) "z" else if (mutate) "m" else "x") + k
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = graft.core.GraftSession.local(cpus, "graft-scale-smoke")
-    build(spark, src, out, k, mutate)
+    build(spark, src, out, k, mutate, shape)
     val warmup = !flags.contains("nowarm")
     def run(name: String, dir: String): Double = {
       def once() = org.apache.spark.sql.graft.GraftSql

@@ -56,31 +56,82 @@ object Tables {
   private[graft] def rawScansRequested(v: Option[String]): Boolean =
     v.contains("1")
 
-  /** Analyzed-frame cache (r14): `spark.read.parquet` pays directory
-    * listing + footer schema read + analysis on EVERY call — ~60 ms per
-    * base-table reference on this host (FloorProbe decomposition), and
-    * a bench board references tables ~800 times. A catalog caches table
-    * metadata; this is that cache: one immutable DataFrame per
-    * (session, dir, table, source-mtime, raw-flag). Hash-neutral by
-    * construction (same files, same schema — the Dataset is immutable
-    * and every caller builds fresh plans on top of it). The mtime key
-    * re-reads a regenerated testdata dir; the session identity key
-    * prevents cross-session conf bleed. */
+  /** Analyzed-frame cache (r14, rekeyed r15): `spark.read.parquet` pays
+    * directory listing + footer schema read + analysis on EVERY call —
+    * ~60 ms per base-table reference on this host (FloorProbe
+    * decomposition), and a bench board references tables ~800 times. A
+    * catalog caches table metadata; this is that cache: one immutable
+    * DataFrame per (session, dir, table, raw-flag) at the CURRENT source
+    * mtime. Hash-neutral by construction (same files, same schema — the
+    * Dataset is immutable and every caller builds fresh plans on top).
+    *
+    * Lifetime/keying contract (r15, was a bare identityHashCode int —
+    * collidable — and append-only):
+    *   - outer key is the session OBJECT under reference equality
+    *     (SparkSession does not override equals), so two live sessions
+    *     can NEVER share an entry — hash collisions only co-bucket;
+    *   - any outer entry whose SparkContext stopped is dropped on the
+    *     next access, releasing that session's analyzed plans;
+    *   - a frame pins its session regardless (a DataFrame references
+    *     its own session), so a session-churning JVM whose context
+    *     never stops could still accumulate: the outer map is capped at
+    *     [[FrameCacheMaxSessions]], evicting the least-recently-used
+    *     session's entries;
+    *   - the inner key carries NO mtime — the mtime lives in the value,
+    *     so a regenerated testdata dir REPLACES the stale frame instead
+    *     of accumulating one frame per generation;
+    *   - the value records the served repack version dir (None for raw /
+    *     unpacked reads); a hit whose version dir has vanished (another
+    *     process swept it after regeneration + grace) re-resolves
+    *     instead of serving a frame over deleted files. */
+  private[graft] val FrameCacheMaxSessions = 16
+  private final class SessionFrames {
+    @volatile var lastUse: Long = System.nanoTime()
+    val frames = new java.util.concurrent.ConcurrentHashMap[
+      (String, String, Boolean), (Long, DataFrame, Option[java.io.File])]()
+  }
   private val frameCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String, Long, Boolean), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SessionFrames]()
+
+  /** Drop stopped sessions; if over cap, drop least-recently-used live
+    * ones. Package-private so FrameCacheSpec can drive it directly. */
+  private[graft] def frameCacheSweep(): Unit = {
+    val it = frameCache.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getKey.sparkContext.isStopped) it.remove()
+    }
+    while (frameCache.size() > FrameCacheMaxSessions) {
+      import scala.jdk.CollectionConverters._
+      frameCache.entrySet().asScala.minByOption(_.getValue.lastUse)
+        .foreach(e => frameCache.remove(e.getKey))
+    }
+  }
+
+  private[graft] def frameCacheSessionCount: Int = frameCache.size()
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val src = new java.io.File(s"$sfDir/$name.parquet")
     val raw = rawScansRequested(sys.env.get("SPARK_GRAFT_RAW_SCANS"))
     if (!src.exists()) return spark.read.parquet(src.getPath)
-    val key = (System.identityHashCode(spark), new java.io.File(sfDir).getCanonicalPath,
-      name, src.lastModified(), raw)
-    frameCache.computeIfAbsent(key, _ => resolve(spark, sfDir, name, src, raw))
+    frameCacheSweep()
+    val sf = frameCache.computeIfAbsent(spark, _ => new SessionFrames)
+    sf.lastUse = System.nanoTime()
+    val key = (new java.io.File(sfDir).getCanonicalPath, name, raw)
+    val mtime = src.lastModified()
+    val cur = sf.frames.get(key)
+    val valid = cur != null && cur._1 == mtime &&
+      cur._3.forall(_.exists())
+    if (valid) cur._2
+    else {
+      val (df, served) = resolve(spark, sfDir, name, src, raw)
+      sf.frames.put(key, (mtime, df, served))
+      df
+    }
   }
 
   private def resolve(spark: SparkSession, sfDir: String, name: String,
-                      src: java.io.File, raw: Boolean): DataFrame = {
-    if (raw) return spark.read.parquet(src.getPath)
+                      src: java.io.File, raw: Boolean): (DataFrame, Option[java.io.File]) = {
+    if (raw) return (spark.read.parquet(src.getPath), None)
     val (bytes, parts) =
       if (src.isFile) (src.length(), 1)
       else {
@@ -89,14 +140,14 @@ object Tables {
         (ps.map(_.length()).sum, ps.size)
       }
     if (parts != 1 || bytes < RepackMinBytes)
-      return spark.read.parquet(src.getPath)
+      return (spark.read.parquet(src.getPath), None)
     val sfAbs = new java.io.File(sfDir).getCanonicalPath
     val base = new java.io.File(
       s"$repackRoot/${Integer.toHexString(sfAbs.hashCode)}_${new java.io.File(sfAbs).getName}")
     // this.synchronized dedupes repack WORK within one JVM; correctness
     // across JVMs comes from the atomic-rename protocol in repackInto
     val dst = this.synchronized { repackInto(spark, src, base, name, bytes) }
-    spark.read.parquet(dst.getPath)
+    (spark.read.parquet(dst.getPath), Some(dst))
   }
 
   /** Stage-and-atomically-publish one table's repack under `base`.
@@ -110,7 +161,13 @@ object Tables {
                                 base: java.io.File, name: String,
                                 bytes: Long): java.io.File = {
     val dst = new java.io.File(base, s"$name.parquet.v${src.lastModified()}")
-    if (new java.io.File(dst, "_SUCCESS").exists()) return dst
+    if (new java.io.File(dst, "_SUCCESS").exists()) {
+      // already published — still sweep: tombstoned predecessors age out
+      // on LATER passes by design (the grace), so the sweep must run on
+      // the steady-state path, not only at publish time
+      sweepStale(base, name, dst.getName)
+      return dst
+    }
     // ~1 MB of source bytes per output file, bounded: enough splits to
     // feed a 32-core scan without a small-file explosion
     val n = math.max(4, math.min(64, (bytes >> 20).toInt))
@@ -137,19 +194,31 @@ object Tables {
     dst
   }
 
-  /** Best-effort cleanup: superseded version dirs (older source mtimes)
-    * and crashed staging orphans older than an hour. Failures ignored —
-    * stale dirs cost disk, never correctness (readers hold the exact
-    * version dir they resolved). */
+  /** Best-effort cleanup: superseded version dirs and crashed staging
+    * orphans, both only past a one-hour grace (r15 — a concurrent
+    * process, or this JVM's own frame cache, may still be scanning the
+    * superseded version when its replacement publishes; holding the
+    * resolved path does not keep the files alive, so deletion waits out
+    * any plausible in-flight query, and the frame cache additionally
+    * re-resolves entries whose version dir vanished). The grace runs
+    * from SUPERSESSION, not publish: the first sweep that notices a
+    * superseded version drops a hidden `.superseded` tombstone in it
+    * (hidden files are invisible to Spark's file listing) and a later
+    * sweep deletes the dir once the tombstone is an hour old. Staging
+    * orphans age on their own mtime — nothing ever reads a `.tmp_*`
+    * dir. Failures ignored — stale dirs cost disk, never correctness. */
+  private[graft] val SweepGraceMillis = 3600L * 1000
   private def sweepStale(base: java.io.File, name: String,
                          keep: String): Unit =
     try {
-      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      val cutoff = System.currentTimeMillis() - SweepGraceMillis
       Option(base.listFiles()).toSeq.flatten.foreach { f =>
-        val stale =
-          (f.getName.startsWith(s"$name.parquet.v") && f.getName != keep) ||
-          (f.getName.startsWith(s".tmp_${name}_") && f.lastModified() < cutoff)
-        if (stale) deleteRecursively(f)
+        if (f.getName.startsWith(s"$name.parquet.v") && f.getName != keep) {
+          val tomb = new java.io.File(f, ".superseded")
+          if (!tomb.exists()) tomb.createNewFile(): Unit
+          else if (tomb.lastModified() < cutoff) deleteRecursively(f)
+        } else if (f.getName.startsWith(s".tmp_${name}_") &&
+                   f.lastModified() < cutoff) deleteRecursively(f)
       }
     } catch { case _: Throwable => () }
 

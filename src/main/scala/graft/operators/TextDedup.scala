@@ -544,50 +544,136 @@ object TextDedup {
       .select(col(idCol), col("__len"),
         explode(array((col("__len") / blockWidth).cast("long"),
                       (col("__len") / blockWidth).cast("long") + 1)).as("__blk"))
-    def pairsOf(blk: DataFrame): DataFrame = {
-      val x = blk.alias("__blk_x"); val y = blk.alias("__blk_y")
-      val cand = x.join(y,
-          col("__blk_x.__blk") === col("__blk_y.__blk") &&
-          col(s"__blk_x.$idCol") < col(s"__blk_y.$idCol") &&
-          abs(col("__blk_x.__len") - col("__blk_y.__len")) <= maxDiff &&
-          // each doc sits in blocks {own, own+1}, so a pair co-occurs twice
-          // iff both share the same own-block; keeping only the bucket equal
-          // to the LARGER doc's own block emits every pair exactly once —
-          // uniqueness by construction replaces a distinct() shuffle of the
-          // whole candidate set (the largest intermediate in the plan)
-          col("__blk_x.__blk") ===
-            greatest((col("__blk_x.__len") / blockWidth).cast("long"),
-                     (col("__blk_y.__len") / blockWidth).cast("long")))
-        .select(col(s"__blk_x.$idCol").as("a"), col(s"__blk_y.$idCol").as("b"))
-        .distinct()
-      verifyJaccard(cand, sh, idCol, threshold, jaccardSorted)
-    }
+    def pairsOf(blk: DataFrame): DataFrame =
+      verifyJaccard(blockedCandJoin(blk, idCol, blockWidth).distinct(),
+        sh, idCol, threshold, jaccardSorted)
     val pairs =
       if (shards <= 1) pairsOf(blocked)
       else (0 until shards).map { s =>
         // one residue class at a time; eager materialization is the
-        // sequencing point, and the GC nudge lets the ContextCleaner
-        // drop the finished shard's shuffle files before the next shard
-        // starts writing its own (same role as spark.cleaner.periodicGC,
-        // just aligned to the shard boundary)
-        val p = graft.core.Materialize(
+        // sequencing point. The finished shard's shuffle files free once
+        // its ShuffleDependency is GC'd — the session's 45 s
+        // spark.cleaner.periodicGC.interval (GraftSession) bounds that
+        // lag without the r14 explicit System.gc() here, which
+        // full-paused every co-resident query at each shard boundary.
+        graft.core.Materialize(
           pairsOf(blocked.filter(pmod(col("__blk"), lit(shards)) === s)),
           eager = true)
-        System.gc()
-        p
       }.reduce(_ unionAll _)
     expand(pairs)
   }
 
+  /** The length-blocked candidate join shared by [[ngramJaccardPairs]]
+    * and the measurement surface [[ngramBlockedCandidates]]: `blk` holds
+    * (idCol, __len, __blk) with each doc exploded under blocks
+    * {own, own+1}. Each doc pair sharing a block within the
+    * ±blockWidth/2 band is emitted EXACTLY once — under the larger
+    * doc's own block — so uniqueness is by construction (equal-length
+    * ties collapse to the same block). */
+  private def blockedCandJoin(blk: DataFrame, idCol: String,
+                              blockWidth: Int): DataFrame = {
+    val maxDiff = blockWidth / 2
+    val x = blk.alias("__blk_x"); val y = blk.alias("__blk_y")
+    x.join(y,
+        col("__blk_x.__blk") === col("__blk_y.__blk") &&
+        col(s"__blk_x.$idCol") < col(s"__blk_y.$idCol") &&
+        abs(col("__blk_x.__len") - col("__blk_y.__len")) <= maxDiff &&
+        col("__blk_x.__blk") ===
+          greatest((col("__blk_x.__len") / blockWidth).cast("long"),
+                   (col("__blk_y.__len") / blockWidth).cast("long")))
+      .select(col(s"__blk_x.$idCol").as("a"), col(s"__blk_y.$idCol").as("b"))
+  }
+
+  /** Candidate (a, b) pairs of the length-blocked path, PRE-verify and
+    * WITHOUT the exact-dup collapse — the raw-corpus candidate volume
+    * the blocked join pays, as a measurable frame. This is the routing
+    * measurement surface (NgramRouteSmoke; SCALING.md "blocked vs
+    * prefix"): compare its count against [[ngramPrefixCandidates]] on a
+    * corpus sample to pick the exact-Jaccard plan. Dedup callers use
+    * [[ngramJaccardPairs]] / [[ngramJaccardPairsPrefix]]. */
+  def ngramBlockedCandidates(docs: DataFrame, idCol: String, textCol: String,
+                             lenCol: Column, n: Int = 4,
+                             blockWidth: Int = 100): DataFrame = {
+    val blocked = docs.filter(length(col(textCol)) >= n)
+      .select(col(idCol), lenCol.as("__len"))
+      .select(col(idCol), col("__len"),
+        explode(array((col("__len") / blockWidth).cast("long"),
+                      (col("__len") / blockWidth).cast("long") + 1)).as("__blk"))
+    blockedCandJoin(blocked, idCol, blockWidth)
+  }
+
+  /** Estimated RAW (uncompressed logical) bytes the [[ngramJaccardPairs]]
+    * candidate verify must stage — the quantity that actually binds a
+    * single host's scratch (r15; the r14 doc-count proxy was calibrated
+    * to one corpus shape and broke silently on any other). One cheap
+    * aggregate over the corpus — one output row per length block, a few
+    * dozen rows at any scale — then driver-side arithmetic:
+    *
+    * Pairs are emitted at the LARGER doc's own block `b` (the
+    * uniqueness-by-construction rule in [[ngramJaccardPairs]]):
+    * within-block ~(p_b choose 2)·¾ (the ±blockWidth/2 band keeps ~¾ of
+    * same-block pairs under uniform-in-block lengths) plus cross pairs
+    * with block b−1 (~⅛ of the cross product sits inside the band;
+    * doubled to ¼ for safety). Each surviving candidate row then carries
+    * TWO sorted shingle-hash arrays of ~8·(len−n+1) bytes through the
+    * verify join's exchange — 16·meanLen bytes per pair dominates.
+    *
+    * The estimate is deliberately RAW: shuffle compression (lz4/zstd)
+    * shrinks it 20-30× on repetitive corpora (measured on the mutated
+    * boards), which the BUDGET parameter absorbs — see
+    * [[ngramShardBudgetBytes]]. */
+  def estimateNgramCandidateBytes(docs: DataFrame, textCol: String,
+                                  lenCol: Column, n: Int = 4,
+                                  blockWidth: Int = 100): Long = {
+    val rows = docs.filter(length(col(textCol)) >= n)
+      .select((lenCol / blockWidth).cast("long").as("__blk"),
+        lenCol.cast("double").as("__len"))
+      .groupBy(col("__blk"))
+      .agg(count(lit(1)).as("p"), avg(col("__len")).as("ml"))
+      .collect() // bounded: one row per length block
+    val pop = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    pop.iterator.map { case (b, (p, ml)) =>
+      val prev = pop.get(b - 1).map(_._1).getOrElse(0L)
+      val pairs = p.toDouble * (p - 1) / 2 * 0.75 + p.toDouble * prev / 4
+      pairs * 16.0 * ml
+    }.sum.toLong
+  }
+
+  /** Per-shard staging budget for [[ngramScratchShards]], in RAW
+    * candidate bytes ([[estimateNgramCandidateBytes]]'s unit).
+    * Default 1 TiB raw ≈ 25-40 GB of actual lz4/zstd-compressed shuffle
+    * scratch on the synthetic corpora (measured: the mutated ×30 board
+    * staged ~1 TB raw per rebalanced shard at a flat tens-of-GB disk
+    * high-water; ×100 at S=9 — 3.9 TB raw/shard — ENOSPC'd an ~80 GB
+    * scratch volume). A cluster deployment with S executors' aggregate
+    * disk raises this via SPARK_GRAFT_NGRAM_SHARD_BUDGET_BYTES, usually
+    * to the point where S = 1 — the documented right setting when the
+    * fleet's scratch exceeds the estimate. */
+  def ngramShardBudgetBytes: Long =
+    sys.env.get("SPARK_GRAFT_NGRAM_SHARD_BUDGET_BYTES").flatMap(_.toLongOption)
+      .getOrElse(1L << 40)
+
   /** Bounded-scratch shard count for [[ngramJaccardPairs]], derived from
-    * the corpus size (the srpBandBits philosophy: the documented capacity
-    * rule IS the default): 1 up to 60k docs — every correctness board and
-    * the ×10 twin run the historical monolithic plan — then one shard per
-    * additional 60k, capped at 32. 60k docs kept the ×30 mutated board's
-    * single pass inside this host's scratch; beyond that the single-pass
-    * spill grows linearly past what one machine holds. */
-  def ngramScratchShards(nDocs: Long): Int =
-    math.min(32L, math.max(1L, (nDocs + 59999L) / 60000L)).toInt
+    * the estimated candidate staging bytes vs the per-shard budget (the
+    * srpBandBits philosophy: the documented capacity rule IS the default
+    * behavior). Every correctness board and the exact-twin ladders
+    * estimate far under one budget unit → the historical monolithic
+    * plan; the mutated ×30/×100 boards derive the sequential shards that
+    * keep peak scratch ~1/S. Capped at 32 — past that the per-shard
+    * rescan overhead dominates, and a corpus that still exceeds the
+    * budget at S=32 needs a cluster's aggregate disk, not more shards
+    * (the cap is reported, not silent: callers can compare
+    * `estBytes / budget` against it). */
+  def ngramScratchShards(estCandidateBytes: Long,
+                         budgetBytes: Long = ngramShardBudgetBytes): Int = {
+    require(budgetBytes > 0, s"budgetBytes must be positive (got $budgetBytes)")
+    // ceil by division, not by (+budget−1): the additive form overflows
+    // Long for estimates near Long.MaxValue and would derive S=1 for
+    // exactly the corpora that need S=32
+    val ceilDiv = estCandidateBytes / budgetBytes +
+      (if (estCandidateBytes % budgetBytes == 0) 0 else 1)
+    math.min(32L, math.max(1L, ceilDiv)).toInt
+  }
 
   /** Exact n-gram Jaccard dedup by PREFIX FILTERING (the ssjoin/PPJoin
     * family; public literature, e.g. Bayardo et al. "Scaling Up All
@@ -607,6 +693,20 @@ object TextDedup {
                               n: Int = 4, threshold: Double = 0.6): DataFrame = {
     val sh = docs.select(col(idCol), charShingles(col(textCol), n).as("__sh"))
       .filter(size(col("__sh")) > 0)
+    val cand = ngramPrefixCandidates(docs, idCol, textCol, n, threshold)
+      .distinct()
+    verifyJaccard(cand, sh, idCol, threshold)
+  }
+
+  /** Candidate (a, b) pairs of the prefix-filtered path, PRE-verify and
+    * possibly with duplicates (a pair can share several prefix
+    * shingles) — the raw candidate volume the PPJoin-family plan pays,
+    * as a measurable frame (the [[ngramBlockedCandidates]] twin; see
+    * SCALING.md "blocked vs prefix" for the routing rule). */
+  def ngramPrefixCandidates(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 4, threshold: Double = 0.6): DataFrame = {
+    val sh = docs.select(col(idCol), charShingles(col(textCol), n).as("__sh"))
+      .filter(size(col("__sh")) > 0)
     val tok = sh.select(col(idCol), size(col("__sh")).as("__n"),
       explode(col("__sh")).as("__s"))
     val dfreq = tok.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
@@ -617,15 +717,13 @@ object TextDedup {
       .filter(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
       .select(col(idCol), col("__n"), col("__s"))
     val x = prefix.alias("__pf_x"); val y = prefix.alias("__pf_y")
-    val cand = x.join(y,
+    x.join(y,
         col("__pf_x.__s") === col("__pf_y.__s") &&
         col(s"__pf_x.$idCol") < col(s"__pf_y.$idCol") &&
         // J ≥ t forces a size ratio ≥ t — prune before the exact check
         least(col("__pf_x.__n"), col("__pf_y.__n")) >=
           lit(threshold) * greatest(col("__pf_x.__n"), col("__pf_y.__n")))
       .select(col(s"__pf_x.$idCol").as("a"), col(s"__pf_y.$idCol").as("b"))
-      .distinct()
-    verifyJaccard(cand, sh, idCol, threshold)
   }
 
   /** Join candidate (a, b) pairs back to shingle arrays and keep pairs at

@@ -17,15 +17,22 @@ object DedupQueries {
   private def scratch(dir: String, leaf: String): String =
     scratchDir("dedup", dir, leaf)
 
-  /** Documents row count per fixture dir, memoized (the ngram shard
-    * derivation needs it every run; the count is a pure function of the
-    * immutable testdata — same pattern as SimQueries' embCount). */
-  private val docCountCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def docCount(s: org.apache.spark.sql.SparkSession,
-                       dir: String): Long =
-    docCountCache.computeIfAbsent(dir,
-      _ => Tables.documents(s, dir).count()).longValue()
+  /** Estimated ngram candidate staging bytes per fixture dir, memoized
+    * (the shard derivation needs it every run; one bounded aggregate per
+    * testdata generation). Keyed on (canonical dir, source mtime) like
+    * SimQueries' embCount and Tables' frame cache: a regenerated dir
+    * re-estimates instead of deriving shards from a stale corpus shape.
+    * Parameters mirror the d_ngram_jaccard call below. */
+  private val ngramEstCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+  private def ngramEstBytes(s: org.apache.spark.sql.SparkSession,
+                            dir: String): Long = {
+    val src = new java.io.File(dir, "documents.parquet")
+    ngramEstCache.computeIfAbsent(
+      (src.getCanonicalPath, src.lastModified()),
+      _ => TextDedup.estimateNgramCandidateBytes(Tables.documents(s, dir),
+        "text", col("n_chars"), n = 4, blockWidth = 20)).longValue()
+  }
 
   /** Shared DuckDB CTEs: distinct word-3-gram shingles + per-doc counts. */
   private val shingleCountCte =
@@ -81,14 +88,15 @@ object DedupQueries {
     // Blocked exact char-4-gram Jaccard: length-band bucketing (pairs
     // within 10 chars share a bucket — near-dup docs have near-equal
     // length, and a tight band keeps candidate counts linear), Jaccard ≥ 0.6.
-    // Shard count derives from the corpus size (1 at every correctness sf
-    // and the ×10 twin — identical plan to r13; ≥3 on the ×30/×100 boards,
-    // bounding single-host scratch — see ngramJaccardPairs' scaladoc).
+    // Shard count derives from the ESTIMATED candidate staging bytes vs
+    // a scratch budget (r15 — 1 at every correctness sf and the ×10
+    // twin, identical plan to r13; ≥2 on the ×30/×100 mutated boards,
+    // bounding single-host scratch; see ngramScratchShards' scaladoc).
     // Output is shard-count-invariant, so the brute oracle is unchanged.
     "d_ngram_jaccard" -> { (s, dir) =>
       TextDedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           lenCol = col("n_chars"), n = 4, threshold = 0.6, blockWidth = 20,
-          shards = TextDedup.ngramScratchShards(docCount(s, dir)))
+          shards = TextDedup.ngramScratchShards(ngramEstBytes(s, dir)))
         .orderBy("a", "b")
     },
 

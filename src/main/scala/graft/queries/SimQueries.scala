@@ -22,15 +22,21 @@ object SimQueries {
     scratchDir("sim", dir, leaf)
 
   /** Embeddings row count per fixture dir, memoized: the SRP capacity
-    * derivation needs the raw corpus count every run, and the count is a
-    * pure function of the (immutable) testdata — pay the footer-count
-    * job once per JVM, not once per bench iteration. */
+    * derivation needs the raw corpus count every run — pay the
+    * footer-count job once per testdata generation, not once per bench
+    * iteration. Keyed on (canonical dir, source mtime), the same key
+    * discipline as Tables' frame cache: a regenerated dir re-counts, so
+    * the derived SRP geometry can never run on a stale N while the
+    * DuckDB oracle counts the fresh corpus. */
   private val embCountCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
   private def embCount(s: org.apache.spark.sql.SparkSession,
-                       dir: String): Long =
-    embCountCache.computeIfAbsent(dir,
+                       dir: String): Long = {
+    val src = new java.io.File(dir, "embeddings.parquet")
+    embCountCache.computeIfAbsent(
+      (src.getCanonicalPath, src.lastModified()),
       _ => Tables.embeddings(s, dir).count()).longValue()
+  }
 
   /** Per-label centroid vectors rebuilt from the exact-micro per-dim
     * means (shared by the Lloyd step and SemDeDup below): k·dim rows

@@ -53,10 +53,9 @@ object JdbcIO {
   def writeStatements(df: DataFrame, url: String, table: String,
                       maxConnections: Int = 10,
                       rowsPerStatement: Int = 500,
-                      props: java.util.Properties = new java.util.Properties()): Unit = {
-    // dialect by URL: hive2/Spark-thrift parses backslash escapes in
-    // string literals; everything else (Derby et al.) is ANSI-literal
-    val backslashEscapes = url.startsWith("jdbc:hive2:")
+                      props: java.util.Properties = new java.util.Properties(),
+                      backslashEscapes: Option[Boolean] = None): Unit = {
+    val bsEsc = backslashEscapes.getOrElse(backslashEscapesFor(url))
     val schema = df.schema
     val ddlCols = schema.fields
       .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
@@ -68,7 +67,7 @@ object JdbcIO {
       if (df.rdd.getNumPartitions > maxConnections) df.coalesce(maxConnections)
       else df
     val (u, t, n, p, bs) =
-      (url, table, rowsPerStatement, propsMap(props), backslashEscapes)
+      (url, table, rowsPerStatement, propsMap(props), bsEsc)
     capped.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       if (it.hasNext) {
         val pp = new java.util.Properties()
@@ -83,6 +82,26 @@ object JdbcIO {
         }
       }
     }
+  }
+
+  /** Backslash-escaping dialect for [[writeStatements]], by URL prefix.
+    *
+    * Endpoints whose DEFAULT string-literal parser treats `\` as an
+    * escape introducer must have it doubled (hive2/Spark-thrift;
+    * MySQL/MariaDB unless NO_BACKSLASH_ESCAPES is set). Known
+    * ANSI-literal endpoints (Derby; Postgres with
+    * standard_conforming_strings, its default since 9.1) take `\`
+    * literally, where doubling would corrupt the landed value. UNKNOWN
+    * dialects default to doubling — the failure modes are asymmetric:
+    * on an ANSI parser a doubled backslash merely pads the value
+    * ('a\b' lands as 'a\\b'), while an UNdoubled backslash on an
+    * escape-parsing endpoint lets a value ending in `\` swallow the
+    * closing quote (unterminated literal → statement breakage, an
+    * injection surface). Callers on a known-ANSI endpoint outside this
+    * list pass `backslashEscapes = Some(false)` explicitly. */
+  private[graft] def backslashEscapesFor(url: String): Boolean = {
+    val ansiLiteral = Seq("jdbc:derby:", "jdbc:postgresql:")
+    !ansiLiteral.exists(url.startsWith)
   }
 
   private def propsMap(props: java.util.Properties): Map[String, String] = {

@@ -554,13 +554,28 @@ class DedupPropertySpec extends SparkSpec {
     assert(sharded == rows.toSet, s"shards=3 diverges: " +
       s"missing=${(rows.toSet -- sharded).take(3)} " +
       s"extra=${(sharded -- rows.toSet).take(3)}")
-    // derivation ladder for the catalog's shard count
-    assert(TextDedup.ngramScratchShards(500) == 1 &&
-      TextDedup.ngramScratchShards(60000) == 1 &&
-      TextDedup.ngramScratchShards(60001) == 2 &&
-      TextDedup.ngramScratchShards(150000) == 3 &&
-      TextDedup.ngramScratchShards(500000) == 9 &&
-      TextDedup.ngramScratchShards(100000000L) == 32)
+    // derivation ladder for the catalog's shard count (r15: derived from
+    // estimated candidate staging bytes vs a per-shard budget, not a
+    // doc-count proxy): ceil-divide, floor 1, cap 32
+    val B = 1L << 40
+    assert(TextDedup.ngramScratchShards(0, B) == 1 &&
+      TextDedup.ngramScratchShards(B, B) == 1 &&
+      TextDedup.ngramScratchShards(B + 1, B) == 2 &&
+      TextDedup.ngramScratchShards(3 * B + 1, B) == 4 &&
+      TextDedup.ngramScratchShards(Long.MaxValue, B) == 32)
+    // the estimator itself: within-block pair arithmetic on a corpus
+    // with two known length blocks. Block math at blockWidth=10:
+    // 4 docs of len 12 (block 1) and 2 docs of len 25 (block 2) →
+    // within-block pairs (4·3/2)·0.75 + (2·1/2)·0.75; block-2 docs also
+    // see block-1's 4 docs as cross candidates at weight /4.
+    val estCorpus = spark.createDataFrame(
+      (1 to 4).map(i => (i.toLong, "x" * 12)) ++
+        (5 to 6).map(i => (i.toLong, "y" * 25))).toDF("doc_id", "text")
+    val est = TextDedup.estimateNgramCandidateBytes(estCorpus, "text",
+      length(col("text")), n = 4, blockWidth = 10)
+    val estWant = ((4.0 * 3 / 2 * 0.75) * 16 * 12 +
+      (2.0 * 1 / 2 * 0.75 + 2.0 * 4 / 4) * 16 * 25).toLong
+    assert(est == estWant, s"estimator arithmetic: got $est want $estWant")
   }
 
   /** The SRP pair lister's collapse+expand must equal the uncollapsed
@@ -940,6 +955,16 @@ class DedupPropertySpec extends SparkSpec {
     // endpoints (escape-parsing), literal for ANSI endpoints (Derby)
     assert(sqlLiteral("a\\b", backslashEscapes = true) == "'a\\\\b'")
     assert(sqlLiteral("a\\b", backslashEscapes = false) == "'a\\b'")
+    // dialect detection: escape-parsing endpoints (hive2, mysql,
+    // mariadb) and UNKNOWN urls double (a trailing '\' must never
+    // swallow the closing quote); known-ANSI endpoints take it literal
+    import graft.sources.JdbcIO.backslashEscapesFor
+    assert(backslashEscapesFor("jdbc:hive2://h:10000/db"))
+    assert(backslashEscapesFor("jdbc:mysql://h:3306/db"))
+    assert(backslashEscapesFor("jdbc:mariadb://h:3306/db"))
+    assert(backslashEscapesFor("jdbc:unknown_endpoint://h/db"))
+    assert(!backslashEscapesFor("jdbc:derby:memory:x;create=true"))
+    assert(!backslashEscapesFor("jdbc:postgresql://h:5432/db"))
     assert(sqlLiteral(Double.NaN) == "CAST('NaN' AS DOUBLE)")
     assert(sqlLiteral(Double.PositiveInfinity) == "CAST('Infinity' AS DOUBLE)")
     assert(sqlLiteral(Float.NegativeInfinity) == "CAST('-Infinity' AS FLOAT)")

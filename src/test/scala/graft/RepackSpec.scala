@@ -63,7 +63,7 @@ class RepackSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"staging orphans survived: $leftovers")
   }
 
-  test("source mtime move publishes a NEW version; stale one is swept") {
+  test("mtime move publishes a NEW version; stale one survives a grace, then sweeps") {
     val base = freshBase()
     val srcDir = Files.createTempDirectory("graft_repack_src2").toFile
     val src = writeSrc(srcDir, 20000)
@@ -73,7 +73,20 @@ class RepackSpec extends SparkSpec {
     val v2 = graft.core.Tables.repackInto(spark, src, b, "t", 8L << 20)
     assert(v1.getPath != v2.getPath, "mtime move must version the repack")
     assert(new File(v2, "_SUCCESS").exists())
-    assert(!v1.exists(), "superseded version should be swept")
+    // superseded version is NOT deleted immediately — an in-flight query
+    // (this JVM or another process) may still be scanning it; the sweep
+    // tombstones it and deletes only after the grace elapses
+    val tomb = new File(v1, ".superseded")
+    assert(v1.exists() && tomb.exists(),
+      "superseded version should be tombstoned, not deleted, inside the grace")
+    assert(spark.read.parquet(v1.getPath).count() == 20000,
+      "superseded version must stay readable during the grace " +
+        "(the tombstone is a hidden file Spark's listing skips)")
+    assert(tomb.setLastModified(
+      System.currentTimeMillis() - graft.core.Tables.SweepGraceMillis - 60000))
+    val v3 = graft.core.Tables.repackInto(spark, src, b, "t", 8L << 20)
+    assert(v3.getPath == v2.getPath)
+    assert(!v1.exists(), "superseded version should sweep once the tombstone ages out")
   }
 
   test("crash remnant (.tmp orphan) is never served and is swept when old") {
