@@ -26,19 +26,31 @@ import org.apache.spark.sql.functions._
   * blocked.
   *
   * Usage: runMain graft.NgramRouteSmoke [srcSfDir] [K]
+  *    or:  runMain graft.NgramRouteSmoke dirs <dir> [dir...]
+  *         (measure pre-built boards — e.g. the mutated m30/m100 twins —
+  *         without building anything; `counts` instead of `dirs` skips
+  *         the prefix/true columns, for boards where only the blocked
+  *         candidate count is wanted)
   */
 object NgramRouteSmoke {
   def main(args: Array[String]): Unit = {
-    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val k = if (args.length > 1) args(1).toInt else 30
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_scale_z$k"
+    val dirsMode = args.nonEmpty && (args(0) == "dirs" || args(0) == "counts")
+    val countsOnly = args.nonEmpty && args(0) == "counts"
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = graft.core.GraftSession.local(cpus, "graft-ngram-route-smoke")
-    ScaleSmoke.build(spark, src, out, k, mutate = true, shape = true)
+    val dirs: Seq[String] =
+      if (dirsMode) args.drop(1).toSeq
+      else {
+        val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+        val k = if (args.length > 1) args(1).toInt else 30
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_scale_z$k"
+        ScaleSmoke.build(spark, src, out, k, mutate = true, shape = true)
+        Seq(src, out)
+      }
     println(f"${"dir"}%-30s ${"docs"}%8s ${"grams4"}%10s ${"blocked"}%14s " +
       f"${"prefix_raw"}%14s ${"prefix_pairs"}%14s ${"true_pairs"}%12s")
-    Seq(src, out).foreach { dir =>
+    dirs.foreach { dir =>
       val docs = graft.core.Tables.documents(spark, dir)
       val nDocs = docs.count()
       val grams = docs
@@ -47,12 +59,15 @@ object NgramRouteSmoke {
       def cnt(df: org.apache.spark.sql.DataFrame): Long = df.count()
       val blocked = cnt(graft.operators.TextDedup.ngramBlockedCandidates(
         docs, "doc_id", "text", lenCol = col("n_chars"), n = 4, blockWidth = 20))
-      val prefRaw = cnt(graft.operators.TextDedup.ngramPrefixCandidates(
-        docs, "doc_id", "text", n = 4, threshold = 0.6))
-      val prefPairs = cnt(graft.operators.TextDedup.ngramPrefixCandidates(
-        docs, "doc_id", "text", n = 4, threshold = 0.6).distinct())
-      val truePairs = cnt(graft.operators.TextDedup.ngramJaccardPairsPrefix(
-        docs, "doc_id", "text", n = 4, threshold = 0.6))
+      val (prefRaw, prefPairs, truePairs) =
+        if (countsOnly) (-1L, -1L, -1L)
+        else (
+          cnt(graft.operators.TextDedup.ngramPrefixCandidates(
+            docs, "doc_id", "text", n = 4, threshold = 0.6)),
+          cnt(graft.operators.TextDedup.ngramPrefixCandidates(
+            docs, "doc_id", "text", n = 4, threshold = 0.6).distinct()),
+          cnt(graft.operators.TextDedup.ngramJaccardPairsPrefix(
+            docs, "doc_id", "text", n = 4, threshold = 0.6)))
       println(f"$dir%-30s $nDocs%8d $grams%10d $blocked%14d " +
         f"$prefRaw%14d $prefPairs%14d $truePairs%12d")
     }

@@ -78,6 +78,18 @@ object Materialize {
       Materialize(df, eager)
   }
 
+  /** Force the reliable scratch round trip REGARDLESS of mode — for
+    * sequenced big-shuffle loops (the ngram shard loop) whose
+    * per-iteration shuffle files must be deterministically releasable:
+    * the parquet write is a SQL execution, so with
+    * `spark.sql.classic.shuffleDependency.fileCleanup.enabled` the
+    * iteration's shuffle files are removed at the write's end — while a
+    * local-mode `localCheckpoint` is a bare RDD job whose shuffle files
+    * wait on GC + ContextCleaner, unbounded relative to a scratch-sized
+    * iteration budget (r15: the mutated ×100 ngram drill ENOSPC'd on
+    * exactly that lag). */
+  def reliable(df: DataFrame): DataFrame = roundTrip(df)
+
   private def scratchRoot(spark: org.apache.spark.sql.SparkSession): String =
     spark.conf.getOption(ScratchKey).getOrElse {
       val wh = spark.conf.get("spark.sql.warehouse.dir",

@@ -504,30 +504,42 @@ object TextDedup {
     * collisions (~k²/2⁶⁴ per pair, negligible).
     * Output: (a, b, jaccard), a < b.
     *
-    * BOUNDED-SCRATCH SHARDING (`shards` > 1, r14): the candidate join's
-    * shuffle footprint is proportional to the length-block pair
-    * population, and one monolithic pass needs all of it on scratch disk
-    * at once (measured: the mutated ×100 board's 500k-doc corpus ran a
-    * single 32-core host out of 85+ GB of spill — twice, lz4 and zstd).
-    * With `shards = S` the pair space is partitioned by the emitting
-    * block's residue (`__blk % S` — each pair is emitted by exactly ONE
-    * block under the larger-own-block rule, so residue classes are a
-    * true partition), and the driver materializes the shards
-    * SEQUENTIALLY, so peak scratch is ~1/S of the total at the cost of
-    * S scans of the (small) blocked/shingle tables. Output is the union
-    * of the residue classes — identical rows for every S, which
-    * DedupPropertySpec asserts. The same grace-staging pattern as an
-    * out-of-core hash join; on a real cluster aggregate executor disk
-    * usually makes S = 1 the right setting, which is why the default
-    * stays 1 and the catalog derives S from the corpus count the same
-    * way srpBandBits derives band geometry. */
+    * VERIFY SHAPE (r15): candidate staging is governed by whether the
+    * shingle-array side fits [[ngramBroadcastBudgetBytes]]. When it does
+    * (decided here from the post-collapse Σlen — every board up to the
+    * mutated ×100's ~1.1 GB side on this host's heap), the verify runs
+    * as two EXPLICIT broadcast hash probes and the candidate stream —
+    * emitted unique by construction, no distinct() — flows from the
+    * block join through both probes and the Jaccard kernel inside one
+    * codegen stage: nothing proportional to candidate count ever
+    * touches scratch, so the monolithic plan holds at any pair volume
+    * (mutated ×100: 5.1e9 candidates, where the r14 threshold-governed
+    * plan fell off the 50 MB AQE broadcast cliff into sort-merge joins
+    * whose single-shard staging ENOSPC'd an ~80 GB scratch volume).
+    *
+    * BOUNDED-SCRATCH SHARDING (`shards` > 1, r14) remains the fallback
+    * past the broadcast budget: the pair space partitions by the
+    * emitting block's residue (`__blk % S` — each pair is emitted by
+    * exactly ONE block under the larger-own-block rule, so residue
+    * classes are a true partition), and the driver materializes the
+    * shards SEQUENTIALLY through the reliable scratch round trip with
+    * per-execution shuffle cleanup, so peak scratch is ~1/S of the
+    * total at the cost of S scans of the (small) blocked/shingle
+    * tables. Output is the union of the residue classes — identical
+    * rows for every S, which DedupPropertySpec asserts. On a real
+    * cluster aggregate executor disk and memory usually make S = 1 the
+    * right setting; the catalog derives both decisions from one
+    * bounded aggregate ([[estimateNgramStats]]). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         lenCol: Column, n: Int = 4, threshold: Double = 0.6,
-                        blockWidth: Int = 100, shards: Int = 1): DataFrame = {
+                        blockWidth: Int = 100, shards: Int = 1,
+                        streamParallelism: Int = 1): DataFrame = {
     val maxDiff = blockWidth / 2
     // collapse-soundness gate — see minhashLshPairs
     require(threshold <= 1.0, s"threshold must be <= 1.0 (got $threshold)")
     require(shards >= 1, s"shards must be >= 1 (got $shards)")
+    require(streamParallelism >= 1,
+      s"streamParallelism must be >= 1 (got $streamParallelism)")
     // char shingles are empty iff numChars < n — gate on length so the
     // candidate path never materializes shingle arrays (they were being
     // computed per doc just to evaluate a size()>0 filter)
@@ -540,26 +552,57 @@ object TextDedup {
       md5(concat(col(textCol), lit("|"), col("__len").cast("string"))))
     val sh = base.select(col(idCol),
       charShingleHashes(col(textCol), n).as("__sh"))
+    // Broadcast decision from the POST-collapse corpus (what the verify
+    // actually probes): ~8 bytes per shingle hash, ≤ one hash per char.
+    // One tiny aggregate on the (materialized) rep frame. See
+    // verifyJaccard's scaladoc for why this decision dominates staging.
+    val bcastVerify = {
+      val row = base.agg(sum(col("__len"))).head()
+      val estShBytes = (if (row.isNullAt(0)) 0L else row.getLong(0)) * 8L
+      estShBytes <= ngramBroadcastBudgetBytes
+    }
     val blocked = base.select(col(idCol), col("__len"))
       .select(col(idCol), col("__len"),
         explode(array((col("__len") / blockWidth).cast("long"),
                       (col("__len") / blockWidth).cast("long") + 1)).as("__blk"))
+    // NO distinct() on the candidates: the larger-own-block rule emits
+    // every qualifying pair exactly once (equal own-blocks share one
+    // bucket; adjacent own-blocks overlap in exactly one bucket; anything
+    // further is outside the band) — re-proven by DedupPropertySpec's
+    // brute-force equality. Skipping it removes the largest exchange of
+    // the whole plan: with the broadcast verify, candidates then stream
+    // from the block join straight through both array probes inside one
+    // codegen stage, staging NOTHING.
     def pairsOf(blk: DataFrame): DataFrame =
-      verifyJaccard(blockedCandJoin(blk, idCol, blockWidth).distinct(),
-        sh, idCol, threshold, jaccardSorted)
+      verifyJaccard(blockedCandJoin(blk, idCol, blockWidth, streamParallelism),
+        sh, idCol, threshold, jaccardSorted, broadcastShingles = bcastVerify)
     val pairs =
       if (shards <= 1) pairsOf(blocked)
-      else (0 until shards).map { s =>
-        // one residue class at a time; eager materialization is the
-        // sequencing point. The finished shard's shuffle files free once
-        // its ShuffleDependency is GC'd — the session's 45 s
-        // spark.cleaner.periodicGC.interval (GraftSession) bounds that
-        // lag without the r14 explicit System.gc() here, which
-        // full-paused every co-resident query at each shard boundary.
-        graft.core.Materialize(
-          pairsOf(blocked.filter(pmod(col("__blk"), lit(shards)) === s)),
-          eager = true)
-      }.reduce(_ unionAll _)
+      else {
+        // One residue class at a time; the reliable (scratch-parquet)
+        // materialization is the sequencing point AND the cleanup hook:
+        // each shard's write is a SQL execution, and with
+        // shuffleDependency.fileCleanup enabled (scoped to this loop)
+        // Spark removes the shard's shuffle files deterministically at
+        // that execution's end — peak scratch is genuinely ONE shard's
+        // staging, with no reliance on GC timing (the r14 explicit
+        // System.gc() full-paused co-resident queries; the r15 45 s
+        // periodicGC alone lags the boundary — the mutated ×100 drill
+        // accumulated shards to ENOSPC under it).
+        val sess = docs.sparkSession
+        val cleanupKey =
+          "spark.sql.classic.shuffleDependency.fileCleanup.enabled"
+        val prior = sess.conf.getOption(cleanupKey)
+        sess.conf.set(cleanupKey, "true")
+        try (0 until shards).map { s =>
+          graft.core.Materialize.reliable(
+            pairsOf(blocked.filter(pmod(col("__blk"), lit(shards)) === s)))
+        }.reduce(_ unionAll _)
+        finally prior match {
+          case Some(v) => sess.conf.set(cleanupKey, v)
+          case None => sess.conf.unset(cleanupKey)
+        }
+      }
     expand(pairs)
   }
 
@@ -569,18 +612,49 @@ object TextDedup {
     * {own, own+1}. Each doc pair sharing a block within the
     * ±blockWidth/2 band is emitted EXACTLY once — under the larger
     * doc's own block — so uniqueness is by construction (equal-length
-    * ties collapse to the same block). */
+    * ties collapse to the same block).
+    *
+    * STREAM PARALLELISM (`streamSalt` > 1, r15): the join's only equi
+    * key is `__blk` — a few dozen distinct values — and its shuffle
+    * INPUT is skinny doc rows, so the pair-emission stage's parallelism
+    * is both capped at the block count and AQE-coalescible to ONE task
+    * on input bytes (measured: the mutated ×100 broadcast-verify run
+    * streamed 5.1e9 pairs through a single core for 40 min — correct,
+    * flat-disk, and 30× slower than the machine). A work-partitioning
+    * salt fixes both: the x (smaller-id) side carries
+    * `hash(id) % streamSalt` as an extra equi key and is EXPLICITLY
+    * repartitioned on (block, salt) — a user-specified shuffle AQE will
+    * not coalesce — while the y side replicates under every salt value,
+    * so each pair still matches exactly once and the pair space spreads
+    * over streamSalt×blocks keys. Cost: the y side shuffles
+    * streamSalt× its (skinny, corpus-linear) rows — the classic
+    * replicate-the-small-side salted join, same family as
+    * RuleJoins.saltedJoin. */
   private def blockedCandJoin(blk: DataFrame, idCol: String,
-                              blockWidth: Int): DataFrame = {
+                              blockWidth: Int,
+                              streamSalt: Int = 1): DataFrame = {
     val maxDiff = blockWidth / 2
-    val x = blk.alias("__blk_x"); val y = blk.alias("__blk_y")
-    x.join(y,
-        col("__blk_x.__blk") === col("__blk_y.__blk") &&
-        col(s"__blk_x.$idCol") < col(s"__blk_y.$idCol") &&
-        abs(col("__blk_x.__len") - col("__blk_y.__len")) <= maxDiff &&
-        col("__blk_x.__blk") ===
-          greatest((col("__blk_x.__len") / blockWidth).cast("long"),
-                   (col("__blk_y.__len") / blockWidth).cast("long")))
+    val (x, y) =
+      if (streamSalt <= 1) (blk.alias("__blk_x"), blk.alias("__blk_y"))
+      else (
+        blk.withColumn("__salt",
+            pmod(xxhash64(col(idCol)), lit(streamSalt.toLong)))
+          .repartition(streamSalt, col("__blk"), col("__salt"))
+          .alias("__blk_x"),
+        blk.withColumn("__salt",
+            explode(sequence(lit(0L), lit(streamSalt.toLong - 1L))))
+          .alias("__blk_y"))
+    val baseCond =
+      col("__blk_x.__blk") === col("__blk_y.__blk") &&
+      col(s"__blk_x.$idCol") < col(s"__blk_y.$idCol") &&
+      abs(col("__blk_x.__len") - col("__blk_y.__len")) <= maxDiff &&
+      col("__blk_x.__blk") ===
+        greatest((col("__blk_x.__len") / blockWidth).cast("long"),
+                 (col("__blk_y.__len") / blockWidth).cast("long"))
+    val cond =
+      if (streamSalt <= 1) baseCond
+      else baseCond && col("__blk_x.__salt") === col("__blk_y.__salt")
+    x.join(y, cond)
       .select(col(s"__blk_x.$idCol").as("a"), col(s"__blk_y.$idCol").as("b"))
   }
 
@@ -624,7 +698,25 @@ object TextDedup {
     * [[ngramShardBudgetBytes]]. */
   def estimateNgramCandidateBytes(docs: DataFrame, textCol: String,
                                   lenCol: Column, n: Int = 4,
-                                  blockWidth: Int = 100): Long = {
+                                  blockWidth: Int = 100): Long =
+    estimateNgramStats(docs, textCol, lenCol, n, blockWidth).candidateBytes
+
+  /** Plan-sizing estimates for the blocked ngram join, from one bounded
+    * aggregate (one output row per length block):
+    *   - `candidateBytes` drives the fallback shard count;
+    *   - `shingleBytes` (8 bytes × total chars — an upper bound on the
+    *     hashed-shingle arrays, PRE-collapse so it only overestimates)
+    *     predicts whether the verify will run as broadcast probes, in
+    *     which case candidates never stage and sharding is pure
+    *     overhead;
+    *   - `candidatePairs` drives the stream-parallelism salt (CPU work
+    *     is pair-proportional even when nothing stages). */
+  final case class NgramEstimate(candidateBytes: Long, shingleBytes: Long,
+                                 candidatePairs: Long)
+
+  def estimateNgramStats(docs: DataFrame, textCol: String,
+                         lenCol: Column, n: Int = 4,
+                         blockWidth: Int = 100): NgramEstimate = {
     val rows = docs.filter(length(col(textCol)) >= n)
       .select((lenCol / blockWidth).cast("long").as("__blk"),
         lenCol.cast("double").as("__len"))
@@ -632,11 +724,14 @@ object TextDedup {
       .agg(count(lit(1)).as("p"), avg(col("__len")).as("ml"))
       .collect() // bounded: one row per length block
     val pop = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    pop.iterator.map { case (b, (p, ml)) =>
+    val (cand, pairsTot) = pop.iterator.map { case (b, (p, ml)) =>
       val prev = pop.get(b - 1).map(_._1).getOrElse(0L)
       val pairs = p.toDouble * (p - 1) / 2 * 0.75 + p.toDouble * prev / 4
-      pairs * 16.0 * ml
-    }.sum.toLong
+      (pairs * 16.0 * ml, pairs)
+    }.foldLeft((0.0, 0.0)) { case ((cb, pp), (c, p)) => (cb + c, pp + p) }
+    val shingle = pop.valuesIterator.map { case (p, ml) => p * ml * 8.0 }
+      .sum.toLong
+    NgramEstimate(cand.toLong, shingle, pairsTot.toLong)
   }
 
   /** Per-shard staging budget for [[ngramScratchShards]], in RAW
@@ -728,12 +823,28 @@ object TextDedup {
 
   /** Join candidate (a, b) pairs back to shingle arrays and keep pairs at
     * or above the exact-Jaccard threshold. `jac` is the pairwise kernel —
-    * [[jaccard]] for string arrays, [[jaccardSorted]] for hashed ones. */
+    * [[jaccard]] for string arrays, [[jaccardSorted]] for hashed ones.
+    *
+    * `broadcastShingles` is the scale lever (r15): with it, both array
+    * lookups become explicit broadcast hash probes and the candidate
+    * stream flows through ONE codegen stage — no exchange ever carries a
+    * shingle array, so verify staging is ZERO regardless of candidate
+    * count (the same restructure that fixed the r14 SRP rerank). Without
+    * it the planner's threshold decides: under ~50 MB of arrays AQE
+    * broadcast-converts anyway, but one byte past it the plan falls off
+    * a cliff to sort-merge joins whose exchanges carry two arrays per
+    * candidate — measured on the mutated ×100 board as a >65 GB
+    * single-shard sort spill (ShuffleSmoke: the same plan under the
+    * threshold moves 1.9 GB total). Callers pass true whenever the
+    * array side fits [[ngramBroadcastBudgetBytes]]. */
   private def verifyJaccard(cand: DataFrame, shingled: DataFrame,
                             idCol: String, threshold: Double,
-                            jac: (Column, Column) => Column = jaccard): DataFrame = {
-    val sa = shingled.select(col(idCol).as("a"), col("__sh").as("__sha"))
-    val sb = shingled.select(col(idCol).as("b"), col("__sh").as("__shb"))
+                            jac: (Column, Column) => Column = jaccard,
+                            broadcastShingles: Boolean = false): DataFrame = {
+    val hint: DataFrame => DataFrame =
+      if (broadcastShingles) broadcast(_) else identity
+    val sa = hint(shingled.select(col(idCol).as("a"), col("__sh").as("__sha")))
+    val sb = hint(shingled.select(col(idCol).as("b"), col("__sh").as("__shb")))
     cand.join(sa, "a").join(sb, "b")
       // Jaccard ≥ t implies min(|a|,|b|)/max(|a|,|b|) ≥ t — prune with a
       // scalar compare before paying for the set probe
@@ -743,6 +854,17 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
+
+  /** Broadcast budget for the verify's shingle side: an explicit
+    * broadcast must fit comfortably in EVERY executor's heap alongside
+    * its working set, so the default derives from this JVM's max heap
+    * (max/12 — e.g. 2 GiB on a 24 GiB driver, ~340 MiB on a 4 GiB
+    * executor profile; hash-relation overhead over the raw array bytes
+    * is within that margin). Overridable via
+    * SPARK_GRAFT_NGRAM_BCAST_BUDGET_BYTES. */
+  def ngramBroadcastBudgetBytes: Long =
+    sys.env.get("SPARK_GRAFT_NGRAM_BCAST_BUDGET_BYTES").flatMap(_.toLongOption)
+      .getOrElse(Runtime.getRuntime.maxMemory() / 12)
 
   /** Cross-document duplicated-passage REMOVAL — CCNet dedups identical
     * lines across a shard, C4 drops repeated three-sentence spans; on

@@ -17,21 +17,51 @@ object DedupQueries {
   private def scratch(dir: String, leaf: String): String =
     scratchDir("dedup", dir, leaf)
 
-  /** Estimated ngram candidate staging bytes per fixture dir, memoized
-    * (the shard derivation needs it every run; one bounded aggregate per
-    * testdata generation). Keyed on (canonical dir, source mtime) like
-    * SimQueries' embCount and Tables' frame cache: a regenerated dir
-    * re-estimates instead of deriving shards from a stale corpus shape.
-    * Parameters mirror the d_ngram_jaccard call below. */
+  /** Estimated (candidate staging, shingle-side) bytes per fixture dir,
+    * memoized (the shard derivation needs them every run; one bounded
+    * aggregate per testdata generation). Keyed on (canonical dir, source
+    * mtime) like SimQueries' embCount and Tables' frame cache: a
+    * regenerated dir re-estimates instead of deriving shards from a
+    * stale corpus shape. Parameters mirror the d_ngram_jaccard call
+    * below. */
   private val ngramEstCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
-  private def ngramEstBytes(s: org.apache.spark.sql.SparkSession,
-                            dir: String): Long = {
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), TextDedup.NgramEstimate]()
+  private def ngramEstStats(s: org.apache.spark.sql.SparkSession,
+                            dir: String): TextDedup.NgramEstimate = {
     val src = new java.io.File(dir, "documents.parquet")
     ngramEstCache.computeIfAbsent(
       (src.getCanonicalPath, src.lastModified()),
-      _ => TextDedup.estimateNgramCandidateBytes(Tables.documents(s, dir),
-        "text", col("n_chars"), n = 4, blockWidth = 20)).longValue()
+      _ => TextDedup.estimateNgramStats(Tables.documents(s, dir),
+        "text", col("n_chars"), n = 4, blockWidth = 20))
+  }
+
+  /** (shards, streamParallelism) for d_ngram_jaccard. Shards: when the
+    * shingle side fits the broadcast budget the verify stages NOTHING
+    * (candidates stream through broadcast probes —
+    * TextDedup.verifyJaccard), so the monolithic plan is right at any
+    * candidate volume; only past the broadcast budget does the
+    * fat-exchange fallback need its staging sharded against the scratch
+    * budget. Stream parallelism: probe CPU is candidate-proportional
+    * even when nothing stages, and the join's natural key space is the
+    * few dozen length blocks — up to ~1e9 estimated pairs the
+    * block-level parallelism carries the board (measured ×30: 69 s
+    * unsalted vs 120 s salted — the y-side ×R replication costs more
+    * than the spread buys, and every correctness-board plan stays
+    * byte-identical to r14's shape); past 1e9 the biggest single block
+    * alone is minutes of one-task work and AQE's byte-based coalesce
+    * can pin the whole stream to one core (measured ×100: 2408 s
+    * unsalted → 442 s salted), so salt to ~2.5e7 pairs per task,
+    * capped at 256. */
+  private def ngramPlan(s: org.apache.spark.sql.SparkSession,
+                        dir: String): (Int, Int) = {
+    val est = ngramEstStats(s, dir)
+    val shards =
+      if (est.shingleBytes <= TextDedup.ngramBroadcastBudgetBytes) 1
+      else TextDedup.ngramScratchShards(est.candidateBytes)
+    val stream =
+      if (est.candidatePairs < 1000000000L) 1
+      else math.min(256L, est.candidatePairs / 25000000L).toInt
+    (shards, stream)
   }
 
   /** Shared DuckDB CTEs: distinct word-3-gram shingles + per-doc counts. */
@@ -88,15 +118,17 @@ object DedupQueries {
     // Blocked exact char-4-gram Jaccard: length-band bucketing (pairs
     // within 10 chars share a bucket — near-dup docs have near-equal
     // length, and a tight band keeps candidate counts linear), Jaccard ≥ 0.6.
-    // Shard count derives from the ESTIMATED candidate staging bytes vs
-    // a scratch budget (r15 — 1 at every correctness sf and the ×10
-    // twin, identical plan to r13; ≥2 on the ×30/×100 mutated boards,
-    // bounding single-host scratch; see ngramScratchShards' scaladoc).
-    // Output is shard-count-invariant, so the brute oracle is unchanged.
+    // Scale shape (r15): when the shingle side fits the broadcast budget
+    // the verify runs as broadcast probes and candidates never stage —
+    // monolithic at every board up to the mutated ×100; past the budget,
+    // shard count derives from estimated candidate staging bytes vs the
+    // scratch budget (see ngramShards above). Output is plan-invariant,
+    // so the brute oracle is unchanged.
     "d_ngram_jaccard" -> { (s, dir) =>
+      val (shards, stream) = ngramPlan(s, dir)
       TextDedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           lenCol = col("n_chars"), n = 4, threshold = 0.6, blockWidth = 20,
-          shards = TextDedup.ngramScratchShards(ngramEstBytes(s, dir)))
+          shards = shards, streamParallelism = stream)
         .orderBy("a", "b")
     },
 

@@ -554,6 +554,15 @@ class DedupPropertySpec extends SparkSpec {
     assert(sharded == rows.toSet, s"shards=3 diverges: " +
       s"missing=${(rows.toSet -- sharded).take(3)} " +
       s"extra=${(sharded -- rows.toSet).take(3)}")
+    // r15 stream-parallelism salt: the (block, hash(a) % R) key space is
+    // a true partition of the pair space — every R yields the same rows
+    val salted = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+        lenCol = length(col("text")), n = 4, threshold = 0.6,
+        blockWidth = 20, streamParallelism = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == rows.toSet, s"streamParallelism=5 diverges: " +
+      s"missing=${(rows.toSet -- salted).take(3)} " +
+      s"extra=${(salted -- rows.toSet).take(3)}")
     // derivation ladder for the catalog's shard count (r15: derived from
     // estimated candidate staging bytes vs a per-shard budget, not a
     // doc-count proxy): ceil-divide, floor 1, cap 32
