@@ -36,6 +36,12 @@ object NgramRouteSmoke {
   def main(args: Array[String]): Unit = {
     val dirsMode = args.nonEmpty && (args(0) == "dirs" || args(0) == "counts")
     val countsOnly = args.nonEmpty && args(0) == "counts"
+    // threshold axis for the routing table: prefix size is
+    // |A| − ceil(t·|A|) + 1, so t is the lever that decides whether the
+    // prefix contains only genuinely rare shingles (high t) or 40% of
+    // the doc (the catalog's t=0.6)
+    val threshold = sys.env.get("SPARK_GRAFT_ROUTE_THRESHOLD")
+      .flatMap(_.toDoubleOption).getOrElse(0.6)
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = graft.core.GraftSession.local(cpus, "graft-ngram-route-smoke")
@@ -63,11 +69,11 @@ object NgramRouteSmoke {
         if (countsOnly) (-1L, -1L, -1L)
         else (
           cnt(graft.operators.TextDedup.ngramPrefixCandidates(
-            docs, "doc_id", "text", n = 4, threshold = 0.6)),
+            docs, "doc_id", "text", n = 4, threshold = threshold)),
           cnt(graft.operators.TextDedup.ngramPrefixCandidates(
-            docs, "doc_id", "text", n = 4, threshold = 0.6).distinct()),
+            docs, "doc_id", "text", n = 4, threshold = threshold).distinct()),
           cnt(graft.operators.TextDedup.ngramJaccardPairsPrefix(
-            docs, "doc_id", "text", n = 4, threshold = 0.6)))
+            docs, "doc_id", "text", n = 4, threshold = threshold)))
       println(f"$dir%-30s $nDocs%8d $grams%10d $blocked%14d " +
         f"$prefRaw%14d $prefPairs%14d $truePairs%12d")
     }

@@ -101,19 +101,52 @@ object ScaleSmoke {
     * the head token covers ~6% of positions, like "the" in English);
     * token count is exp(4 + 1.2·z) with z ≈ N(0,1) via Irwin-Hall —
     * median ~55 tokens (~300 chars, the synthetic corpus's center) with
-    * a realistic spread of ~30 to ~30k chars. Pure function. */
-  private[graft] def shapeText(baseId: Long): String = {
-    val V = 50000.0
+    * a realistic spread of ~30 to ~30k chars. Tokens render as
+    * hash-derived ALPHABETIC strings, frequent ranks shorter (Zipf's
+    * abbreviation law) — so the CHAR n-gram vocabulary is itself
+    * Zipf-diverse like real text (the first draft used "w<rank>"
+    * digit tokens, whose ~15-character alphabet collapsed the 4-gram
+    * space to a few thousand grams and made every gram common — the
+    * exact degeneracy of the synthetic corpus this shaper exists to
+    * escape). Pure function. */
+  /** Dup-cluster size on the shaped board: copies of one base doc get a
+    * FRESH shaped text every `ShapeClusterSize` copies, so near-dup
+    * clusters are small (web-realistic — a handful of mirrors per page,
+    * not K) and shingle document frequencies aren't floored at K by the
+    * copy structure. Measured consequence (×30 board): with one shape
+    * per base doc (clusters of 30), every "rare" shingle has df ≥ 30
+    * and prefix-filter buckets inflate to 4.5e8 candidates — an
+    * artifact of the board, not of natural text. */
+  private[graft] val ShapeClusterSize = 3
+
+  private[graft] def shapeText(baseId: Long, shapeGroup: Int): String = {
+    // V sized so the Zipf tail contains genuine hapax-class tokens at
+    // this corpus's scale (Heaps' law): at V=50k every token — even
+    // rank 50k — landed in ~28 docs of a 150k-doc board (15M token
+    // draws / V floor the df), so NO rare shingle existed and prefix
+    // buckets stayed inflated (measured: 4.6e8 candidates). Real text
+    // keeps minting new words as the corpus grows; V=5M restores that.
+    val V = 5000000.0
     def unif(x: Long): Double = (mix64(x) >>> 11).toDouble / (1L << 53).toDouble
-    val h0 = mix64(baseId * 0x100000001B3L + 0x5EED)
+    val h0 = mix64((baseId + shapeGroup * 0x51ED2701L) * 0x100000001B3L + 0x5EED)
     val z = ((1 to 4).map(i => unif(h0 + i)).sum - 2.0) * 1.732
     val nTok = math.min(5000, math.max(8, math.exp(4.0 + 1.2 * z).toInt))
-    val sb = new java.lang.StringBuilder(nTok * 6)
+    val sb = new java.lang.StringBuilder(nTok * 7)
     var j = 0
     while (j < nTok) {
       val r = math.pow(V, unif(h0 + 100 + j)).toLong.max(1L)
       if (j > 0) sb.append(' ')
-      sb.append('w').append(r)
+      // rank -> letters: length 2 + log4(r) (head ranks short), content
+      // a deterministic hash of the rank alone so every occurrence of a
+      // rank is the same "word"
+      val len = 2 + (64 - java.lang.Long.numberOfLeadingZeros(r)) / 2
+      var x = mix64(r * 0x9E3779B97F4A7C15L + 7)
+      var c = 0
+      while (c < len) {
+        sb.append(('a' + java.lang.Long.remainderUnsigned(x, 26L)).toChar)
+        x = mix64(x)
+        c += 1
+      }
       j += 1
     }
     sb.toString
@@ -146,19 +179,22 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
     keyCols.foreach { case (t, keys) =>
-      val base0 = spark.read.parquet(s"$src/$t.parquet")
-      // natural-shape board: regenerate documents text from the BASE id
-      // (pre-shift, so a doc's K copies shape identically and the ×K
-      // mutator then makes them near-dups); n_chars re-derived below
-      val base =
-        if (shape && t == "documents")
-          base0.withColumn("text", shapeTextUdf(col("doc_id")))
-            .withColumn("n_chars", length(col("text")).cast("long"))
-        else base0
+      val base = spark.read.parquet(s"$src/$t.parquet")
       val copies = (0 until k).map { i =>
-        val shifted = keys.foldLeft(base) { (df, c) =>
+        val shifted0 = keys.foldLeft(base) { (df, c) =>
           df.withColumn(c, col(c) + lit(i * Offset))
         }
+        // natural-shape board: regenerate documents text from the BASE
+        // id (pre-shift) and the copy's shape group — copies within one
+        // group share a shaped text (then diverge under the ×K mutator
+        // into near-dups), so dup clusters have ShapeClusterSize
+        // members; n_chars re-derived below
+        val shifted =
+          if (shape && t == "documents")
+            shifted0.withColumn("text",
+              shapeTextUdf(col("doc_id") - lit(i * Offset),
+                lit(i / ShapeClusterSize)))
+          else shifted0
         if (!mutate) shifted
         else t match {
           case "documents" => shifted

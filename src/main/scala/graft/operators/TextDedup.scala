@@ -776,21 +776,49 @@ object TextDedup {
     * global total order (ascending document frequency, tiebreak on the
     * shingle), keep each doc's first |A| − ⌈t·|A|⌉ + 1 shingles — any
     * pair with Jaccard ≥ t must share a shingle inside both prefixes —
-    * and bucket-join on those prefix shingles only. Because rare
-    * shingles sort first, buckets are tiny and candidate volume tracks
-    * the true pair count instead of the length-block population: this is
-    * the exact method that holds at corpus scale (the length-blocked
-    * [[ngramJaccardPairs]] stays as the reference-shaped variant).
+    * and bucket-join on those prefix shingles only.
+    *
+    * WHEN IT WINS — measured, r15 (SCALING.md "blocked vs prefix"): the
+    * decisive variable is the THRESHOLD, because the prefix holds
+    * (1−t)·|A|+1 shingles. At t=0.85 on a natural-shape corpus (Zipf
+    * tokens with Heaps-law hapaxes, lognormal lengths) the prefix is
+    * genuinely rare shingles and candidates run 4× UNDER the
+    * length-blocked join's; at the catalog's t=0.6 the prefix is 40% of
+    * every doc, mid-frequency shingles dominate its buckets, and it
+    * generates 2× MORE candidates than blocking even on natural text
+    * (15–30× more on the token-poor synthetic corpus). Overlapping
+    * char n-grams sharpen this: adjacent grams are correlated, so
+    * "rare content" buys fewer independent rare shingles than word
+    * tokens would. Routing rule: length-blocked for t ≲ 0.7 or
+    * token-poor corpora; prefix for high-threshold dedup on
+    * hapax-rich text.
+    *
     * All stages are linear scans + two hash shuffles (by shingle for DF,
-    * by doc for the prefix window); no N² anywhere.
+    * by doc for the prefix window); no N² anywhere. The verify reuses
+    * [[verifyJaccard]] with the same broadcast-budget decision as the
+    * blocked path.
     * Output: (a, b, jaccard), a < b — ALL pairs at or above threshold. */
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                               n: Int = 4, threshold: Double = 0.6): DataFrame = {
-    val sh = docs.select(col(idCol), charShingles(col(textCol), n).as("__sh"))
+    // hashed shingles throughout (r15, matching ngramJaccardPairs): the
+    // global total order PPJoin needs is ANY consistent one — ascending
+    // (df, hash64) works exactly like (df, string) — and 64-bit hash
+    // arrays are ~3x lighter through every exchange and probe, exact up
+    // to xxhash64 collisions (~k²/2^64 per pair, negligible)
+    val sh = docs.select(col(idCol), charShingleHashes(col(textCol), n).as("__sh"))
       .filter(size(col("__sh")) > 0)
+    // same broadcast decision as the blocked path — the verify cliff is
+    // identical (measured: the natural-shape ×30 board's prefix verify
+    // ENOSPC'd through the fat SMJ exchange before this fix)
+    val bcast = {
+      val row = docs.agg(sum(length(col(textCol)))).head()
+      val estBytes = (if (row.isNullAt(0)) 0L else row.getLong(0)) * 8L
+      estBytes <= ngramBroadcastBudgetBytes
+    }
     val cand = ngramPrefixCandidates(docs, idCol, textCol, n, threshold)
       .distinct()
-    verifyJaccard(cand, sh, idCol, threshold)
+    verifyJaccard(cand, sh, idCol, threshold, jaccardSorted,
+      broadcastShingles = bcast)
   }
 
   /** Candidate (a, b) pairs of the prefix-filtered path, PRE-verify and
@@ -800,7 +828,7 @@ object TextDedup {
     * SCALING.md "blocked vs prefix" for the routing rule). */
   def ngramPrefixCandidates(docs: DataFrame, idCol: String, textCol: String,
                             n: Int = 4, threshold: Double = 0.6): DataFrame = {
-    val sh = docs.select(col(idCol), charShingles(col(textCol), n).as("__sh"))
+    val sh = docs.select(col(idCol), charShingleHashes(col(textCol), n).as("__sh"))
       .filter(size(col("__sh")) > 0)
     val tok = sh.select(col(idCol), size(col("__sh")).as("__n"),
       explode(col("__sh")).as("__s"))
