@@ -533,7 +533,8 @@ object TextDedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         lenCol: Column, n: Int = 4, threshold: Double = 0.6,
                         blockWidth: Int = 100, shards: Int = 1,
-                        streamParallelism: Int = 1): DataFrame = {
+                        streamParallelism: Int = 1,
+                        broadcastVerify: Option[Boolean] = None): DataFrame = {
     val maxDiff = blockWidth / 2
     // collapse-soundness gate — see minhashLshPairs
     require(threshold <= 1.0, s"threshold must be <= 1.0 (got $threshold)")
@@ -552,11 +553,14 @@ object TextDedup {
       md5(concat(col(textCol), lit("|"), col("__len").cast("string"))))
     val sh = base.select(col(idCol),
       charShingleHashes(col(textCol), n).as("__sh"))
-    // Broadcast decision from the POST-collapse corpus (what the verify
-    // actually probes): ~8 bytes per shingle hash, ≤ one hash per char.
-    // One tiny aggregate on the (materialized) rep frame. See
-    // verifyJaccard's scaladoc for why this decision dominates staging.
-    val bcastVerify = {
+    // Broadcast decision (see verifyJaccard's scaladoc for why it
+    // dominates staging): callers who already hold a corpus estimate
+    // pass it (the catalog memoizes estimateNgramStats — zero extra
+    // jobs per call); otherwise decide here from the POST-collapse
+    // corpus (what the verify actually probes): ~8 bytes per shingle
+    // hash, ≤ one hash per char, one tiny aggregate on the
+    // (materialized) rep frame.
+    val bcastVerify = broadcastVerify.getOrElse {
       val row = base.agg(sum(col("__len"))).head()
       val estShBytes = (if (row.isNullAt(0)) 0L else row.getLong(0)) * 8L
       estShBytes <= ngramBroadcastBudgetBytes
@@ -637,12 +641,20 @@ object TextDedup {
     val (x, y) =
       if (streamSalt <= 1) (blk.alias("__blk_x"), blk.alias("__blk_y"))
       else (
+        // BOTH sides user-repartitioned on the (block, salt) keys and the
+        // join hinted merge: the replicated y side must not be planner-
+        // broadcast (a corpus-sized hash relation whose per-pair probe
+        // measured ~2x the SMJ group scan — ×30: 112 s vs ~60 s), and
+        // user-origin exchanges are what AQE's byte-based coalesce
+        // leaves alone (the whole point of the salt — see scaladoc)
         blk.withColumn("__salt",
             pmod(xxhash64(col(idCol)), lit(streamSalt.toLong)))
           .repartition(streamSalt, col("__blk"), col("__salt"))
+          .hint("merge")
           .alias("__blk_x"),
         blk.withColumn("__salt",
             explode(sequence(lit(0L), lit(streamSalt.toLong - 1L))))
+          .repartition(streamSalt, col("__blk"), col("__salt"))
           .alias("__blk_y"))
     val baseCond =
       col("__blk_x.__blk") === col("__blk_y.__blk") &&

@@ -43,25 +43,27 @@ object DedupQueries {
     * fat-exchange fallback need its staging sharded against the scratch
     * budget. Stream parallelism: probe CPU is candidate-proportional
     * even when nothing stages, and the join's natural key space is the
-    * few dozen length blocks — up to ~1e9 estimated pairs the
-    * block-level parallelism carries the board (measured ×30: 69 s
-    * unsalted vs 120 s salted — the y-side ×R replication costs more
-    * than the spread buys, and every correctness-board plan stays
-    * byte-identical to r14's shape); past 1e9 the biggest single block
-    * alone is minutes of one-task work and AQE's byte-based coalesce
-    * can pin the whole stream to one core (measured ×100: 2408 s
-    * unsalted → 442 s salted), so salt to ~2.5e7 pairs per task,
-    * capped at 256. */
+    * few dozen length blocks — whose partitions AQE's byte-based
+    * coalesce can collapse outright on skinny inputs (measured ×100:
+    * 2408 s on ONE core unsalted → 442 s salted). The salt's
+    * merge-hinted both-sides-repartitioned form costs nothing where it
+    * isn't needed (sf0.1: 2.4 s ≈ r14's 2.46; ×30: 66.6 s ≈ the best
+    * unsalted run), so it is the default for any non-trivial pair
+    * volume: floor 32 tasks, one task per ~2.5e7 pairs, cap 256.
+    * Under 1e5 estimated pairs (sf0.01-class fixtures) stay unsalted —
+    * a single stream stage is right there and the plan stays
+    * byte-identical to r14's shape. */
   private def ngramPlan(s: org.apache.spark.sql.SparkSession,
-                        dir: String): (Int, Int) = {
+                        dir: String): (Boolean, Int, Int) = {
     val est = ngramEstStats(s, dir)
+    val bcast = est.shingleBytes <= TextDedup.ngramBroadcastBudgetBytes
     val shards =
-      if (est.shingleBytes <= TextDedup.ngramBroadcastBudgetBytes) 1
+      if (bcast) 1
       else TextDedup.ngramScratchShards(est.candidateBytes)
     val stream =
-      if (est.candidatePairs < 1000000000L) 1
-      else math.min(256L, est.candidatePairs / 25000000L).toInt
-    (shards, stream)
+      if (est.candidatePairs < 100000L) 1
+      else math.max(32L, math.min(256L, est.candidatePairs / 25000000L)).toInt
+    (bcast, shards, stream)
   }
 
   /** Shared DuckDB CTEs: distinct word-3-gram shingles + per-doc counts. */
@@ -125,10 +127,11 @@ object DedupQueries {
     // scratch budget (see ngramShards above). Output is plan-invariant,
     // so the brute oracle is unchanged.
     "d_ngram_jaccard" -> { (s, dir) =>
-      val (shards, stream) = ngramPlan(s, dir)
+      val (bcast, shards, stream) = ngramPlan(s, dir)
       TextDedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           lenCol = col("n_chars"), n = 4, threshold = 0.6, blockWidth = 20,
-          shards = shards, streamParallelism = stream)
+          shards = shards, streamParallelism = stream,
+          broadcastVerify = Some(bcast))
         .orderBy("a", "b")
     },
 
