@@ -194,6 +194,10 @@ object ScaleSmoke {
             shifted0.withColumn("text",
               shapeTextUdf(col("doc_id") - lit(i * Offset),
                 lit(i / ShapeClusterSize)))
+              // n_chars = length(text) must hold in THIS branch too —
+              // main() always pairs shape with mutate (which also
+              // re-derives), but build() is callable with mutate=false
+              .withColumn("n_chars", length(col("text")).cast("long"))
           else shifted0
         if (!mutate) shifted
         else t match {

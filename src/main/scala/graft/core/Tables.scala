@@ -213,7 +213,14 @@ object Tables {
     try {
       val cutoff = System.currentTimeMillis() - SweepGraceMillis
       Option(base.listFiles()).toSeq.flatten.foreach { f =>
-        if (f.getName.startsWith(s"$name.parquet.v") && f.getName != keep) {
+        if (f.getName == keep) {
+          // a version dir can be superseded and later become the keep
+          // target again (source mtime restored — e.g. a testdata dir
+          // copied back). Clear any stale tombstone so a FUTURE real
+          // supersession starts its grace fresh instead of inheriting
+          // an aged tombstone and deleting under an in-flight reader.
+          new java.io.File(f, ".superseded").delete(): Unit
+        } else if (f.getName.startsWith(s"$name.parquet.v")) {
           val tomb = new java.io.File(f, ".superseded")
           if (!tomb.exists()) tomb.createNewFile(): Unit
           else if (tomb.lastModified() < cutoff) deleteRecursively(f)

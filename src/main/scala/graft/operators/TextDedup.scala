@@ -18,6 +18,13 @@ import org.apache.spark.sql.graft.GraftSql
   */
 object TextDedup {
 
+  /** Per-session locks serializing [[ngramJaccardPairs]]' sharded loops —
+    * see the conf-toggle comment there. Weak keys: a stopped session's
+    * lock entry must not pin the session object. */
+  private val shardLoopLocks =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, Object]())
+
   /** Distinct word n-gram shingles of a whitespace-tokenized text column
     * (native expression — [[graft.functions.WordShingles]]). Empty array
     * when the doc has fewer than n words. */
@@ -367,11 +374,29 @@ object TextDedup {
     * Scale contract: the corpus side ships only (id, band, signature)
     * rows into the join — b rows per doc, b a constant — and the stored
     * shingle arrays are fetched for candidates only; the batch is the
-    * small side by construction. Nothing is quadratic in the corpus. */
+    * small side by construction. Nothing is quadratic in the corpus.
+    *
+    * VERIFY SHAPE (r16, the [[verifyJaccard]] discipline): no exchange
+    * may carry a shingle array PER CANDIDATE. The batch side (bands and
+    * arrays) is explicitly broadcast whenever it fits
+    * [[ngramBroadcastBudgetBytes]] — by construction it virtually
+    * always does (an ingest batch is corpus-small; a 64 GB executor's
+    * budget holds a multi-GB batch) — so the band join streams the
+    * corpus's skinny band rows map-side with NO corpus shuffle at all,
+    * and the verify joins candidates to the CORPUS arrays first (the
+    * corpus-side exchange carries each stored array once, not once per
+    * candidate) before probing the broadcast batch arrays in the same
+    * stage. A batch past the budget (pass `broadcastBatch = Some(false)`
+    * or let the estimate decide) falls back to planner-shaped joins in
+    * the same order — candidate-proportional array staging then returns
+    * on the batch-probe join, so the documented capacity rule is: keep
+    * ingest batches under the budget, splitting an oversized ingest
+    * into sub-batches (the natural incremental cadence anyway). */
   def dedupAgainstIndex(batch: DataFrame, index: DataFrame, idCol: String,
                         textCol: String, shingleN: Int = 3,
                         threshold: Double = 0.7, k: Int = 128,
-                        bands: Int = 32): DataFrame = {
+                        bands: Int = 32,
+                        broadcastBatch: Option[Boolean] = None): DataFrame = {
     // the batch index feeds BOTH the band join and the verify join;
     // without materialization the shingling + k minhashes would compute
     // twice per doc (Spark has no cross-reference subplan reuse). Lazy
@@ -381,17 +406,26 @@ object TextDedup {
       .select(col(idCol).as("b"), col("bands").as("__bbands"),
         col("shingle_hashes").as("__shb"))
       .materialized()
+    // batch-side broadcast decision: callers holding an estimate pass
+    // it; otherwise one bounded aggregate over the (materialized) batch
+    // index — ~8 bytes per stored shingle hash
+    val bcast = broadcastBatch.getOrElse {
+      val row = bIdx.agg(sum(size(col("__shb"))).cast("long")).head()
+      val estBytes = (if (row.isNullAt(0)) 0L else row.getLong(0)) * 8L
+      estBytes <= ngramBroadcastBudgetBytes
+    }
+    val hint: DataFrame => DataFrame = if (bcast) broadcast(_) else identity
     val bBands = bIdx.select(col("b"), posexplode(col("__bbands")))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bsig")
     val cBands = index.select(col(idCol).as("c"), posexplode(col("bands")))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bsig")
-    val cand = bBands.join(cBands, Seq("__band", "__bsig"))
+    val cand = cBands.join(hint(bBands), Seq("__band", "__bsig"))
       .filter(col("b") =!= col("c"))
       .select(col("b"), col("c")).distinct()
     cand
-      .join(bIdx.select(col("b"), col("__shb")), "b")
       .join(index.select(col(idCol).as("c"),
         col("shingle_hashes").as("__shc")), "c")
+      .join(hint(bIdx.select(col("b"), col("__shb"))), "b")
       .filter(least(size(col("__shb")), size(col("__shc"))) >=
         lit(threshold) * greatest(size(col("__shb")), size(col("__shc"))))
       .withColumn("jaccard", jaccardSorted(col("__shb"), col("__shc")))
@@ -535,7 +569,6 @@ object TextDedup {
                         blockWidth: Int = 100, shards: Int = 1,
                         streamParallelism: Int = 1,
                         broadcastVerify: Option[Boolean] = None): DataFrame = {
-    val maxDiff = blockWidth / 2
     // collapse-soundness gate — see minhashLshPairs
     require(threshold <= 1.0, s"threshold must be <= 1.0 (got $threshold)")
     require(shards >= 1, s"shards must be >= 1 (got $shards)")
@@ -593,18 +626,31 @@ object TextDedup {
         // System.gc() full-paused co-resident queries; the r15 45 s
         // periodicGC alone lags the boundary — the mutated ×100 drill
         // accumulated shards to ENOSPC under it).
+        // The read-set-restore around the session conf is guarded by a
+        // per-session JVM lock (r16): two concurrent sharded calls on
+        // one session could otherwise interleave — B reading A's 'true'
+        // as the prior value and restoring it after A unsets, leaking
+        // the flag on for the session's lifetime. The lock serializes
+        // the shard loops (they contend for the same scratch volume
+        // anyway, so serializing them is the capacity-correct schedule
+        // too); co-resident NON-sharded queries still run under the
+        // altered conf during a loop — acceptable, since eager cleanup
+        // only affects when shuffle files of COMPLETED executions are
+        // removed, never results.
         val sess = docs.sparkSession
-        val cleanupKey =
-          "spark.sql.classic.shuffleDependency.fileCleanup.enabled"
-        val prior = sess.conf.getOption(cleanupKey)
-        sess.conf.set(cleanupKey, "true")
-        try (0 until shards).map { s =>
-          graft.core.Materialize.reliable(
-            pairsOf(blocked.filter(pmod(col("__blk"), lit(shards)) === s)))
-        }.reduce(_ unionAll _)
-        finally prior match {
-          case Some(v) => sess.conf.set(cleanupKey, v)
-          case None => sess.conf.unset(cleanupKey)
+        shardLoopLocks.computeIfAbsent(sess, _ => new Object).synchronized {
+          val cleanupKey =
+            "spark.sql.classic.shuffleDependency.fileCleanup.enabled"
+          val prior = sess.conf.getOption(cleanupKey)
+          sess.conf.set(cleanupKey, "true")
+          try (0 until shards).map { s =>
+            graft.core.Materialize.reliable(
+              pairsOf(blocked.filter(pmod(col("__blk"), lit(shards)) === s)))
+          }.reduce(_ unionAll _)
+          finally prior match {
+            case Some(v) => sess.conf.set(cleanupKey, v)
+            case None => sess.conf.unset(cleanupKey)
+          }
         }
       }
     expand(pairs)
@@ -809,28 +855,57 @@ object TextDedup {
     * by doc for the prefix window); no N² anywhere. The verify reuses
     * [[verifyJaccard]] with the same broadcast-budget decision as the
     * blocked path.
+    *
+    * PLAN PARITY WITH THE BLOCKED PATH (r16 — this is now the
+    * documented right route for t ≥ 0.85 on hapax-rich text, so its
+    * plan shape must hold where the blocked path's does):
+    *   - `broadcastVerify` override, same contract as
+    *     [[ngramJaccardPairs]]: a caller holding a memoized corpus
+    *     estimate (the catalog's [[estimateNgramStats]]) passes it and
+    *     NO construction-time job runs; only a caller passing None pays
+    *     one tiny aggregate over the (post-collapse) rep frame.
+    *   - wrapped in [[collapseExactDups]] keyed on the text: every
+    *     downstream input (df order, prefix, verify jaccard) is a pure
+    *     function of the shingle set, itself a pure function of the
+    *     text, so the collapse is output-identical by the same argument
+    *     as the blocked path — and on a re-crawled corpus candidates
+    *     drop from quadratic-in-copies to quadratic-in-distinct. (The
+    *     collapse CHANGES document frequencies, hence the prefix order
+    *     and the candidate SET — but prefix filtering is
+    *     recall-complete under ANY consistent global order, so the
+    *     verified output is invariant; DedupPropertySpec proves
+    *     brute-force equality through the collapse.)
     * Output: (a, b, jaccard), a < b — ALL pairs at or above threshold. */
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
-                              n: Int = 4, threshold: Double = 0.6): DataFrame = {
+                              n: Int = 4, threshold: Double = 0.6,
+                              broadcastVerify: Option[Boolean] = None): DataFrame = {
+    // collapse-soundness gate — see minhashLshPairs
+    require(threshold <= 1.0, s"threshold must be <= 1.0 (got $threshold)")
+    // char shingles are empty iff numChars < n — same domain gate as the
+    // blocked path, applied BEFORE the collapse (signature-determined)
+    val base0 = docs.filter(length(col(textCol)) >= n)
+      .select(col(idCol), col(textCol))
+    val (base, expand) = collapseExactDups(base0, idCol, md5(col(textCol)))
     // hashed shingles throughout (r15, matching ngramJaccardPairs): the
     // global total order PPJoin needs is ANY consistent one — ascending
     // (df, hash64) works exactly like (df, string) — and 64-bit hash
     // arrays are ~3x lighter through every exchange and probe, exact up
     // to xxhash64 collisions (~k²/2^64 per pair, negligible)
-    val sh = docs.select(col(idCol), charShingleHashes(col(textCol), n).as("__sh"))
-      .filter(size(col("__sh")) > 0)
+    val sh = base.select(col(idCol), charShingleHashes(col(textCol), n).as("__sh"))
     // same broadcast decision as the blocked path — the verify cliff is
     // identical (measured: the natural-shape ×30 board's prefix verify
     // ENOSPC'd through the fat SMJ exchange before this fix)
-    val bcast = {
-      val row = docs.agg(sum(length(col(textCol)))).head()
+    val bcast = broadcastVerify.getOrElse {
+      val row = base.agg(sum(length(col(textCol)))).head()
       val estBytes = (if (row.isNullAt(0)) 0L else row.getLong(0)) * 8L
       estBytes <= ngramBroadcastBudgetBytes
     }
-    val cand = ngramPrefixCandidates(docs, idCol, textCol, n, threshold)
-      .distinct()
-    verifyJaccard(cand, sh, idCol, threshold, jaccardSorted,
-      broadcastShingles = bcast)
+    // distinct IS load-bearing here, unlike the blocked path: a pair can
+    // share several prefix shingles. It runs on skinny (a, b) rows only
+    // — the arrays join in AFTER, via the broadcast probes.
+    val cand = prefixCandidatesFrom(sh, idCol, threshold).distinct()
+    expand(verifyJaccard(cand, sh, idCol, threshold, jaccardSorted,
+      broadcastShingles = bcast))
   }
 
   /** Candidate (a, b) pairs of the prefix-filtered path, PRE-verify and
@@ -839,9 +914,18 @@ object TextDedup {
     * as a measurable frame (the [[ngramBlockedCandidates]] twin; see
     * SCALING.md "blocked vs prefix" for the routing rule). */
   def ngramPrefixCandidates(docs: DataFrame, idCol: String, textCol: String,
-                            n: Int = 4, threshold: Double = 0.6): DataFrame = {
-    val sh = docs.select(col(idCol), charShingleHashes(col(textCol), n).as("__sh"))
-      .filter(size(col("__sh")) > 0)
+                            n: Int = 4, threshold: Double = 0.6): DataFrame =
+    prefixCandidatesFrom(
+      docs.select(col(idCol), charShingleHashes(col(textCol), n).as("__sh"))
+        .filter(size(col("__sh")) > 0),
+      idCol, threshold)
+
+  /** The PPJoin candidate stage shared by [[ngramJaccardPairsPrefix]]
+    * (post-collapse reps) and [[ngramPrefixCandidates]] (raw corpus —
+    * the routing measurement surface). `sh` is (idCol, __sh) with __sh
+    * a non-empty hashed-shingle array. */
+  private def prefixCandidatesFrom(sh: DataFrame, idCol: String,
+                                   threshold: Double): DataFrame = {
     val tok = sh.select(col(idCol), size(col("__sh")).as("__n"),
       explode(col("__sh")).as("__s"))
     val dfreq = tok.groupBy(col("__s")).agg(count(lit(1)).as("__df"))

@@ -135,15 +135,28 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
-    // NOTE: TextDedup.ngramJaccardPairsPrefix (PPJoin-style prefix
-    // filtering — the exact method of choice on natural-text corpora
-    // with Zipfian token spaces) is deliberately NOT a catalog query:
-    // the synthetic documents table has only ~1k distinct char-4-grams
-    // across 10k docs, so no token is rare and token-bucket candidates
-    // degenerate toward all-pairs (measured: 7.6M candidates at sf0.1 vs
-    // ~2.5k true pairs; the length-blocked variant above wins on this
-    // corpus). Recall and exactness are proven by DedupPropertySpec and
-    // by a green sf0.1 oracle run; see NOTES_r3.md.
+    // High-threshold exact char-4-gram Jaccard by PREFIX FILTERING
+    // (PPJoin family) — the measured routing rule's OTHER branch
+    // (SCALING.md "blocked vs prefix": the threshold decides; at
+    // t ≥ 0.85 the prefix is genuinely rare shingles and candidates run
+    // 4× under length-blocking on hapax-rich text). Note the semantics
+    // differ from d_ngram_jaccard beyond the threshold: prefix filtering
+    // has NO length band — it returns ALL pairs at or above t — so the
+    // oracle drops the band predicate. The broadcast-verify decision
+    // comes from the same memoized corpus estimate as the blocked row
+    // (shingleBytes is a path-independent upper bound), so no
+    // construction-time job runs.
+    // (At the catalog's t=0.6 the prefix path loses on ANY corpus shape
+    // measured — 2× more candidates than blocking on natural text, 15-30×
+    // on this token-poor synthetic corpus — which is why d_ngram_jaccard
+    // stays length-blocked; see NOTES_r3.md / SCALING.md r15.)
+    "d_ngram_jaccard_hi" -> { (s, dir) =>
+      val est = ngramEstStats(s, dir)
+      val bcast = est.shingleBytes <= TextDedup.ngramBroadcastBudgetBytes
+      TextDedup.ngramJaccardPairsPrefix(Tables.documents(s, dir), "doc_id",
+          "text", n = 4, threshold = 0.85, broadcastVerify = Some(bcast))
+        .orderBy("a", "b")
+    },
 
     // Near-dup CLUSTERS: the MinHash-LSH pair graph collapsed to
     // connected components — each doc labeled with its cluster's minimum
@@ -350,6 +363,31 @@ object DedupQueries {
         |JOIN lens lb ON lb.doc_id = b
         |WHERE abs(la.n_chars - lb.n_chars) <= 10
         |  AND CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.6
+        |ORDER BY a, b""".stripMargin,
+
+    // brute-force all-pairs char-4-gram Jaccard ≥ 0.85 — NO length band
+    // (prefix filtering returns all qualifying pairs); a green row proves
+    // both the PPJoin candidate recall (any pair at t must share a
+    // prefix shingle under the df total order) and the hashed-shingle
+    // verify, end-to-end through the exact-dup collapse
+    "d_ngram_jaccard_hi" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(text) - 3),
+        |                            i -> substr(text, i, 4))) AS s
+        |    FROM documents)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b,
+        |  CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN cnt ca ON ca.doc_id = a
+        |JOIN cnt cb ON cb.doc_id = b
+        |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.85
         |ORDER BY a, b""".stripMargin,
 
 

@@ -98,9 +98,18 @@ object JdbcIO {
     * escape-parsing endpoint lets a value ending in `\` swallow the
     * closing quote (unterminated literal → statement breakage, an
     * injection surface). Callers on a known-ANSI endpoint outside this
-    * list pass `backslashEscapes = Some(false)` explicitly. */
+    * list pass `backslashEscapes = Some(false)` explicitly.
+    *
+    * The allowlist covers the common ANSI-literal endpoints (r16 — the
+    * two-entry r15 list silently double-escaped values landed on SQL
+    * Server/Oracle/SQLite/H2/DB2, all of which parse string literals
+    * per ANSI with no backslash escapes by default); doubling remains
+    * the default ONLY for genuinely unknown URLs, per the asymmetry
+    * above. */
   private[graft] def backslashEscapesFor(url: String): Boolean = {
-    val ansiLiteral = Seq("jdbc:derby:", "jdbc:postgresql:")
+    val ansiLiteral = Seq(
+      "jdbc:derby:", "jdbc:postgresql:", "jdbc:sqlserver:", "jdbc:oracle:",
+      "jdbc:sqlite:", "jdbc:h2:", "jdbc:db2:")
     !ansiLiteral.exists(url.startsWith)
   }
 

@@ -89,6 +89,39 @@ class DedupPropertySpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("ngramJaccardPairsPrefix t=0.85: broadcast override is plan-only; collapse expands twins") {
+    // r16 parity contract (VERDICT r15 #3/#4): the prefix path is the
+    // documented route for t >= 0.85, wrapped in collapseExactDups and
+    // carrying the same broadcastVerify override as the blocked path.
+    // Both override values must produce the identical pair set (the
+    // override changes plan shape only), equal to brute force — and the
+    // corpus's exact-twin groups must surface as jaccard-1.0 pairs
+    // through the collapse expansion.
+    import spark.implicits._
+    def charShingles(t: String): Set[String] = t.sliding(4).toSet
+    val want = (for {
+      (a, ta) <- corpus; (b, tb) <- corpus if a < b
+      sa = charShingles(ta); sb = charShingles(tb)
+      inter = (sa & sb).size
+      if inter > 0 && inter.toDouble / (sa ++ sb).size >= 0.85
+    } yield (a, b)).toSet
+    val docs = corpus.toDF("doc_id", "text")
+    def run(bcast: Boolean) = TextDedup.ngramJaccardPairsPrefix(
+        docs, "doc_id", "text", n = 4, threshold = 0.85,
+        broadcastVerify = Some(bcast))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val onB = run(bcast = true)
+    val offB = run(bcast = false)
+    assert(onB.map(r => (r._1, r._2)).toSet == want && want.nonEmpty)
+    assert(onB.sortBy(r => (r._1, r._2)).toSeq ==
+      offB.sortBy(r => (r._1, r._2)).toSeq)
+    // the exact-twin pairs (0, 300) and (7's triple group) ride the
+    // collapse's intra expansion at literal 1.0
+    val byPair = onB.map(r => (r._1, r._2) -> r._3).toMap
+    assert(byPair.get((0L, 300L)).contains(1.0))
+    assert(byPair.get((301L, 302L)).contains(1.0))
+  }
+
   test("asofJoin == brute-force latest-at-or-before on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
@@ -974,6 +1007,13 @@ class DedupPropertySpec extends SparkSpec {
     assert(backslashEscapesFor("jdbc:unknown_endpoint://h/db"))
     assert(!backslashEscapesFor("jdbc:derby:memory:x;create=true"))
     assert(!backslashEscapesFor("jdbc:postgresql://h:5432/db"))
+    // r16: common ANSI-literal endpoints joined the allowlist — these
+    // previously defaulted to doubling and silently landed 'a\b' as 'a\\b'
+    assert(!backslashEscapesFor("jdbc:sqlserver://h:1433;databaseName=db"))
+    assert(!backslashEscapesFor("jdbc:oracle:thin:@h:1521:orcl"))
+    assert(!backslashEscapesFor("jdbc:sqlite:/tmp/x.db"))
+    assert(!backslashEscapesFor("jdbc:h2:mem:x"))
+    assert(!backslashEscapesFor("jdbc:db2://h:50000/db"))
     assert(sqlLiteral(Double.NaN) == "CAST('NaN' AS DOUBLE)")
     assert(sqlLiteral(Double.PositiveInfinity) == "CAST('Infinity' AS DOUBLE)")
     assert(sqlLiteral(Float.NegativeInfinity) == "CAST('-Infinity' AS FLOAT)")

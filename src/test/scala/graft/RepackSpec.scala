@@ -89,6 +89,35 @@ class RepackSpec extends SparkSpec {
     assert(!v1.exists(), "superseded version should sweep once the tombstone ages out")
   }
 
+  test("re-kept version clears its stale tombstone; re-supersession starts a fresh grace") {
+    // r16 (ADVICE): a version dir superseded and later re-kept (source
+    // mtime restored — e.g. a testdata dir copied back) must not retain
+    // its aged .superseded tombstone, or the NEXT real supersession
+    // would delete it immediately under any in-flight reader.
+    val base = freshBase()
+    val srcDir = Files.createTempDirectory("graft_repack_src5").toFile
+    val src = writeSrc(srcDir, 20000)
+    val b = new File(base, "x")
+    val m1 = src.lastModified()
+    val v1 = graft.core.Tables.repackInto(spark, src, b, "t", 8L << 20)
+    assert(src.setLastModified(m1 + 5000))
+    graft.core.Tables.repackInto(spark, src, b, "t", 8L << 20)
+    val tomb = new File(v1, ".superseded")
+    assert(tomb.exists())
+    // age the tombstone past the grace, then make v1 the keep target again
+    assert(tomb.setLastModified(
+      System.currentTimeMillis() - graft.core.Tables.SweepGraceMillis - 60000))
+    assert(src.setLastModified(m1))
+    val vKept = graft.core.Tables.repackInto(spark, src, b, "t", 8L << 20)
+    assert(vKept.getPath == v1.getPath)
+    assert(!tomb.exists(), "re-kept version must shed its stale tombstone")
+    // supersede AGAIN: v1 must get a fresh tombstone and survive the sweep
+    assert(src.setLastModified(m1 + 5000))
+    graft.core.Tables.repackInto(spark, src, b, "t", 8L << 20)
+    assert(v1.exists() && tomb.exists(),
+      "re-superseded version must start a fresh grace, not inherit the aged tombstone")
+  }
+
   test("crash remnant (.tmp orphan) is never served and is swept when old") {
     val base = freshBase()
     val srcDir = Files.createTempDirectory("graft_repack_src3").toFile
