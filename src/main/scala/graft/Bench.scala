@@ -56,18 +56,31 @@ object Bench {
     sec
   }
 
-  /** 1-minute loadavg, or 0 where /proc/loadavg is unreadable. */
-  private def load1(): Double =
-    loadAvg().split(",").headOption.filter(_.nonEmpty)
-      .flatMap(_.toDoubleOption).getOrElse(0.0)
+  /** Effective gating load (r16): max(1-min, 0.7·5-min), or 0 where
+    * /proc/loadavg is unreadable. The r15 gate read ONLY the 1-min
+    * average, and its official record started at 1-min 3.89 while the
+    * 5/15-min averages read 7.06/9.37 — a recently-busy host whose
+    * caches/cgroups/IO queues were still draining, and the board ran
+    * ~10% over a quiet-host same-HEAD run. Folding the 5-min average
+    * in (scaled, since it decays slower than the contention it
+    * measures) makes "just went quiet" wait out the drain instead of
+    * sneaking under a momentary 1-min dip. */
+  private def gateLoad(): Double = {
+    val parts = loadAvg().split(",").toSeq
+      .filter(_.nonEmpty).flatMap(_.toDoubleOption)
+    val l1 = parts.headOption.getOrElse(0.0)
+    val l5 = if (parts.size > 1) parts(1) else 0.0
+    math.max(l1, 0.7 * l5)
+  }
 
-  /** LOAD GATE (r15): a contaminated board must be impossible to produce
-    * silently. The r14 official record ran at loadavg 27.99 on a 32-core
-    * host and read +33% vs two same-HEAD controlled boards — external
-    * load, not the engine. Before any timing starts, wait (bounded) for
-    * the 1-min loadavg to fall under the gate; the wait and the gate
-    * verdict are recorded in the env block so a board that STILL started
-    * loaded carries the evidence on its face. Thresholds overridable:
+  /** LOAD GATE (r15; 5-min hole closed r16 — see [[gateLoad]]): a
+    * contaminated board must be impossible to produce silently. The r14
+    * official record ran at loadavg 27.99 on a 32-core host and read
+    * +33% vs two same-HEAD controlled boards — external load, not the
+    * engine. Before any timing starts, wait (bounded) for the effective
+    * loadavg to fall under the gate; the wait and the gate verdict are
+    * recorded in the env block so a board that STILL started loaded
+    * carries the evidence on its face. Thresholds overridable:
     * SPARK_GRAFT_BENCH_MAX_LOAD (default 4.0 — ~12% of a 32-core host)
     * and SPARK_GRAFT_BENCH_MAX_WAIT_SEC (default 900).
     * @return (waited seconds, still-over-gate after the bounded wait) */
@@ -77,14 +90,15 @@ object Bench {
     val maxWait = sys.env.get("SPARK_GRAFT_BENCH_MAX_WAIT_SEC")
       .flatMap(_.toIntOption).getOrElse(900)
     var waited = 0
-    while (load1() > gate && waited < maxWait) {
+    while (gateLoad() > gate && waited < maxWait) {
       System.err.println(
-        s"bench load gate: 1-min loadavg ${load1()} > $gate — waiting " +
-          s"($waited/$maxWait s)")
+        f"bench load gate: effective loadavg ${gateLoad()}%.2f " +
+          s"(max of 1-min, 0.7*5-min; raw ${loadAvg()}) > $gate — " +
+          s"waiting ($waited/$maxWait s)")
       Thread.sleep(10000)
       waited += 10
     }
-    (waited, load1() > gate)
+    (waited, gateLoad() > gate)
   }
 
   def main(args: Array[String]): Unit = {

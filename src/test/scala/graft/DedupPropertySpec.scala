@@ -262,9 +262,11 @@ class DedupPropertySpec extends SparkSpec {
     val batch = docs.filter(col("doc_id") % 10 === 3)
     val index = TextDedup.buildMinhashIndex(
       docs.filter(col("doc_id") % 10 =!= 3), "doc_id", "text", shingleN = 3)
-    val got = TextDedup.dedupAgainstIndex(batch, index, "doc_id", "text",
-        shingleN = 3, threshold = 0.7)
+    def run(bcast: Boolean) = TextDedup.dedupAgainstIndex(batch, index,
+        "doc_id", "text", shingleN = 3, threshold = 0.7,
+        broadcastBatch = Some(bcast))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = run(bcast = true)
     // ground truth: exact pairs with exactly one endpoint in the batch,
     // oriented (batch, corpus)
     val want = exactPairs(0.7).collect {
@@ -272,6 +274,9 @@ class DedupPropertySpec extends SparkSpec {
       case (a, b) if !batchIds(a) && batchIds(b) => (b, a)
     }
     assert(got == want && got.nonEmpty)
+    // r16: the broadcastBatch override is plan-only — the planner-shaped
+    // fallback must produce the identical pair set
+    assert(run(bcast = false) == want)
   }
 
   test("multi-probe IVF recall vs brute force is monotone in nprobe") {

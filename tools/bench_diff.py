@@ -7,20 +7,25 @@ the intervening commits — separating "the engine moved" from "the host
 was busy" without hand-joining, the analysis the r14 judge did manually.
 
 Usage:
-  tools/bench_diff.py OLD.json NEW.json [--git-range A..B] [--thresh 0.3]
+  tools/bench_diff.py OLD NEW [--git-range A..B] [--thresh 0.3]
 
-Accepts either the driver's BENCH_r{N}.json wrapper (reads .parsed and
-.tail env fingerprints) or a raw Bench stdout line / bench_detail.json.
+OLD/NEW are each one of:
+  - a driver BENCH_r{N}.json wrapper (reads .parsed — NOTE its queries
+    map is the stdout TAIL, truncated to ~1450 chars / the slowest ~50
+    rows; the tool warns when a wrapper is truncated)
+  - a raw Bench stdout line or bench_detail.json (the COMPLETE
+    per-query map — prefer these: two detail files join all rows)
+  - a git spec `REV:PATH` (e.g. `r15snap:bench_detail.json` or
+    `69dc772:bench_detail.json`) read via `git show` — bench_detail.json
+    is tracked since r16 precisely so each round's full board survives
+    in history for this tool.
 A query is marked code-changed when any file changed in --git-range
-mentions the query name, or is one of the operator/core files the
-query's defining file imports is too deep to trace — so the annotation
-is "its defining file or a file naming it changed", a deliberate
-overapproximation (core/ changes mark EVERY query, which is correct:
-a Tables/Materialize change can move every row).
+mentions the query name (a deliberate overapproximation; core/ changes
+mark EVERY query, which is correct: a Tables/Materialize change can
+move every row).
 """
 import argparse
 import json
-import re
 import subprocess
 import sys
 from pathlib import Path
@@ -28,15 +33,34 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def load(path):
-    with open(path) as f:
-        d = json.load(f)
+def read_artifact(spec):
+    p = Path(spec)
+    if p.exists():
+        return p.read_text()
+    if ":" in spec:
+        out = subprocess.run(["git", "show", spec], cwd=REPO,
+                             capture_output=True, text=True)
+        if out.returncode == 0:
+            return out.stdout
+        raise SystemExit(f"git show {spec!r} failed: {out.stderr.strip()}")
+    raise SystemExit(f"no such file (and not a REV:PATH git spec): {spec!r}")
+
+
+def load(spec):
+    d = json.loads(read_artifact(spec))
     parsed = d.get("parsed", d)
     queries = parsed.get("queries", {})
     env = parsed.get("env", {})
+    n_queries = parsed.get("n_queries")
+    # a driver wrapper's queries map is the truncated stdout tail; a
+    # detail file / raw line carries the complete board
+    truncated = "parsed" in d and n_queries is not None \
+        and len(queries) < n_queries
     return {
         "total": parsed.get("value"),
         "queries": queries,
+        "n_queries": n_queries,
+        "truncated": truncated,
         "load_pre": env.get("load_pre", ""),
         "calib": (env.get("calib_pre_sec"), env.get("calib_post_sec")),
         "floor": env.get("floor_probe_sec"),
@@ -85,17 +109,26 @@ def main():
     for n in names:
         a, b = old["queries"].get(n), new["queries"].get(n)
         if a is None or b is None:
-            # the driver's BENCH_r{N}.json keeps only the stdout tail's
-            # slowest rows — a one-sided row usually just ran under the
-            # other board's tail cutoff, it was not added or removed
+            # a one-sided row in a TRUNCATED wrapper usually just ran
+            # under the other board's tail cutoff; between two detail
+            # files it is a genuinely added/removed query
             onesided.append((n, a, b))
         elif abs(b - a) > args.thresh:
             deltas.append((n, a, b, b - a))
     qfiles = query_to_files([n for n, *_ in deltas]) if changed else {}
 
+    full_join = not old["truncated"] and not new["truncated"]
     print(f"# bench diff: {args.old} -> {args.new}")
-    print(f"totals: {old['total']} -> {new['total']} s  "
-          f"(sum over shared stdout-tail rows; full boards may list more)")
+    scope = ("complete boards" if full_join
+             else "shared stdout-tail rows; full boards may list more — "
+                  "pass bench_detail.json artifacts for a complete join")
+    print(f"totals: {old['total']} -> {new['total']} s  ({scope})")
+    for side, art in (("old", old), ("new", new)):
+        if art["truncated"]:
+            print(f"WARNING: {side} artifact is a truncated stdout tail "
+                  f"({len(art['queries'])}/{art['n_queries']} rows) — "
+                  f"use its bench_detail.json (tracked in git since r16: "
+                  f"`REV:bench_detail.json`) for the full board")
     print(f"env: load_pre {old['load_pre']!r} -> {new['load_pre']!r}, "
           f"calib {old['calib']} -> {new['calib']}, "
           f"floor {old['floor']} -> {new['floor']}")
@@ -116,9 +149,11 @@ def main():
     if not deltas:
         print(f"| (no per-query delta over {args.thresh}s) | | | | |")
     if onesided:
+        kind = ("ADDED/REMOVED queries" if full_join
+                else "rows in only one stdout tail "
+                     "(the other board ran them under its tail cutoff)")
         worst = sorted(onesided, key=lambda x: -(x[1] or x[2] or 0))[:6]
-        print(f"\n{len(onesided)} rows appear in only one stdout tail "
-              f"(the other board ran them under its tail cutoff) — worst: "
+        print(f"\n{len(onesided)} {kind} — worst: "
               + ", ".join(f"{n}={a or b}s({'old' if a else 'new'})"
                           for n, a, b in worst))
 
