@@ -18,6 +18,23 @@ import org.apache.spark.sql.graft.GraftSql
   */
 object TextDedup {
 
+  /** Widen a pathologically NARROW input before per-row-expensive
+    * stages (r16): parquet splits only at row-group boundaries, so a
+    * small single-row-group table scans as ONE task no matter the core
+    * count — and a pipeline that shingles + explodes + map-aggregates
+    * on top of that scan runs single-core to its first exchange
+    * (measured: 4.5 of the sf0.1 prefix row's 7 s was the 1-task
+    * shingle/explode stage). When the input's plan parallelism is under
+    * half the cluster's, repartition the (skinny, pre-shingle) rows;
+    * corpora with real splits — any production table, the twin
+    * boards — pass through untouched, so at 100 TB this is a no-op
+    * (the check costs one RDD translation, no job). */
+  private def widened(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target)
+  }
+
   /** Per-session locks serializing [[ngramJaccardPairs]]' sharded loops —
     * see the conf-toggle comment there. Weak keys: a stopped session's
     * lock entry must not pin the session object. */
@@ -882,9 +899,11 @@ object TextDedup {
     // collapse-soundness gate — see minhashLshPairs
     require(threshold <= 1.0, s"threshold must be <= 1.0 (got $threshold)")
     // char shingles are empty iff numChars < n — same domain gate as the
-    // blocked path, applied BEFORE the collapse (signature-determined)
-    val base0 = docs.filter(length(col(textCol)) >= n)
-      .select(col(idCol), col(textCol))
+    // blocked path, applied BEFORE the collapse (signature-determined).
+    // widened: the shingle/explode/df pipeline must not inherit a
+    // 1-task fixture scan (see [[widened]])
+    val base0 = widened(docs.filter(length(col(textCol)) >= n)
+      .select(col(idCol), col(textCol)))
     val (base, expand) = collapseExactDups(base0, idCol, md5(col(textCol)))
     // hashed shingles throughout (r15, matching ngramJaccardPairs): the
     // global total order PPJoin needs is ANY consistent one — ascending
@@ -902,8 +921,17 @@ object TextDedup {
     }
     // distinct IS load-bearing here, unlike the blocked path: a pair can
     // share several prefix shingles. It runs on skinny (a, b) rows only
-    // — the arrays join in AFTER, via the broadcast probes.
-    val cand = prefixCandidatesFrom(sh, idCol, threshold).distinct()
+    // — the arrays join in AFTER, via the broadcast probes. The USER
+    // repartition in front of it is the blocked path's salt lesson in
+    // its simplest form: distinct's own planner exchange hashes the
+    // skinny pairs and AQE's byte-based coalesce then pins the verify
+    // stage (broadcast probes + Jaccard kernel — the CPU-heavy part) to
+    // ~one task (1.3M pairs ≈ 20 MB < the advisory size; measured ~5 s
+    // single-core at sf0.1). A user-origin repartition on the same keys
+    // is never coalesced, and the distinct's aggregate reuses its
+    // partitioning — still exactly ONE exchange, now at full width.
+    val cand = prefixCandidatesFrom(sh, idCol, threshold)
+      .repartition(col("a"), col("b")).distinct()
     expand(verifyJaccard(cand, sh, idCol, threshold, jaccardSorted,
       broadcastShingles = bcast))
   }
@@ -916,14 +944,37 @@ object TextDedup {
   def ngramPrefixCandidates(docs: DataFrame, idCol: String, textCol: String,
                             n: Int = 4, threshold: Double = 0.6): DataFrame =
     prefixCandidatesFrom(
-      docs.select(col(idCol), charShingleHashes(col(textCol), n).as("__sh"))
+      widened(docs.select(col(idCol), col(textCol)))
+        .select(col(idCol), charShingleHashes(col(textCol), n).as("__sh"))
         .filter(size(col("__sh")) > 0),
       idCol, threshold)
 
   /** The PPJoin candidate stage shared by [[ngramJaccardPairsPrefix]]
     * (post-collapse reps) and [[ngramPrefixCandidates]] (raw corpus —
     * the routing measurement surface). `sh` is (idCol, __sh) with __sh
-    * a non-empty hashed-shingle array. */
+    * a non-empty hashed-shingle array.
+    *
+    * Two candidate-side prunes beyond the prefix itself, both from the
+    * PPJoin literature (Xiao/Wang/Lin/Yu, WWW'08 — public algorithm):
+    *   - size filter: J ≥ t forces min/max size ratio ≥ t;
+    *   - POSITIONAL filter (r16): J ≥ t ⟺ overlap o ≥ α =
+    *     t/(1+t)·(|A|+|B|), and for the pair's FIRST common token (the
+    *     one with the minimal rank in the shared global order — minimal
+    *     position in BOTH sorted arrays) every common token ranks at or
+    *     after it, so o ≤ 1 + min(|A|−pA, |B|−pB). Emissions whose
+    *     positional upper bound cannot reach α are pruned; the
+    *     first-common-token emission of every qualifying pair always
+    *     survives (its bound is ≥ o ≥ α, and PPJoin's prefix lemma puts
+    *     that token inside both prefixes), so the distinct'd candidate
+    *     set keeps full recall — property-proven against brute force.
+    *     The α compare subtracts 1e-9 instead of taking ceil: float
+    *     error under ceil would round α UP a full unit and could prune
+    *     an exactly-at-threshold pair; the epsilon slack only ever
+    *     ADMITS a borderline emission (the exact Jaccard verify decides
+    *     anyway). Measured effect (token-poor sf0.1 corpus, t=0.85,
+    *     where every bucket is mid-df): raw emissions 7.1M → the
+    *     mid-prefix tail pruned ~4×, the regime the routing rule
+    *     routes AWAY from but the oracle row must still run in. */
   private def prefixCandidatesFrom(sh: DataFrame, idCol: String,
                                    threshold: Double): DataFrame = {
     val tok = sh.select(col(idCol), size(col("__sh")).as("__n"),
@@ -931,17 +982,27 @@ object TextDedup {
     val dfreq = tok.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__df"), col("__s"))
+    // materialized: the self-join's two sides otherwise replan the
+    // whole tok + df + window pipeline (alias-divergent subtrees defeat
+    // ReuseExchange — the simhashPairs/base lesson); one narrow row per
+    // prefix entry
     val prefix = tok.join(dfreq, "__s")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
-      .select(col(idCol), col("__n"), col("__s"))
+      .select(col(idCol), col("__n"), col("__rn"), col("__s"))
+      .materialized()
     val x = prefix.alias("__pf_x"); val y = prefix.alias("__pf_y")
     x.join(y,
         col("__pf_x.__s") === col("__pf_y.__s") &&
         col(s"__pf_x.$idCol") < col(s"__pf_y.$idCol") &&
         // J ≥ t forces a size ratio ≥ t — prune before the exact check
         least(col("__pf_x.__n"), col("__pf_y.__n")) >=
-          lit(threshold) * greatest(col("__pf_x.__n"), col("__pf_y.__n")))
+          lit(threshold) * greatest(col("__pf_x.__n"), col("__pf_y.__n")) &&
+        // positional filter — see scaladoc
+        (lit(1) + least(col("__pf_x.__n") - col("__pf_x.__rn"),
+                        col("__pf_y.__n") - col("__pf_y.__rn"))) >=
+          lit(threshold / (1 + threshold)) *
+            (col("__pf_x.__n") + col("__pf_y.__n")) - lit(1e-9))
       .select(col(s"__pf_x.$idCol").as("a"), col(s"__pf_y.$idCol").as("b"))
   }
 
