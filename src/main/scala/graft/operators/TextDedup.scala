@@ -87,7 +87,12 @@ object TextDedup {
 
   /** Candidate pairs (idA < idB) of docs sharing at least one bucket.
     * `buckets` is (id, bucketKey…) with one row per (doc, bucket).
-    * One shuffle on the bucket key; within-bucket self-join. */
+    * One shuffle on the bucket key; within-bucket self-join. The
+    * user-origin repartition in front of the distinct keeps AQE's
+    * byte-based coalesce from pinning the downstream verify (broadcast
+    * probes + Jaccard kernel) to ~one task on skinny pair rows — the
+    * same move as the prefix path's; the distinct's aggregate reuses
+    * the partitioning, so it is still exactly one exchange (r16). */
   private def pairsFromBuckets(buckets: DataFrame, idCol: String,
                                bucketCols: Seq[String]): DataFrame = {
     val x = buckets.alias("__lsh_x")
@@ -96,6 +101,7 @@ object TextDedup {
       .reduce(_ && _)
     x.join(y, keyEq && col(s"__lsh_x.$idCol") < col(s"__lsh_y.$idCol"))
       .select(col(s"__lsh_x.$idCol").as("a"), col(s"__lsh_y.$idCol").as("b"))
+      .repartition(col("a"), col("b"))
       .distinct()
   }
 
@@ -237,9 +243,10 @@ object TextDedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, threshold: Double = 0.7,
-                      k: Int = 128, bands: Int = 32): DataFrame = {
+                      k: Int = 128, bands: Int = 32,
+                      broadcastVerify: Option[Boolean] = None): DataFrame = {
     val c = minhashLshPairsCollapsed(docs, idCol, textCol, shingleN,
-      threshold, k, bands)
+      threshold, k, bands, broadcastVerify)
     c.expand(c.repPairs)
   }
 
@@ -259,9 +266,20 @@ object TextDedup {
     *         dupMembers (rep, member) per [[collapseExactDupsFull]];
     *         expand maps rep pairs to the full member pair list — the
     *         identity `expand(repPairs) == minhashLshPairs(...)`. */
+  /** `broadcastVerify` (r16 — the ngram verify-budget discipline applied
+    * family-wide): Some(true) makes the exact-Jaccard verify two explicit
+    * broadcast hash probes — no exchange ever carries a shingle array per
+    * candidate — whenever the caller knows the hashed word-shingle side
+    * fits [[ngramBroadcastBudgetBytes]] (the catalog derives it from one
+    * memoized bounded aggregate). None keeps the planner's threshold
+    * behavior (fine under ~50 MB of arrays, where AQE broadcast-converts
+    * anyway; past it the plan falls to SMJ with two arrays per candidate —
+    * the exact r15 ngram ×100 cliff, measured on the d_simhash ×100 twin
+    * as the board's slowest row). */
   def minhashLshPairsCollapsed(docs: DataFrame, idCol: String, textCol: String,
                                shingleN: Int = 3, threshold: Double = 0.7,
-                               k: Int = 128, bands: Int = 32): CollapsedPairs = {
+                               k: Int = 128, bands: Int = 32,
+                               broadcastVerify: Option[Boolean] = None): CollapsedPairs = {
     require(k % bands == 0, "k must divide into bands evenly")
     // the exact-dup collapse emits intra-group pairs at their literal
     // self-jaccard 1.0 unconditionally — sound for any threshold the
@@ -293,7 +311,8 @@ object TextDedup {
     // far fewer join-shuffle bytes than the string arrays
     val shHashed = base.select(col(idCol), col("__shh").as("__sh"))
     CollapsedPairs(
-      verifyJaccard(cand, shHashed, idCol, threshold, jaccardSorted),
+      verifyJaccard(cand, shHashed, idCol, threshold, jaccardSorted,
+        broadcastShingles = broadcastVerify.getOrElse(false)),
       c.dupMembers, c.expand)
   }
 
@@ -481,7 +500,8 @@ object TextDedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, maxHamming: Int = 15,
                    threshold: Double = 0.5, numBands: Int = 16,
-                   minShingles: Int = 32): DataFrame = {
+                   minShingles: Int = 32,
+                   broadcastVerify: Option[Boolean] = None): DataFrame = {
     require(64 % numBands == 0, "numBands must divide 64")
     require(maxHamming < numBands, s"banded recall only guaranteed to Hamming ${numBands - 1}")
     require(threshold >= 0.5, "length-block recall requires threshold >= 0.5")
@@ -540,9 +560,12 @@ object TextDedup {
         col(s"__sim_x.$idCol") < col(s"__sim_y.$idCol"))
       .filter(bit_count(col("__sim_x.__sim").bitwiseXOR(col("__sim_y.__sim"))) <= maxHamming)
       .select(col(s"__sim_x.$idCol").as("a"), col(s"__sim_y.$idCol").as("b"))
+      // user repartition before the distinct — see pairsFromBuckets
+      .repartition(col("a"), col("b"))
       .distinct()
     val shHashed = base.select(col(idCol), col("__shh").as("__sh"))
-    expand(verifyJaccard(cand, shHashed, idCol, threshold, jaccardSorted))
+    expand(verifyJaccard(cand, shHashed, idCol, threshold, jaccardSorted,
+      broadcastShingles = broadcastVerify.getOrElse(false)))
   }
 
   /** Blocked exact n-gram Jaccard dedup: docs are bucketed by

@@ -35,6 +35,29 @@ object DedupQueries {
         "text", col("n_chars"), n = 4, blockWidth = 20))
   }
 
+  /** Estimated hashed word-shingle verify-side bytes per fixture dir,
+    * memoized like [[ngramEstStats]] (keyed on (canonical dir, source
+    * mtime); one bounded linear aggregate per testdata generation) —
+    * drives the broadcast-verify decision for the MinHash-LSH and
+    * SimHash rows (r16: the ngram verify-budget discipline applied
+    * family-wide). 8 bytes per word 3-gram ≈ 8·(words−2); pre-collapse,
+    * so it only overestimates. */
+  private val wordBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+  private def lshBcast(s: org.apache.spark.sql.SparkSession,
+                       dir: String): Option[Boolean] = {
+    val src = new java.io.File(dir, "documents.parquet")
+    val bytes = wordBytesCache.computeIfAbsent(
+      (src.getCanonicalPath, src.lastModified()),
+      _ => {
+        val row = Tables.documents(s, dir)
+          .agg(sum(greatest(size(split(col("text"), " ")) - 2, lit(0))
+            .cast("long"))).head()
+        (if (row.isNullAt(0)) 0L else row.getLong(0)) * 8L
+      })
+    Some(bytes <= TextDedup.ngramBroadcastBudgetBytes)
+  }
+
   /** (shards, streamParallelism) for d_ngram_jaccard. Shards: when the
     * shingle side fits the broadcast budget the verify stages NOTHING
     * (candidates stream through broadcast probes —
@@ -99,7 +122,8 @@ object DedupQueries {
     // 128 minhashes → 32 bands × 4 rows → bucket join → Jaccard ≥ 0.7).
     "d_minhash_lsh" -> { (s, dir) =>
       TextDedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-          shingleN = 3, threshold = 0.7, k = 128, bands = 32)
+          shingleN = 3, threshold = 0.7, k = 128, bands = 32,
+          broadcastVerify = lshBcast(s, dir))
         .orderBy("a", "b")
     },
 
@@ -113,7 +137,8 @@ object DedupQueries {
     // operator with no concentration requirement.
     "d_simhash" -> { (s, dir) =>
       TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
-          shingleN = 3, maxHamming = 15, threshold = 0.5)
+          shingleN = 3, maxHamming = 15, threshold = 0.5,
+          broadcastVerify = lshBcast(s, dir))
         .orderBy("a", "b")
     },
 
@@ -169,7 +194,8 @@ object DedupQueries {
     // was the r11 ×100 board's components-family cost (16-29 s/row).
     "d_dedup_clusters" -> { (s, dir) =>
       val c = TextDedup.minhashLshPairsCollapsed(Tables.documents(s, dir),
-        "doc_id", "text", shingleN = 3, threshold = 0.7)
+        "doc_id", "text", shingleN = 3, threshold = 0.7,
+        broadcastVerify = lshBcast(s, dir))
       graft.operators.Components
         .connectedComponentsCollapsed(c.repPairs.select("a", "b"), c.dupMembers)
         .orderBy("node")
@@ -184,7 +210,7 @@ object DedupQueries {
     "d_canonical_docs" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val c = TextDedup.minhashLshPairsCollapsed(docs, "doc_id", "text",
-        shingleN = 3, threshold = 0.7)
+        shingleN = 3, threshold = 0.7, broadcastVerify = lshBcast(s, dir))
       val comp = graft.operators.Components
         .connectedComponentsCollapsed(c.repPairs.select("a", "b"), c.dupMembers)
         .withColumnRenamed("node", "doc_id")
@@ -212,7 +238,8 @@ object DedupQueries {
     // in the rep graph and output-identical.
     "d_triangles" -> { (s, dir) =>
       val c = TextDedup.minhashLshPairsCollapsed(Tables.documents(s, dir),
-        "doc_id", "text", shingleN = 3, threshold = 0.7)
+        "doc_id", "text", shingleN = 3, threshold = 0.7,
+        broadcastVerify = lshBcast(s, dir))
       graft.operators.Components
         .weightedTriangleCounts(c.repPairs.select("a", "b"), c.dupMembers)
         .withColumnRenamed("node", "doc_id")
@@ -230,7 +257,7 @@ object DedupQueries {
     "d_leakage_safe_split" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val c = TextDedup.minhashLshPairsCollapsed(docs, "doc_id", "text",
-        shingleN = 3, threshold = 0.7)
+        shingleN = 3, threshold = 0.7, broadcastVerify = lshBcast(s, dir))
       val comp = graft.operators.Components
         .connectedComponentsCollapsed(c.repPairs.select("a", "b"), c.dupMembers)
         .withColumnRenamed("node", "doc_id")
