@@ -52,6 +52,14 @@ class DedupPropertySpec extends SparkSpec {
         shingleN = 3, threshold = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == exactPairs(0.7) && got.nonEmpty)
+    // r16: the broadcastVerify override (family-wide verify-budget
+    // discipline) is plan-only — both values produce the same pair set
+    Seq(true, false).foreach { b =>
+      val o = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleN = 3, threshold = 0.7, broadcastVerify = Some(b))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(o == got, s"broadcastVerify=Some($b) changed the pair set")
+    }
   }
 
   test("simhashPairs == { pairs with Hamming <= maxHamming AND Jaccard >= t }") {
