@@ -21,14 +21,22 @@ object TextDedup {
   /** Widen a pathologically NARROW input before per-row-expensive
     * stages (r16): parquet splits only at row-group boundaries, so a
     * small single-row-group table scans as ONE task no matter the core
-    * count — and a pipeline that shingles + explodes + map-aggregates
-    * on top of that scan runs single-core to its first exchange
-    * (measured: 4.5 of the sf0.1 prefix row's 7 s was the 1-task
-    * shingle/explode stage). When the input's plan parallelism is under
-    * half the cluster's, repartition the (skinny, pre-shingle) rows;
-    * corpora with real splits — any production table, the twin
-    * boards — pass through untouched, so at 100 TB this is a no-op
-    * (the check costs one RDD translation, no job). */
+    * count — and a pipeline that computes heavy per-row signatures on
+    * top of that scan runs single-core to its first exchange. When the
+    * input's plan parallelism is under half the cluster's, repartition
+    * the (skinny, pre-shingle) rows; corpora with real splits — any
+    * production table, the twin boards — pass through untouched, so at
+    * 100 TB this is a no-op (the check costs one RDD translation, no
+    * job).
+    *
+    * APPLY SPARINGLY — measured per-operator A/B at sf0.1 (BenchOne
+    * mins): after the r16 linear-kernel rewrite the char-shingle paths
+    * are cheap enough that the repartition's exchange + the .rdd plan
+    * translation COST more than the spread saves (blocked ngram 1.20 →
+    * 1.51 s widened; minhash 1.22 → 2.39; prefix hi neutral at ~3.3),
+    * so only [[simhashPairs]] uses it — its materialized base
+    * (word-shingle set + 64-bit signature + hashed shingles per doc,
+    * allocation-heavy) measured 3.2 s single-task vs 1.45 s widened. */
   private def widened(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 >= target) df
@@ -516,7 +524,11 @@ object TextDedup {
     // recall does not depend on signature concentration.
     val width = 64 / numBands
     val mask = (1L << width) - 1
-    val sh0 = docs.select(col(idCol), col(textCol),
+    // widened — the one measured win (see [[widened]]): the rep-level
+    // signature materialization below is this family's heaviest
+    // per-row compute and otherwise inherits a 1-task fixture scan
+    val sh0 = widened(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), col(textCol),
         wordShingles(col(textCol), shingleN).as("__sh"))
       .filter(size(col("__sh")) >= minShingles)
     // simhash, band keys, the log2-size block AND the verify jaccard are
@@ -922,11 +934,9 @@ object TextDedup {
     // collapse-soundness gate — see minhashLshPairs
     require(threshold <= 1.0, s"threshold must be <= 1.0 (got $threshold)")
     // char shingles are empty iff numChars < n — same domain gate as the
-    // blocked path, applied BEFORE the collapse (signature-determined).
-    // widened: the shingle/explode/df pipeline must not inherit a
-    // 1-task fixture scan (see [[widened]])
-    val base0 = widened(docs.filter(length(col(textCol)) >= n)
-      .select(col(idCol), col(textCol)))
+    // blocked path, applied BEFORE the collapse (signature-determined)
+    val base0 = docs.filter(length(col(textCol)) >= n)
+      .select(col(idCol), col(textCol))
     val (base, expand) = collapseExactDups(base0, idCol, md5(col(textCol)))
     // hashed shingles throughout (r15, matching ngramJaccardPairs): the
     // global total order PPJoin needs is ANY consistent one — ascending
@@ -967,8 +977,7 @@ object TextDedup {
   def ngramPrefixCandidates(docs: DataFrame, idCol: String, textCol: String,
                             n: Int = 4, threshold: Double = 0.6): DataFrame =
     prefixCandidatesFrom(
-      widened(docs.select(col(idCol), col(textCol)))
-        .select(col(idCol), charShingleHashes(col(textCol), n).as("__sh"))
+      docs.select(col(idCol), charShingleHashes(col(textCol), n).as("__sh"))
         .filter(size(col("__sh")) > 0),
       idCol, threshold)
 
