@@ -33,6 +33,43 @@ object JaccardFusionRule extends Rule[LogicalPlan] {
   }
 }
 
+/** Optimizer rule: replace the exception tax in TRY-mode string casts
+  * (r16). Spark evaluates `try_cast` by running the ANSI cast and
+  * catching — on FAILING input each row constructs a formatted
+  * SparkNumberFormatException (~7 µs/row, measured as 1.0 s of the
+  * 150k-row p11 bench row; on 100 TB of dirty data — exactly where
+  * try_cast is the right tool — the exception path dominates the
+  * parse). Two value-preserving rewrites on string sources:
+  *
+  *   - target double/float/decimal/boolean → the same Cast in LEGACY
+  *     eval mode: TRY and LEGACY are value-identical for these pairs
+  *     (adversarial input battery, PlanAuditSpec "try_cast rewrites");
+  *     NOT applied to integral targets, where LEGACY is deliberately
+  *     looser ('5.7' → 5 truncation vs TRY's null — same battery).
+  *   - target byte/short/int/long → [[graft.functions.TryParseIntegral]],
+  *     which calls the SAME non-throwing wrapper parser the ANSI cast
+  *     wraps and returns null directly — identical accept set by
+  *     construction, no exception ever constructed.
+  *
+  * Everything else (non-string sources, other targets, ANSI/LEGACY
+  * casts) passes through untouched. */
+object TryCastNoThrowRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.EvalMode
+  import org.apache.spark.sql.types.{BooleanType, ByteType, DecimalType,
+    FloatType, LongType, ShortType}
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case c @ Cast(child, dt, tz, mode)
+        if mode == EvalMode.TRY && child.dataType == StringType =>
+      dt match {
+        case DoubleType | FloatType | BooleanType | _: DecimalType =>
+          Cast(child, dt, tz, EvalMode.LEGACY)
+        case ByteType | ShortType | IntegerType | LongType =>
+          graft.functions.TryParseIntegral(child, dt)
+        case _ => c
+      }
+  }
+}
+
 /** SparkSessionExtensions entry point — makes graft's native expressions
   * callable from SQL strings on sessions built with
   * `spark.sql.extensions=graft.plans.GraftExtensions` (GraftSession sets
@@ -49,6 +86,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => JaccardFusionRule)
+    ext.injectOptimizerRule(_ => TryCastNoThrowRule)
 
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_bands"),

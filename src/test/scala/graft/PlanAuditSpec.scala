@@ -356,4 +356,58 @@ class PlanAuditSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("try_cast rewrites: value-identical over the adversarial battery; rule fires") {
+    // r16 TryCastNoThrowRule contract. Truth = the UNREWRITTEN TRY-mode
+    // Cast evaluated at the expression level (the optimizer never sees
+    // it); got = the same cast through the session SQL path, which runs
+    // the rule + whole-stage codegen. Identical for every (input, type).
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    import spark.implicits._
+    val inputs = Seq(
+      "5", " 5 ", "\t5\n", "+7", "-3", "5.7", "-5.9", ".5", "5.", "0",
+      "2147483647", "2147483648", "-2147483648", "-2147483649",
+      "9223372036854775807", "9223372036854775808",
+      "32767", "32768", "127", "128", "-129",
+      "1e3", "1E-2", "0x10", "abc", "", " ", "NaN", "Infinity",
+      "-Infinity", "nan", "5d", "\u00bd", "12345678901234567890123456789",
+      "3.4028236e38", "1.8e308", "true", "false", "t", "yes", null)
+    val types: Seq[(String, DataType)] = Seq(
+      "tinyint" -> ByteType, "smallint" -> ShortType, "int" -> IntegerType,
+      "bigint" -> LongType, "float" -> FloatType, "double" -> DoubleType,
+      "decimal(10,2)" -> DecimalType(10, 2), "boolean" -> BooleanType)
+    val df = inputs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "s")
+    def sameValue(a: Any, b: Any): Boolean = (a, b) match {
+      case (null, null) => true
+      case (x: Double, y: Double) => (x.isNaN && y.isNaN) || x == y
+      case (x: Float, y: Float) => (x.isNaN && y.isNaN) || x == y
+      case (x, y) => x == y
+    }
+    types.foreach { case (sqlType, dt) =>
+      val got = df.selectExpr("i", s"try_cast(s AS $sqlType) AS v")
+        .collect().map(r => r.get(0).asInstanceOf[Int] -> r.get(1)).toMap
+      inputs.zipWithIndex.foreach { case (in, i) =>
+        val lit = Literal(if (in == null) null else UTF8String.fromString(in),
+          StringType)
+        val want = Cast(lit, dt, Some("UTC"), EvalMode.TRY).eval(null)
+        val wantExt = want match {
+          case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+          case other => other
+        }
+        assert(sameValue(got(i), wantExt),
+          s"try_cast($in AS $sqlType): rule path ${got(i)} != TRY truth $wantExt")
+      }
+    }
+    // and the rule actually FIRES: integral targets plan the native
+    // parse, double/decimal lose the TRY mode
+    val p = spark.range(1).selectExpr("concat('x', id) AS s")
+      .selectExpr("try_cast(s AS int)", "try_cast(s AS double)")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_try_parse_integral"),
+      "integral try_cast should rewrite to the native no-throw parse")
+    assert(!p.toLowerCase.contains("try_cast"),
+      "no TRY-mode cast should survive the rewrite for these targets")
+  }
 }
