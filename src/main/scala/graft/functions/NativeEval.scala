@@ -15,6 +15,25 @@ object NativeEval {
 
   private val space = UTF8String.fromString(" ")
 
+  /** '.'-byte scan for [[graft.functions.TryParseIntegral]]: the public
+    * lenient wrapper parsers accept decimal-formatted strings ('5.7' →
+    * 5) where strict TRY-cast parsing rejects, and the fractional
+    * branch is their only divergence — a strict-accepted string can
+    * never contain '.', so lenient-success ∧ no-dot ≡ strict-success.
+    * Safe byte-wise: '.' (0x2E) can't appear inside a multi-byte UTF-8
+    * sequence (continuation bytes are ≥ 0x80). */
+  def containsDot(s: UTF8String): Boolean = {
+    val nb = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var i = 0
+    while (i < nb) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == '.') return true
+      i += 1
+    }
+    false
+  }
+
   def wordShingles(text: UTF8String, n: Int): ArrayData = {
     val words = text.split(space, -1)
     if (words.length < n) return new GenericArrayData(Array.empty[Any])

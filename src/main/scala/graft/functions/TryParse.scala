@@ -18,14 +18,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * data at scale — exactly where try_cast is the right tool — the
   * exception tax dominates.
   *
-  * This expression calls the SAME wrapper parsers the ANSI cast wraps
-  * (`UTF8String.toInt/toLong/toShort/toByte(wrapper)`) and returns
-  * null on parse failure directly — semantics identical to TRY-mode
-  * Cast BY CONSTRUCTION (same parser, same accept set, no throw), and
-  * re-proven value-for-value over an adversarial input battery in
-  * PlanAuditSpec. Null input → null like any UnaryExpression.
-  * [[graft.plans.TryCastNoThrowRule]] rewrites eligible TRY casts to
-  * this form; it is not SQL-registered on its own. */
+  * This expression uses the non-throwing PUBLIC wrapper parsers
+  * (`UTF8String.toInt/toLong/toShort/toByte(wrapper)`) — which are the
+  * LENIENT (allowDecimal=true) family: they accept decimal-formatted
+  * strings and truncate ('5.7' → 5), where the strict parser the ANSI
+  * cast wraps (`toIntExact` → private `toInt(w, false)`) rejects. The
+  * fractional branch is the ONLY divergence between the two (same
+  * trimming, sign, digit, and range handling — Spark source and
+  * bytecode-verified), and a strict-accepted string can never contain
+  * '.', so exact TRY semantics are: lenient parse succeeds AND the
+  * input contains no '.' byte. Both conditions are exception-free.
+  * Re-proven value-for-value over an adversarial input battery ON A
+  * NON-FOLDABLE SOURCE in PlanAuditSpec (the first version of that
+  * battery ran on a LocalRelation, which ConstantFolding collapsed
+  * with the ORIGINAL TRY cast before injected rules run — it passed
+  * while this expression's first version silently truncated '5.7';
+  * caught in review, hence the scan-backed battery). Null input →
+  * null like any UnaryExpression. [[graft.plans.TryCastNoThrowRule]]
+  * rewrites eligible TRY casts to this form; it is not SQL-registered
+  * on its own. */
 case class TryParseIntegral(child: Expression, override val dataType: DataType)
     extends UnaryExpression with ExpectsInputTypes {
   require(TryParseIntegral.supported(dataType),
@@ -40,16 +51,16 @@ case class TryParseIntegral(child: Expression, override val dataType: DataType)
     dataType match {
       case IntegerType =>
         val w = new UTF8String.IntWrapper
-        if (s.toInt(w)) w.value else null
+        if (s.toInt(w) && !NativeEval.containsDot(s)) w.value else null
       case LongType =>
         val w = new UTF8String.LongWrapper
-        if (s.toLong(w)) w.value else null
+        if (s.toLong(w) && !NativeEval.containsDot(s)) w.value else null
       case ShortType =>
         val w = new UTF8String.IntWrapper
-        if (s.toShort(w)) w.value.toShort else null
+        if (s.toShort(w) && !NativeEval.containsDot(s)) w.value.toShort else null
       case ByteType =>
         val w = new UTF8String.IntWrapper
-        if (s.toByte(w)) w.value.toByte else null
+        if (s.toByte(w) && !NativeEval.containsDot(s)) w.value.toByte else null
     }
   }
 
@@ -74,7 +85,8 @@ case class TryParseIntegral(child: Expression, override val dataType: DataType)
       boolean ${ev.isNull} = true;
       $javaType ${ev.value} = ${org.apache.spark.sql.catalyst.expressions.codegen
         .CodeGenerator.defaultValue(dataType)};
-      if (!${childGen.isNull} && ${childGen.value}.$parse($wrapper)) {
+      if (!${childGen.isNull} && ${childGen.value}.$parse($wrapper) &&
+          !graft.functions.NativeEval.containsDot(${childGen.value})) {
         ${ev.isNull} = false;
         ${ev.value} = $castTo$wrapper.value;
       }""")

@@ -452,11 +452,18 @@ object TextDedup {
       .materialized()
     // batch-side broadcast decision: callers holding an estimate pass
     // it; otherwise one bounded aggregate over the (materialized) batch
-    // index — ~8 bytes per stored shingle hash
+    // index. The estimate covers BOTH broadcast relations the hint
+    // reaches: the shingle arrays (~8 bytes per stored hash) and the
+    // posexploded band rows (`bands` rows per doc REGARDLESS of doc
+    // length — on a short-doc batch the band side dominates, ~48 bytes
+    // per hash-relation row; the r16 review caught the original
+    // arrays-only estimate under-counting a short-doc batch ~20×).
     val bcast = broadcastBatch.getOrElse {
-      val row = bIdx.agg(sum(size(col("__shb"))).cast("long")).head()
-      val estBytes = (if (row.isNullAt(0)) 0L else row.getLong(0)) * 8L
-      estBytes <= ngramBroadcastBudgetBytes
+      val row = bIdx.agg(sum(size(col("__shb"))).cast("long"),
+        count(lit(1))).head()
+      val shingleBytes = (if (row.isNullAt(0)) 0L else row.getLong(0)) * 8L
+      val bandBytes = row.getLong(1) * bands * 48L
+      shingleBytes + bandBytes <= ngramBroadcastBudgetBytes
     }
     val hint: DataFrame => DataFrame = if (bcast) broadcast(_) else identity
     val bBands = bIdx.select(col("b"), posexplode(col("__bbands")))

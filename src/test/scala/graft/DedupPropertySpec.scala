@@ -270,11 +270,11 @@ class DedupPropertySpec extends SparkSpec {
     val batch = docs.filter(col("doc_id") % 10 === 3)
     val index = TextDedup.buildMinhashIndex(
       docs.filter(col("doc_id") % 10 =!= 3), "doc_id", "text", shingleN = 3)
-    def run(bcast: Boolean) = TextDedup.dedupAgainstIndex(batch, index,
+    def run(bcast: Option[Boolean]) = TextDedup.dedupAgainstIndex(batch, index,
         "doc_id", "text", shingleN = 3, threshold = 0.7,
-        broadcastBatch = Some(bcast))
+        broadcastBatch = bcast)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val got = run(bcast = true)
+    val got = run(Some(true))
     // ground truth: exact pairs with exactly one endpoint in the batch,
     // oriented (batch, corpus)
     val want = exactPairs(0.7).collect {
@@ -283,8 +283,11 @@ class DedupPropertySpec extends SparkSpec {
     }
     assert(got == want && got.nonEmpty)
     // r16: the broadcastBatch override is plan-only — the planner-shaped
-    // fallback must produce the identical pair set
-    assert(run(bcast = false) == want)
+    // fallback AND the default estimate path (None: a construction-time
+    // bounded aggregate derives the decision) must produce the identical
+    // pair set
+    assert(run(Some(false)) == want)
+    assert(run(None) == want)
   }
 
   test("multi-probe IVF recall vs brute force is monotone in nprobe") {

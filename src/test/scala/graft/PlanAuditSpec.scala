@@ -362,12 +362,19 @@ class PlanAuditSpec extends SparkSpec {
     // Cast evaluated at the expression level (the optimizer never sees
     // it); got = the same cast through the session SQL path, which runs
     // the rule + whole-stage codegen. Identical for every (input, type).
+    // The input MUST come through a real scan: a Seq-built LocalRelation
+    // is constant-folded WITH the original TRY cast before injected
+    // optimizer rules run, making the battery vacuous \u2014 the first
+    // version of this test passed that way while the rewrite silently
+    // truncated '5.7' (lenient-parser bug, caught in review). Hence the
+    // parquet round trip.
     import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
     import org.apache.spark.sql.types._
     import org.apache.spark.unsafe.types.UTF8String
     import spark.implicits._
     val inputs = Seq(
       "5", " 5 ", "\t5\n", "+7", "-3", "5.7", "-5.9", ".5", "5.", "0",
+      "5..7", "5.7.8", ".", "-.", " 5.7 ", "5.0", "0.0", "5.999",
       "2147483647", "2147483648", "-2147483648", "-2147483649",
       "9223372036854775807", "9223372036854775808",
       "32767", "32768", "127", "128", "-129",
@@ -378,7 +385,17 @@ class PlanAuditSpec extends SparkSpec {
       "tinyint" -> ByteType, "smallint" -> ShortType, "int" -> IntegerType,
       "bigint" -> LongType, "float" -> FloatType, "double" -> DoubleType,
       "decimal(10,2)" -> DecimalType(10, 2), "boolean" -> BooleanType)
-    val df = inputs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "s")
+    val tmp = java.nio.file.Files.createTempDirectory("trycast_battery")
+    val path = tmp.resolve("in.parquet").toString
+    inputs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "s")
+      .write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+    // guard against the vacuity mode itself: the battery plan must keep
+    // a scan (not fold to a LocalRelation) and must show the rewrite
+    val batteryPlan = df.selectExpr("try_cast(s AS int) AS v")
+      .queryExecution.executedPlan.toString
+    assert(batteryPlan.contains("graft_try_parse_integral"),
+      "battery source folded away \u2014 the rule path is not being exercised")
     def sameValue(a: Any, b: Any): Boolean = (a, b) match {
       case (null, null) => true
       case (x: Double, y: Double) => (x.isNaN && y.isNaN) || x == y

@@ -52,10 +52,10 @@ def load(spec):
     queries = parsed.get("queries", {})
     env = parsed.get("env", {})
     n_queries = parsed.get("n_queries")
-    # a driver wrapper's queries map is the truncated stdout tail; a
-    # detail file / raw line carries the complete board
-    truncated = "parsed" in d and n_queries is not None \
-        and len(queries) < n_queries
+    # truncation = the artifact carries fewer per-query rows than it
+    # says it ran — true of driver wrappers (stdout tail) AND of a raw
+    # saved Bench stdout line (same tail); bench_detail.json is complete
+    truncated = n_queries is not None and len(queries) < n_queries
     return {
         "total": parsed.get("value"),
         "queries": queries,
