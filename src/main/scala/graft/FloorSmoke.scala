@@ -53,21 +53,28 @@ object FloorSmoke {
       (1 to 2).foreach(_ => once())
       (1 to 5).map(_ => once()).min
     }
-    // A/B/A on the floor probe
+    // A/B/A/B — EQUAL sample counts per arm (r16 review: the first
+    // draft compared min of TWO AQE-on samples against ONE AQE-off
+    // sample; E[min of 2] < E[1] under any noise, biasing every row
+    // toward AQE-on by ~0.5σ and the ×215 extrapolation by seconds)
     aqe(true);  val fA1 = floorMin()
-    aqe(false); val fB  = floorMin()
+    aqe(false); val fB1 = floorMin()
     aqe(true);  val fA2 = floorMin()
-    println(f"[floor] aqe_on=$fA1%.3f aqe_off=$fB%.3f aqe_on2=$fA2%.3f " +
-      f"(saving/run ${((fA1 + fA2) / 2 - fB)}%.3f s)")
-    println(f"${"query"}%-32s ${"aqe_on"}%8s ${"aqe_off"}%8s ${"on2"}%8s ${"delta"}%7s")
+    aqe(false); val fB2 = floorMin()
+    println(f"[floor] aqe_on=${math.min(fA1, fA2)}%.3f " +
+      f"aqe_off=${math.min(fB1, fB2)}%.3f " +
+      f"(raw $fA1%.3f/$fB1%.3f/$fA2%.3f/$fB2%.3f; " +
+      f"saving/run ${math.min(fA1, fA2) - math.min(fB1, fB2)}%.3f s)")
+    println(f"${"query"}%-32s ${"on_min"}%8s ${"off_min"}%8s ${"delta"}%7s")
     var totOn = 0.0; var totOff = 0.0
     names.foreach { n =>
       aqe(true);  val a1 = runQ(n)
-      aqe(false); val b  = runQ(n)
+      aqe(false); val b1 = runQ(n)
       aqe(true);  val a2 = runQ(n)
-      val on = math.min(a1, a2)
-      totOn += on; totOff += b
-      println(f"$n%-32s $a1%8.3f $b%8.3f $a2%8.3f ${on - b}%+7.3f")
+      aqe(false); val b2 = runQ(n)
+      val on = math.min(a1, a2); val off = math.min(b1, b2)
+      totOn += on; totOff += off
+      println(f"$n%-32s $on%8.3f $off%8.3f ${on - off}%+7.3f")
     }
     println(f"[floorsmoke] sample total: aqe_on=$totOn%.2f aqe_off=$totOff%.2f " +
       f"(x215-row extrapolation ${(totOn - totOff) / names.size * 215}%+.1f s)")

@@ -36,8 +36,24 @@ object TextDedup {
     * 1.51 s widened; minhash 1.22 → 2.39; prefix hi neutral at ~3.3),
     * so only [[simhashPairs]] uses it — its materialized base
     * (word-shingle set + 64-bit signature + hashed shingles per doc,
-    * allocation-heavy) measured 3.2 s single-task vs 1.45 s widened. */
+    * allocation-heavy) measured 3.2 s single-task vs 1.45 s widened.
+    *
+    * The parallelism probe (`df.rdd.getNumPartitions`) runs ONLY when
+    * the optimized plan is scan-shallow (leaves + filter/project): on
+    * such plans RDD translation is jobless, which is what makes the
+    * check free. On anything deeper — a caller handing in a join or
+    * aggregate output — AQE's `.rdd` would EXECUTE the upstream
+    * exchange stages at construction time just to read a partition
+    * count (review-caught hazard); those inputs skip the probe
+    * entirely, which is also the right answer: their parallelism comes
+    * from their own exchanges, not from a row-group-bound file scan. */
   private def widened(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project}
+    val scanShallow = df.queryExecution.optimizedPlan.collectFirst {
+      case n if !n.isInstanceOf[LeafNode] && !n.isInstanceOf[Filter] &&
+                !n.isInstanceOf[Project] => n
+    }.isEmpty
+    if (!scanShallow) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 >= target) df
     else df.repartition(target)

@@ -17,27 +17,33 @@ object DedupQueries {
   private def scratch(dir: String, leaf: String): String =
     scratchDir("dedup", dir, leaf)
 
-  /** Estimated (candidate staging, shingle-side) bytes per fixture dir,
-    * memoized (the shard derivation needs them every run; one bounded
-    * aggregate per testdata generation). Keyed on (canonical dir, source
-    * mtime) like SimQueries' embCount and Tables' frame cache: a
-    * regenerated dir re-estimates instead of deriving shards from a
-    * stale corpus shape. Parameters mirror the d_ngram_jaccard call
-    * below. */
+  /** Shared memoization recipe for per-corpus plan-sizing estimates:
+    * one bounded aggregate per testdata generation, keyed on (canonical
+    * documents.parquet path, source mtime) like SimQueries' embCount
+    * and Tables' frame cache — a regenerated dir re-estimates instead
+    * of planning from a stale corpus shape. One helper so a future key
+    * fix (e.g. missing-source handling) lands once for every estimate. */
+  private def memoEstimate[T](
+      cache: java.util.concurrent.ConcurrentHashMap[(String, Long), T],
+      dir: String)(compute: => T): T = {
+    val src = new java.io.File(dir, "documents.parquet")
+    cache.computeIfAbsent((src.getCanonicalPath, src.lastModified()),
+      _ => compute)
+  }
+
+  /** Estimated (candidate staging, shingle-side) bytes per fixture dir
+    * (the shard derivation needs them every run). Parameters mirror the
+    * d_ngram_jaccard call below. */
   private val ngramEstCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), TextDedup.NgramEstimate]()
   private def ngramEstStats(s: org.apache.spark.sql.SparkSession,
-                            dir: String): TextDedup.NgramEstimate = {
-    val src = new java.io.File(dir, "documents.parquet")
-    ngramEstCache.computeIfAbsent(
-      (src.getCanonicalPath, src.lastModified()),
-      _ => TextDedup.estimateNgramStats(Tables.documents(s, dir),
-        "text", col("n_chars"), n = 4, blockWidth = 20))
-  }
+                            dir: String): TextDedup.NgramEstimate =
+    memoEstimate(ngramEstCache, dir) {
+      TextDedup.estimateNgramStats(Tables.documents(s, dir),
+        "text", col("n_chars"), n = 4, blockWidth = 20)
+    }
 
-  /** Estimated hashed word-shingle verify-side bytes per fixture dir,
-    * memoized like [[ngramEstStats]] (keyed on (canonical dir, source
-    * mtime); one bounded linear aggregate per testdata generation) —
+  /** Estimated hashed word-shingle verify-side bytes per fixture dir —
     * drives the broadcast-verify decision for the MinHash-LSH and
     * SimHash rows (r16: the ngram verify-budget discipline applied
     * family-wide). 8 bytes per word 3-gram ≈ 8·(words−2); pre-collapse,
@@ -46,15 +52,13 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
   private def lshBcast(s: org.apache.spark.sql.SparkSession,
                        dir: String): Option[Boolean] = {
-    val src = new java.io.File(dir, "documents.parquet")
-    val bytes = wordBytesCache.computeIfAbsent(
-      (src.getCanonicalPath, src.lastModified()),
-      _ => {
-        val row = Tables.documents(s, dir)
-          .agg(sum(greatest(size(split(col("text"), " ")) - 2, lit(0))
-            .cast("long"))).head()
-        (if (row.isNullAt(0)) 0L else row.getLong(0)) * 8L
-      })
+    val bytes = memoEstimate(wordBytesCache, dir) {
+      val row = Tables.documents(s, dir)
+        .agg(sum(greatest(size(split(col("text"), " ")) - 2, lit(0))
+          .cast("long"))).head()
+      java.lang.Long.valueOf(
+        (if (row.isNullAt(0)) 0L else row.getLong(0)) * 8L)
+    }
     Some(bytes <= TextDedup.ngramBroadcastBudgetBytes)
   }
 

@@ -48,7 +48,9 @@ def read_artifact(spec):
 
 def load(spec):
     d = json.loads(read_artifact(spec))
-    parsed = d.get("parsed", d)
+    # `or d`, not a default: early wrappers (BENCH_r01.json) carry
+    # "parsed": null, and .get with a default returns that None
+    parsed = d.get("parsed") or d
     queries = parsed.get("queries", {})
     env = parsed.get("env", {})
     n_queries = parsed.get("n_queries")
@@ -152,10 +154,15 @@ def main():
         kind = ("ADDED/REMOVED queries" if full_join
                 else "rows in only one stdout tail "
                      "(the other board ran them under its tail cutoff)")
-        worst = sorted(onesided, key=lambda x: -(x[1] or x[2] or 0))[:6]
+        # `is not None` throughout: a legitimate 0.0 s row must neither
+        # flip the side label nor sort as missing
+        def side_time(a, b):
+            return a if a is not None else b
+        worst = sorted(onesided, key=lambda x: -(side_time(x[1], x[2]) or 0))[:6]
         print(f"\n{len(onesided)} {kind} — worst: "
-              + ", ".join(f"{n}={a or b}s({'old' if a else 'new'})"
-                          for n, a, b in worst))
+              + ", ".join(
+                  f"{n}={side_time(a, b)}s({'old' if a is not None else 'new'})"
+                  for n, a, b in worst))
 
 
 if __name__ == "__main__":
