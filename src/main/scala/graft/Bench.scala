@@ -90,15 +90,22 @@ object Bench {
     val maxWait = sys.env.get("SPARK_GRAFT_BENCH_MAX_WAIT_SEC")
       .flatMap(_.toIntOption).getOrElse(900)
     var waited = 0
-    while (gateLoad() > gate && waited < maxWait) {
+    // ONE gateLoad() sample per iteration, reused by the loop condition,
+    // the log line, and the returned verdict (r17, ADVICE): separate
+    // samples could disagree — e.g. report a clean verdict after a
+    // timeout iteration whose gating sample was still over, or over-gate
+    // after a clean exit.
+    var load = gateLoad()
+    while (load > gate && waited < maxWait) {
       System.err.println(
-        f"bench load gate: effective loadavg ${gateLoad()}%.2f " +
+        f"bench load gate: effective loadavg $load%.2f " +
           s"(max of 1-min, 0.7*5-min; raw ${loadAvg()}) > $gate — " +
           s"waiting ($waited/$maxWait s)")
       Thread.sleep(10000)
       waited += 10
+      load = gateLoad()
     }
-    (waited, gateLoad() > gate)
+    (waited, load > gate)
   }
 
   def main(args: Array[String]): Unit = {
@@ -192,26 +199,33 @@ object Bench {
     // number is accepted — real regressions reproduce, host noise does
     // not. Prior bests come from the newest BENCH_r*.json in cwd (its
     // stdout-parsed map holds exactly the slow rows worth re-checking).
-    val prior: Map[String, Double] = {
+    val (prior: Map[String, Double], calibRef: Option[Double]) = {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
+      def asDouble(v: JValue): Option[Double] = v match {
+        case JDouble(d) => Some(d)
+        case JInt(i) => Some(i.toDouble)
+        case _ => None
+      }
       // numeric round sort: lexicographic getName order breaks the first
       // time zero-padding is outgrown (r100 < r99) or absent (r9 > r10)
       val files = Option(new java.io.File(".").listFiles()).toSeq.flatten
         .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
         .sortBy(f => f.getName.filter(_.isDigit).toInt)
-      files.lastOption.toSeq.flatMap { f =>
+      files.lastOption.flatMap { f =>
         try {
           val root = JsonMethods.parse(java.nio.file.Files.readString(f.toPath))
-          (root \ "parsed" \ "queries") match {
-            case JObject(fields) => fields.collect {
-              case (k, JDouble(v)) => k -> v
-              case (k, JInt(v)) => k -> v.toDouble
-            }
+          val qs = (root \ "parsed" \ "queries") match {
+            case JObject(fields) => fields.flatMap { case (k, v) =>
+              asDouble(v).map(k -> _) }
             case _ => Nil
           }
-        } catch { case _: Throwable => Nil }
-      }.toMap
+          // the committed record's own host-speed probe — the reference
+          // point the calib-normalized total is expressed against
+          val calib = asDouble(root \ "parsed" \ "env" \ "calib_pre_sec")
+          Some((qs.toMap, calib))
+        } catch { case _: Throwable => None }
+      }.getOrElse((Map.empty[String, Double], None))
     }
     val rerunErrors = scala.collection.mutable.Map[String, String]()
     val results = prelim.map { case (name, cold, best) =>
@@ -266,15 +280,26 @@ object Bench {
     // bare host, not leftover executor threads.
     val loadPost = loadAvg()
     val calibPost = calibrate()
+    // Calib-normalized total (r16 verdict item 3): total · (calib_ref /
+    // calib_pre), where calib_ref is the committed prior record's own
+    // pre-board probe — the board's total expressed at the PRIOR
+    // record's host speed, so cross-host adjudication ("my 80.79 vs the
+    // 74.18 record is calib-explained") is one subtraction the artifact
+    // does itself. Normalization by the fixed-work probe ratio assumes
+    // CPU-speed-proportional rows, which the sf0.1 board is (floor +
+    // kernel dominated); the raw total stays the primary number.
+    val totalNorm = calibRef.map(c => total * c / calibPre)
+    val normJson = totalNorm.map(num("%.2f", _)).getOrElse("null")
     val env = s""""env":{"cores":${Runtime.getRuntime.availableProcessors()},""" +
       s""""load_pre":"$loadPre","load_post":"$loadPost",""" +
       s""""load_wait_sec":$loadWaitSec,""" +
       s""""load_gate_exceeded":$loadGateExceeded,""" +
       s""""calib_pre_sec":${num("%.2f", calibPre)},""" +
       s""""calib_post_sec":${num("%.2f", calibPost)},""" +
+      s""""calib_ref_sec":${calibRef.map(num("%.2f", _)).getOrElse("null")},""" +
       s""""floor_probe_sec":${num("%.3f", floorSec)}}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},
+      s"""{"metric":"total","value":$total,"value_calib_norm":$normJson,"unit":"sec","n_queries":${ok.size},
          |"queries":${fmt(bySlowest)},
          |"cold_queries":${fmt(results.map { case (k, c, _) => (k, c) })},
          |"runs":$runsJson,
@@ -285,6 +310,6 @@ object Bench {
          |"sf":"$sfDir"}""".stripMargin.replace("\n", "")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail)
-    println(s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","n_queries":${ok.size},"queries":${fmt(keep)},"errors":$es,$env,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num("%.2f", total)},"value_calib_norm":$normJson,"unit":"sec","n_queries":${ok.size},"queries":${fmt(keep)},"errors":$es,$env,"detail":"bench_detail.json","sf":"$sfDir"}""")
   }
 }

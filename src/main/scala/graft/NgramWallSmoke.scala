@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Stage decomposition of the blocked exact-ngram-Jaccard wall on a twin
+  * board (r16 verdict item 1: the mutated ×100 `d_ngram_jaccard` row, at
+  * 394 s, is the ladder's dominant row by 5× — is the wall the
+  * block-candidate join, the verify kernel, or something upstream?).
+  *
+  * Times each internal boundary of [[graft.operators.TextDedup
+  * .ngramJaccardPairs]] with everything upstream IDENTICAL to the
+  * shipped plan (the frames come from the shared
+  * `ngramBlockedInternals` — one definition, no drill-side
+  * reimplementation):
+  *
+  *   - `est`      — the catalog's plan-sizing aggregate (also prints the
+  *                  derived salt / shard / broadcast decisions)
+  *   - `collapse` — exact-dup census + rep selection (count of reps)
+  *   - `shingle`  — + charShingleHashes kernel over the reps
+  *                  (sum of array sizes forces every hash)
+  *   - `cand`     — + the salted block join, pair emission only
+  *                  (count(1) over the candidate stream — pays scan,
+  *                  exchanges, sort/merge and the join condition, NOT
+  *                  the verify probes or the Jaccard kernel);
+  *                  `cand:N` overrides the salt to N for sweeps
+  *   - `full`     — the whole operator, catalog parameters (the board
+  *                  row, minus the orderBy the bench strips anyway)
+  *
+  * Stage wall differences attribute the row's cost: kernel+probes ≈
+  * full − cand; emission ≈ cand − shingle. Single timed run per stage
+  * (the multi-minute ×100 rows drown the ~5-9 s cold-JIT tax; cheap
+  * stages run first, so the scan/shingle JIT is warm by the heavy ones).
+  *
+  * Usage: runMain graft.NgramWallSmoke <dir> <stage,stage,...>
+  *   (stages from {est, collapse, shingle, cand[:SALT], full[:SALT]})
+  */
+object NgramWallSmoke {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val stages = args(1).split(",").toSeq
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    val spark = graft.core.GraftSession.local(cpus, "graft-ngram-wall")
+    val docs = graft.core.Tables.documents(spark, dir)
+    import graft.operators.TextDedup
+    // catalog parameters (DedupQueries d_ngram_jaccard)
+    val (n, t, bw) = (4, 0.6, 20)
+    val est = TextDedup.estimateNgramStats(docs, "text", col("n_chars"), n, bw)
+    val saltDefault =
+      if (est.candidatePairs < 100000L) 1
+      else math.max(32L, math.min(256L, est.candidatePairs / 25000000L)).toInt
+    def frames(salt: Int) = {
+      val (base, _, sh, blocked) = TextDedup.ngramBlockedInternals(
+        docs, "doc_id", "text", col("n_chars"), n, bw)
+      (base, sh, TextDedup.blockedCandJoin(blocked, "doc_id", bw, salt))
+    }
+    def timed(label: String)(body: => String): Unit = {
+      val t0 = System.nanoTime()
+      val out = body
+      println(f"[ngramwall] $label%-14s ${(System.nanoTime() - t0) / 1e9}%9.2f s  $out")
+    }
+    stages.foreach { st =>
+      val (stage, salt) = st.split(":") match {
+        case Array(s)    => (s, saltDefault)
+        case Array(s, k) => (s, k.toInt)
+      }
+      stage match {
+        case "est" =>
+          timed("est")(s"pairs=${est.candidatePairs} candBytes=${est.candidateBytes} " +
+            s"shingleBytes=${est.shingleBytes} salt=$saltDefault " +
+            s"shards=${TextDedup.ngramScratchShards(est.candidateBytes)} " +
+            s"bcast=${est.shingleBytes <= TextDedup.ngramBroadcastBudgetBytes}")
+        case "collapse" =>
+          timed("collapse")(s"reps=${frames(1)._1.count()}")
+        case "shingle" =>
+          timed("shingle") {
+            val r = frames(1)._2.agg(sum(size(col("__sh")))).head()
+            s"sumShingles=${if (r.isNullAt(0)) 0L else r.getLong(0)}"
+          }
+        case "cand" =>
+          timed(s"cand:$salt")(s"candidates=${frames(salt)._3.count()}")
+        case "full" =>
+          timed(s"full:$salt") {
+            val bcast = est.shingleBytes <= TextDedup.ngramBroadcastBudgetBytes
+            val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+              lenCol = col("n_chars"), n = n, threshold = t, blockWidth = bw,
+              shards = if (bcast) 1
+                       else TextDedup.ngramScratchShards(est.candidateBytes),
+              streamParallelism = salt, broadcastVerify = Some(bcast))
+            s"pairs=${pairs.count()}"
+          }
+        case other => println(s"[ngramwall] unknown stage: $other")
+      }
+    }
+    spark.stop()
+  }
+}

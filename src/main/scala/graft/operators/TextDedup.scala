@@ -649,18 +649,8 @@ object TextDedup {
     require(shards >= 1, s"shards must be >= 1 (got $shards)")
     require(streamParallelism >= 1,
       s"streamParallelism must be >= 1 (got $streamParallelism)")
-    // char shingles are empty iff numChars < n — gate on length so the
-    // candidate path never materializes shingle arrays (they were being
-    // computed per doc just to evaluate a size()>0 filter)
-    val base0 = docs.filter(length(col(textCol)) >= n)
-      .select(col(idCol), col(textCol), lenCol.as("__len"))
-    // shingles derive from the text, blocking from __len — collapse rows
-    // identical on BOTH before the block join (see collapseExactDups;
-    // the length-domain gate is signature-determined, so it runs first)
-    val (base, expand) = collapseExactDups(base0, idCol,
-      md5(concat(col(textCol), lit("|"), col("__len").cast("string"))))
-    val sh = base.select(col(idCol),
-      charShingleHashes(col(textCol), n).as("__sh"))
+    val (base, expand, sh, blocked) =
+      ngramBlockedInternals(docs, idCol, textCol, lenCol, n, blockWidth)
     // Broadcast decision (see verifyJaccard's scaladoc for why it
     // dominates staging): callers who already hold a corpus estimate
     // pass it (the catalog memoizes estimateNgramStats — zero extra
@@ -673,10 +663,6 @@ object TextDedup {
       val estShBytes = (if (row.isNullAt(0)) 0L else row.getLong(0)) * 8L
       estShBytes <= ngramBroadcastBudgetBytes
     }
-    val blocked = base.select(col(idCol), col("__len"))
-      .select(col(idCol), col("__len"),
-        explode(array((col("__len") / blockWidth).cast("long"),
-                      (col("__len") / blockWidth).cast("long") + 1)).as("__blk"))
     // NO distinct() on the candidates: the larger-own-block rule emits
     // every qualifying pair exactly once (equal own-blocks share one
     // bucket; adjacent own-blocks overlap in exactly one bucket; anything
@@ -731,6 +717,35 @@ object TextDedup {
     expand(pairs)
   }
 
+  /** The blocked path's internal stage frames — (post-collapse reps,
+    * expand, hashed shingles, exploded block rows) — shared by
+    * [[ngramJaccardPairs]] and the stage-decomposition drill
+    * (NgramWallSmoke; SCALING.md r17 "the ×100 ngram wall decomposed"):
+    * one definition, so the drill times the EXACT frames the shipped
+    * plan builds, not a reimplementation that can drift. Not a dedup
+    * API — callers want [[ngramJaccardPairs]]. */
+  private[graft] def ngramBlockedInternals(docs: DataFrame, idCol: String,
+      textCol: String, lenCol: Column, n: Int, blockWidth: Int)
+      : (DataFrame, DataFrame => DataFrame, DataFrame, DataFrame) = {
+    // char shingles are empty iff numChars < n — gate on length so the
+    // candidate path never materializes shingle arrays (they were being
+    // computed per doc just to evaluate a size()>0 filter)
+    val base0 = docs.filter(length(col(textCol)) >= n)
+      .select(col(idCol), col(textCol), lenCol.as("__len"))
+    // shingles derive from the text, blocking from __len — collapse rows
+    // identical on BOTH before the block join (see collapseExactDups;
+    // the length-domain gate is signature-determined, so it runs first)
+    val (base, expand) = collapseExactDups(base0, idCol,
+      md5(concat(col(textCol), lit("|"), col("__len").cast("string"))))
+    val sh = base.select(col(idCol),
+      charShingleHashes(col(textCol), n).as("__sh"))
+    val blocked = base.select(col(idCol), col("__len"))
+      .select(col(idCol), col("__len"),
+        explode(array((col("__len") / blockWidth).cast("long"),
+                      (col("__len") / blockWidth).cast("long") + 1)).as("__blk"))
+    (base, expand, sh, blocked)
+  }
+
   /** The length-blocked candidate join shared by [[ngramJaccardPairs]]
     * and the measurement surface [[ngramBlockedCandidates]]: `blk` holds
     * (idCol, __len, __blk) with each doc exploded under blocks
@@ -755,9 +770,9 @@ object TextDedup {
     * streamSalt× its (skinny, corpus-linear) rows — the classic
     * replicate-the-small-side salted join, same family as
     * RuleJoins.saltedJoin. */
-  private def blockedCandJoin(blk: DataFrame, idCol: String,
-                              blockWidth: Int,
-                              streamSalt: Int = 1): DataFrame = {
+  private[graft] def blockedCandJoin(blk: DataFrame, idCol: String,
+                                     blockWidth: Int,
+                                     streamSalt: Int = 1): DataFrame = {
     val maxDiff = blockWidth / 2
     val (x, y) =
       if (streamSalt <= 1) (blk.alias("__blk_x"), blk.alias("__blk_y"))
@@ -1022,11 +1037,16 @@ object TextDedup {
     *     survives (its bound is ≥ o ≥ α, and PPJoin's prefix lemma puts
     *     that token inside both prefixes), so the distinct'd candidate
     *     set keeps full recall — property-proven against brute force.
-    *     The α compare subtracts 1e-9 instead of taking ceil: float
-    *     error under ceil would round α UP a full unit and could prune
-    *     an exactly-at-threshold pair; the epsilon slack only ever
-    *     ADMITS a borderline emission (the exact Jaccard verify decides
-    *     anyway). Measured effect (token-poor sf0.1 corpus, t=0.85,
+    *     The α compare scales by (1 − 1e-12) instead of taking ceil:
+    *     float error under ceil would round α UP a full unit and could
+    *     prune an exactly-at-threshold pair; the RELATIVE slack only
+    *     ever ADMITS a borderline emission (the exact Jaccard verify
+    *     decides anyway) and — unlike the r16 absolute 1e-9 — stays
+    *     larger than double rounding error at ANY shingle count (an
+    *     absolute epsilon is outgrown by ulp(α) once |A|+|B| ≳ 1e8,
+    *     where one rounding step could exceed the slack and prune an
+    *     exactly-at-threshold pair's first-common-token emission).
+    *     Measured effect (token-poor sf0.1 corpus, t=0.85,
     *     where every bucket is mid-df): raw emissions 7.1M → the
     *     mid-prefix tail pruned ~4×, the regime the routing rule
     *     routes AWAY from but the oracle row must still run in. */
@@ -1056,8 +1076,8 @@ object TextDedup {
         // positional filter — see scaladoc
         (lit(1) + least(col("__pf_x.__n") - col("__pf_x.__rn"),
                         col("__pf_y.__n") - col("__pf_y.__rn"))) >=
-          lit(threshold / (1 + threshold)) *
-            (col("__pf_x.__n") + col("__pf_y.__n")) - lit(1e-9))
+          lit(threshold / (1 + threshold) * (1 - 1e-12)) *
+            (col("__pf_x.__n") + col("__pf_y.__n")))
       .select(col(s"__pf_x.$idCol").as("a"), col(s"__pf_y.$idCol").as("b"))
   }
 

@@ -43,21 +43,39 @@ object DedupQueries {
         "text", col("n_chars"), n = 4, blockWidth = 20)
     }
 
-  /** Estimated hashed word-shingle verify-side bytes per fixture dir —
-    * drives the broadcast-verify decision for the MinHash-LSH and
-    * SimHash rows (r16: the ngram verify-budget discipline applied
-    * family-wide). 8 bytes per word 3-gram ≈ 8·(words−2); pre-collapse,
-    * so it only overestimates. */
+  /** Estimated broadcast footprint of the hashed word-shingle verify
+    * side for the MinHash-LSH / SimHash rows — drives broadcastVerify
+    * (r16: the ngram verify-budget discipline applied family-wide).
+    *
+    * r17 (verdict item 4 + ADVICE): the estimate is now
+    *   2 × (8 bytes per word 3-gram + 32 bytes per doc), POST-collapse —
+    * computed over DISTINCT texts (md5-grouped, the exact-dup collapse
+    * key those operators apply before their verifies), with a per-row
+    * constant for id + array header and doubled because verifyJaccard
+    * broadcasts TWO projections of the shingle frame. The r16 form was
+    * pre-collapse and arrays-only: "only overestimates" — by the copy
+    * count itself on exactly the corpus the collapse exists for (a
+    * high-duplication re-crawl), where it refuses broadcasts that fit
+    * and falls back to the SMJ cliff the override was built to avoid
+    * (measured: LshBudgetSmoke on a ×10-exact-copy m100 corpus flips
+    * the decision and the wall — SCALING.md r17); and it under-counted
+    * the real footprint on many-tiny-doc corpora, the same class as the
+    * r16 dedupAgainstIndex fix. One md5-keyed aggregate per testdata
+    * generation (memoized), shuffling one skinny row per distinct text. */
   private val wordBytesCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
   private def lshBcast(s: org.apache.spark.sql.SparkSession,
                        dir: String): Option[Boolean] = {
     val bytes = memoEstimate(wordBytesCache, dir) {
       val row = Tables.documents(s, dir)
-        .agg(sum(greatest(size(split(col("text"), " ")) - 2, lit(0))
-          .cast("long"))).head()
-      java.lang.Long.valueOf(
-        (if (row.isNullAt(0)) 0L else row.getLong(0)) * 8L)
+        // members of one md5 group share the text, hence the word count
+        .groupBy(md5(col("text")))
+        .agg(first(greatest(size(split(col("text"), " ")) - 2, lit(0))
+          .cast("long")).as("__w"))
+        .agg(sum(col("__w")), count(lit(1))).head()
+      val words = if (row.isNullAt(0)) 0L else row.getLong(0)
+      val reps = row.getLong(1)
+      java.lang.Long.valueOf(2L * (words * 8L + reps * 32L))
     }
     Some(bytes <= TextDedup.ngramBroadcastBudgetBytes)
   }

@@ -48,9 +48,11 @@ def read_artifact(spec):
 
 def load(spec):
     d = json.loads(read_artifact(spec))
-    # `or d`, not a default: early wrappers (BENCH_r01.json) carry
-    # "parsed": null, and .get with a default returns that None
-    parsed = d.get("parsed") or d
+    # explicit None check: early wrappers (BENCH_r01.json) carry
+    # "parsed": null — but a present-and-EMPTY parsed dict must be used
+    # as-is, not silently fall back to the wrapper's own keys (`or`
+    # treats any falsy parsed, including {}, as the null case)
+    parsed = d["parsed"] if d.get("parsed") is not None else d
     queries = parsed.get("queries", {})
     env = parsed.get("env", {})
     n_queries = parsed.get("n_queries")
@@ -60,6 +62,10 @@ def load(spec):
     truncated = n_queries is not None and len(queries) < n_queries
     return {
         "total": parsed.get("value"),
+        # artifact-carried normalized total (r17): the board's total at
+        # its PRIOR record's host speed, total * calib_ref/calib_pre
+        "total_norm": parsed.get("value_calib_norm"),
+        "calib_ref": env.get("calib_ref_sec"),
         "queries": queries,
         "n_queries": n_queries,
         "truncated": truncated,
@@ -125,6 +131,19 @@ def main():
              else "shared stdout-tail rows; full boards may list more — "
                   "pass bench_detail.json artifacts for a complete join")
     print(f"totals: {old['total']} -> {new['total']} s  ({scope})")
+    # Calib-normalized views (r16 verdict item 3): raw totals answer
+    # "what did the wall clock read", these answer "did the ENGINE move"
+    # with the host-speed ratio divided out.
+    oc, nc = old["calib"][0], new["calib"][0]
+    if oc and nc:
+        print(f"totals at OLD board's host speed: {old['total']} -> "
+              f"{new['total'] * oc / nc:.2f} s  "
+              f"(new total x old_calib/new_calib = {oc}/{nc})")
+    for side, art in (("old", old), ("new", new)):
+        if art["total_norm"] is not None:
+            print(f"{side} artifact's own calib-normalized total: "
+                  f"{art['total_norm']} s (vs its prior record's calib "
+                  f"{art['calib_ref']})")
     for side, art in (("old", old), ("new", new)):
         if art["truncated"]:
             print(f"WARNING: {side} artifact is a truncated stdout tail "
