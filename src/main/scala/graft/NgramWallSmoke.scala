@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
   *                  `cand:N` overrides the salt to N for sweeps
   *   - `full`     — the whole operator, catalog parameters (the board
   *                  row, minus the orderBy the bench strips anyway)
+  *   - `hist[:PCT]` — exact-Jaccard deciles over a PCT% hash-sample of
+  *                  the candidate stream (default 1%): the candidate
+  *                  similarity DISTRIBUTION picks the verify cut — an
+  *                  early-exit merge pays off on low-Jaccard candidate
+  *                  mass, a pre-merge bound sketch on mid-Jaccard mass
   *
   * Stage wall differences attribute the row's cost: kernel+probes ≈
   * full − cand; emission ≈ cand − shingle. Single timed run per stage
@@ -79,6 +84,24 @@ object NgramWallSmoke {
           }
         case "cand" =>
           timed(s"cand:$salt")(s"candidates=${frames(salt)._3.count()}")
+        case "hist" =>
+          // salt slot doubles as the sample percent for this stage
+          val pct = if (st.contains(":")) salt else 1
+          timed(s"hist:$pct%") {
+            val (_, sh, cand) = frames(saltDefault)
+            val sample = cand.filter(
+              pmod(xxhash64(col("a"), col("b")), lit(100L)) < pct)
+            val sa = broadcast(sh.select(col("doc_id").as("a"), col("__sh").as("__sha")))
+            val sb = broadcast(sh.select(col("doc_id").as("b"), col("__sh").as("__shb")))
+            val j = sample.join(sa, "a").join(sb, "b")
+              .select(TextDedup.jaccardSorted(col("__sha"), col("__shb")).as("j"))
+            val q = j.agg(
+              count(lit(1)).as("n"),
+              expr("approx_percentile(j, array(0.1,0.25,0.5,0.75,0.9,0.95,0.99), 1000)").as("q"),
+              avg(col("j")).as("mean")).head()
+            s"n=${q.getLong(0)} mean=${"%.3f".format(q.getDouble(2))} " +
+              s"deciles=${q.getSeq[Double](1).map(d => "%.3f".format(d)).mkString(",")}"
+          }
         case "full" =>
           timed(s"full:$salt") {
             val bcast = est.shingleBytes <= TextDedup.ngramBroadcastBudgetBytes

@@ -162,6 +162,36 @@ object NativeEval {
     if (union == 0) 1.0 else inter.toDouble / union.toDouble
   }
 
+  /** Threshold-aware [[arrayJaccardSortedLong]] (r17 — the ×100 ngram
+    * wall is the VERIFY kernel, NgramWallSmoke/SCALING.md): exact
+    * Jaccard when the pair can still reach `threshold`, or -1.0 the
+    * moment it provably cannot. Soundness: with `inter` matches after
+    * consuming i/j elements, the final intersection I is at most
+    * inter + min(na−i, nb−j), and J = I/(na+nb−I) is monotone in I, so
+    * J < t is certain once (inter + minRem)·(1+t) < t·(na+nb). The
+    * compare carries the same relative (1 − 1e-12) slack as the PPJoin
+    * positional filter — rounding only ever ADMITS a borderline pair,
+    * whose jaccard is then computed exactly; -1 is the ONLY approximate
+    * output and callers filter `>= threshold` (> 0) right after. */
+  def arrayJaccardSortedLongBounded(a: ArrayData, b: ArrayData,
+                                    threshold: Double): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    // t/(1+t)·(na+nb)·(1−ε): the minimal intersection a qualifying pair
+    // can have — hoisted so the loop compares against a constant
+    val need = threshold / (1.0 + threshold) * (na + nb) * (1 - 1e-12)
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val rem = math.min(na - i, nb - j)
+      if (inter + rem < need) return -1.0
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 1.0 else inter.toDouble / union.toDouble
+  }
+
   def minhashBands(arr: ArrayData, k: Int, bands: Int): ArrayData = {
     // null elements are skipped: the catalog's shingle arrays are
     // containsNull=false, but the SQL-registered graft_minhash_bands

@@ -85,6 +85,51 @@ case class ArrayJaccardSorted(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[ArrayJaccardSorted]] with a baked-in qualification threshold
+  * (r17): evaluates to the exact jaccard when the pair can still reach
+  * `threshold`, and to -1.0 the moment the merge's remaining-overlap
+  * bound proves it cannot (see
+  * [[NativeEval.arrayJaccardSortedLongBounded]] for the soundness
+  * argument). Built for the candidate-verify hot path, where the value
+  * feeds a `>= threshold` filter immediately: kept rows carry the
+  * identical exact value [[ArrayJaccardSorted]] would, dropped rows
+  * drop either way — so swapping the kernels is plan-only. The merge
+  * exits after ~(1+t)/2·min(|A|,|B|) − t·max/… steps on hopeless pairs
+  * instead of scanning both arrays to the end — the saving grows as
+  * candidate similarity falls below t. Same empty-empty → NULL edge as
+  * [[ArrayJaccardSorted]]. */
+case class ArrayJaccardSortedBounded(left: Expression, right: Expression,
+                                     threshold: Double)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.GraftSql.AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_array_jaccard_sorted_bounded"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (a.numElements() == 0 && b.numElements() == 0) null
+    else NativeEval.arrayJaccardSortedLongBounded(a, b, threshold)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() == 0 && $b.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.NativeEval.arrayJaccardSortedLongBounded(
+         |    $a, $b, $threshold);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ArrayJaccardSortedBounded =
+    copy(left = newLeft, right = newRight)
+}
+
 case class ArrayJaccard(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.graft.GraftSql.AbstractDataType] =

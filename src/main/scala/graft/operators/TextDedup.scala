@@ -89,6 +89,18 @@ object TextDedup {
     GraftSql.column(graft.functions.ArrayJaccardSorted(
       GraftSql.expression(a), GraftSql.expression(b)))
 
+  /** Threshold-aware [[jaccardSorted]] for the verify hot paths (r17):
+    * exact jaccard while ≥ t is still reachable, -1.0 the moment the
+    * merge's remaining-overlap bound proves it is not
+    * ([[graft.functions.ArrayJaccardSortedBounded]]) — kept rows carry
+    * the identical exact value, so swapping kernels under the
+    * immediately-following `>= t` filter is plan-only. The ×100 ngram
+    * wall is this merge (NgramWallSmoke: verify ≈ 345 of 394 s), and
+    * most candidates sit well under t. */
+  def jaccardSortedAtLeast(t: Double)(a: Column, b: Column): Column =
+    GraftSql.column(graft.functions.ArrayJaccardSortedBounded(
+      GraftSql.expression(a), GraftSql.expression(b), t))
+
   /** An `array<string>` hashed element-wise to a sorted `array<long>`
     * ([[graft.functions.ArrayHashesSorted]]) — compact verify-side form
     * when the string shingles are also consumed elsewhere in the plan. */
@@ -335,7 +347,8 @@ object TextDedup {
     // far fewer join-shuffle bytes than the string arrays
     val shHashed = base.select(col(idCol), col("__shh").as("__sh"))
     CollapsedPairs(
-      verifyJaccard(cand, shHashed, idCol, threshold, jaccardSorted,
+      verifyJaccard(cand, shHashed, idCol, threshold,
+        jaccardSortedAtLeast(threshold),
         broadcastShingles = broadcastVerify.getOrElse(false)),
       c.dupMembers, c.expand)
   }
@@ -495,7 +508,8 @@ object TextDedup {
       .join(hint(bIdx.select(col("b"), col("__shb"))), "b")
       .filter(least(size(col("__shb")), size(col("__shc"))) >=
         lit(threshold) * greatest(size(col("__shb")), size(col("__shc"))))
-      .withColumn("jaccard", jaccardSorted(col("__shb"), col("__shc")))
+      .withColumn("jaccard",
+        jaccardSortedAtLeast(threshold)(col("__shb"), col("__shc")))
       .filter(col("jaccard") >= threshold)
       .select(col("b"), col("c"), col("jaccard"))
   }
@@ -599,7 +613,8 @@ object TextDedup {
       .repartition(col("a"), col("b"))
       .distinct()
     val shHashed = base.select(col(idCol), col("__shh").as("__sh"))
-    expand(verifyJaccard(cand, shHashed, idCol, threshold, jaccardSorted,
+    expand(verifyJaccard(cand, shHashed, idCol, threshold,
+      jaccardSortedAtLeast(threshold),
       broadcastShingles = broadcastVerify.getOrElse(false)))
   }
 
@@ -673,7 +688,8 @@ object TextDedup {
     // codegen stage, staging NOTHING.
     def pairsOf(blk: DataFrame): DataFrame =
       verifyJaccard(blockedCandJoin(blk, idCol, blockWidth, streamParallelism),
-        sh, idCol, threshold, jaccardSorted, broadcastShingles = bcastVerify)
+        sh, idCol, threshold, jaccardSortedAtLeast(threshold),
+        broadcastShingles = bcastVerify)
     val pairs =
       if (shards <= 1) pairsOf(blocked)
       else {
@@ -1003,9 +1019,61 @@ object TextDedup {
     // partitioning — still exactly ONE exchange, now at full width.
     val cand = prefixCandidatesFrom(sh, idCol, threshold)
       .repartition(col("a"), col("b")).distinct()
-    expand(verifyJaccard(cand, sh, idCol, threshold, jaccardSorted,
+    expand(verifyJaccard(cand, sh, idCol, threshold,
+      jaccardSortedAtLeast(threshold),
       broadcastShingles = bcast))
   }
+
+  /** The measured blocked-vs-prefix routing threshold (SCALING.md
+    * "blocked vs prefix", re-measured r16 under the positional filter):
+    * the prefix keeps (1−t)·|A|+1 shingles per doc, so at t ≥ ~0.8 on
+    * hapax-rich text its candidates run 4-15× UNDER length-blocking,
+    * while at t ≲ 0.7 the prefix covers so much of every doc that it
+    * emits 2× (natural text) to 15-30× (token-poor corpora) MORE. */
+  val PrefixRouteThreshold = 0.8
+
+  /** Exact char-n-gram Jaccard dedup that ROUTES between the
+    * length-blocked plan ([[ngramJaccardPairs]]) and the PPJoin
+    * prefix-filtered plan ([[ngramJaccardPairsPrefix]]) per the measured
+    * rule — [[PrefixRouteThreshold]]: prefix at threshold ≥ 0.8,
+    * length-blocked below. The threshold decides; corpus shape is
+    * second-order (r15/r16 measurements, both corpus families).
+    *
+    * The contract is the BANDED semantics of [[ngramJaccardPairs]] —
+    * pairs within `blockWidth/2` chars of each other — so the two
+    * branches are output-IDENTICAL and a caller can hold the semantics
+    * fixed while the threshold (hence the plan) varies: the blocked
+    * branch enforces the band by construction; the prefix branch
+    * post-filters its band-free pair set on the same length predicate
+    * (a join of the output-sized pair frame back to the skinny length
+    * projection — linear, no new shuffle class). DedupPropertySpec
+    * proves both branches equal brute force through this entry point.
+    * For band-FREE high-threshold dedup (ALL pairs at or above t — the
+    * d_ngram_jaccard_hi semantics) call [[ngramJaccardPairsPrefix]]
+    * directly.
+    *
+    * Plan options pass through to the routed branch: `shards` /
+    * `streamParallelism` are blocked-path knobs (the prefix path
+    * has no fat staging to shard — its verify broadcasts under the
+    * same budget), `broadcastVerify` feeds both. */
+  def ngramJaccardAuto(docs: DataFrame, idCol: String, textCol: String,
+                       lenCol: Column, n: Int = 4, threshold: Double = 0.6,
+                       blockWidth: Int = 100, shards: Int = 1,
+                       streamParallelism: Int = 1,
+                       broadcastVerify: Option[Boolean] = None): DataFrame =
+    if (threshold < PrefixRouteThreshold)
+      ngramJaccardPairs(docs, idCol, textCol, lenCol, n, threshold,
+        blockWidth, shards, streamParallelism, broadcastVerify)
+    else {
+      val lens = docs.filter(length(col(textCol)) >= n)
+        .select(col(idCol), lenCol.as("__len"))
+      ngramJaccardPairsPrefix(docs, idCol, textCol, n, threshold,
+          broadcastVerify)
+        .join(lens.select(col(idCol).as("a"), col("__len").as("__la")), "a")
+        .join(lens.select(col(idCol).as("b"), col("__len").as("__lb")), "b")
+        .filter(abs(col("__la") - col("__lb")) <= blockWidth / 2)
+        .select(col("a"), col("b"), col("jaccard"))
+    }
 
   /** Candidate (a, b) pairs of the prefix-filtered path, PRE-verify and
     * possibly with duplicates (a pair can share several prefix

@@ -50,18 +50,33 @@ object JaccardFusionRule extends Rule[LogicalPlan] {
   *     which calls the SAME non-throwing wrapper parser the ANSI cast
   *     wraps and returns null directly — identical accept set by
   *     construction, no exception ever constructed.
+  *   - target date/timestamp/timestamp_ntz (r17) → LEGACY eval mode:
+  *     unlike the integral family, Spark's temporal string parsers have
+  *     NO lenient/strict split — LEGACY calls
+  *     `DateTimeUtils.stringToDate/stringToTimestamp[WithoutTimeZone]`
+  *     and returns null on None, while ANSI (which TRY wraps in a
+  *     catch) calls the `...Ansi` variant of the SAME parser and
+  *     throws on None — so the accept sets are identical by
+  *     construction and the rewrite only removes the per-failing-row
+  *     exception tax (the reference's lenient-ingest pattern try_casts
+  *     date fields too). Re-proven value-for-value over a scan-backed
+  *     adversarial battery incl. partial dates, zone suffixes, and
+  *     overflow years (PlanAuditSpec "try_cast temporal"), and the tax
+  *     measured in TryCastTaxSmoke.
   *
   * Everything else (non-string sources, other targets, ANSI/LEGACY
   * casts) passes through untouched. */
 object TryCastNoThrowRule extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.EvalMode
-  import org.apache.spark.sql.types.{BooleanType, ByteType, DecimalType,
-    FloatType, LongType, ShortType}
+  import org.apache.spark.sql.types.{BooleanType, ByteType, DateType,
+    DecimalType, FloatType, LongType, ShortType, TimestampNTZType,
+    TimestampType}
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case c @ Cast(child, dt, tz, mode)
         if mode == EvalMode.TRY && child.dataType == StringType =>
       dt match {
-        case DoubleType | FloatType | BooleanType | _: DecimalType =>
+        case DoubleType | FloatType | BooleanType | _: DecimalType |
+             DateType | TimestampType | TimestampNTZType =>
           Cast(child, dt, tz, EvalMode.LEGACY)
         case ByteType | ShortType | IntegerType | LongType =>
           graft.functions.TryParseIntegral(child, dt)

@@ -35,6 +35,29 @@ object MiscQueries {
         .orderBy(col("prio_num"))
     },
 
+    // P11 extension (r17): try_cast on TEMPORAL targets — the
+    // reference's lenient-ingest pattern try_casts date fields too
+    // (ref: servicenow_api_extract.py:190-211). Exercises both the
+    // always-parsing and always-failing paths; runs through
+    // TryCastNoThrowRule's LEGACY rewrite (no per-row exception on the
+    // failing rows — the same tax p11 closed for integrals).
+    "p12_try_cast_date" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          expr("try_cast(cast(cast(o_orderdate AS date) AS string) AS date)")
+            .as("d_ok"),
+          expr("try_cast(o_orderpriority AS date)").as("d_bad"),
+          expr("try_cast(concat(cast(cast(o_orderdate AS date) AS string), " +
+            "' 12:34:56') AS timestamp)").as("ts_ok"))
+        .groupBy(year(col("d_ok")).as("yr"))
+        .agg(count(lit(1)).as("n"), count(col("d_ok")).as("n_date"),
+          count(col("d_bad")).as("n_bad"),
+          min(col("d_ok")).as("min_d"), max(col("d_ok")).as("max_d"),
+          count(col("ts_ok")).as("n_ts"),
+          max(col("ts_ok").cast("string")).as("max_ts"))
+        .orderBy(col("yr"))
+    },
+
     // A7 collect_set, sorted + joined for cross-engine determinism
     // (ref: pbi_airport_rls_example.py:95).
     "a7_collect_set" -> { (s, dir) =>
@@ -129,6 +152,19 @@ object MiscQueries {
       """SELECT TRY_CAST(string_split(o_orderpriority, '-')[1] AS INT) AS prio_num,
         |  COUNT(*) AS n, COUNT(TRY_CAST(o_orderstatus AS INT)) AS n_status_parsed
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p12_try_cast_date" ->
+      """WITH v AS (
+        |  SELECT TRY_CAST(CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS DATE) AS d_ok,
+        |    TRY_CAST(o_orderpriority AS DATE) AS d_bad,
+        |    TRY_CAST(CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || ' 12:34:56'
+        |             AS TIMESTAMP) AS ts_ok
+        |  FROM orders)
+        |SELECT CAST(year(d_ok) AS INT) AS yr, COUNT(*) AS n,
+        |  COUNT(d_ok) AS n_date, COUNT(d_bad) AS n_bad,
+        |  MIN(d_ok) AS min_d, MAX(d_ok) AS max_d, COUNT(ts_ok) AS n_ts,
+        |  CAST(MAX(ts_ok) AS VARCHAR) AS max_ts
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a7_collect_set" ->
       """SELECT o_orderstatus,

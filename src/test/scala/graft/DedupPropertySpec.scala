@@ -565,6 +565,78 @@ class DedupPropertySpec extends SparkSpec {
     assert(want2.size > 100, s"only ${want2.size} true pairs in fixture")
   }
 
+  test("bounded jaccard kernel: never prunes a qualifying pair, exact at the boundary") {
+    // r17 verify kernel (the ×100 ngram wall): bounded(a,b,t) must equal
+    // the plain kernel whenever the plain value is >= t (kept rows are
+    // value-identical), and may return the sentinel -1.0 ONLY when the
+    // plain value is < t. Randomized + exactly-at-threshold fixtures.
+    import graft.functions.NativeEval
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Array[Long]) = new GenericArrayData(xs)
+    val rnd = new scala.util.Random(7)
+    val thresholds = Seq(0.3, 0.5, 0.6, 0.85, 1.0)
+    (0 until 5000).foreach { k =>
+      def gen() = Array.fill(1 + rnd.nextInt(60))(rnd.nextInt(80).toLong)
+        .distinct.sorted
+      val (a, b) = (gen(), gen())
+      val t = thresholds(k % thresholds.size)
+      val exact = NativeEval.arrayJaccardSortedLong(arr(a), arr(b))
+      val bounded = NativeEval.arrayJaccardSortedLongBounded(arr(a), arr(b), t)
+      if (exact >= t)
+        assert(bounded == exact, s"false prune: j=$exact t=$t got $bounded")
+      else
+        assert(bounded == -1.0 || bounded == exact,
+          s"corrupted value under t: j=$exact t=$t got $bounded")
+    }
+    // exactly-at-threshold pairs (J == t bit-for-bit): |A|=|B|=n with
+    // intersection i gives J = i/(2n−i); (i=3,n=4) → 0.6, (i=2,n=3) → 0.5
+    val a6 = Array(1L, 2L, 3L, 10L); val b6 = Array(1L, 2L, 3L, 20L)
+    assert(NativeEval.arrayJaccardSortedLongBounded(arr(a6), arr(b6), 0.6) == 0.6)
+    val a5 = Array(1L, 2L, 10L); val b5 = Array(1L, 2L, 20L)
+    assert(NativeEval.arrayJaccardSortedLongBounded(arr(a5), arr(b5), 0.5) == 0.5)
+    // identical arrays at t = 1.0 must survive
+    assert(NativeEval.arrayJaccardSortedLongBounded(arr(a6), arr(a6), 1.0) == 1.0)
+  }
+
+  test("ngramJaccardAuto: both routed branches == brute-force banded jaccard") {
+    // r16 verdict item 6: the measured blocked-vs-prefix routing rule as
+    // an entry point. The contract is the BANDED semantics at every
+    // threshold, so both branches must produce identical (pair, value)
+    // sets — proven against brute force at a threshold on each side of
+    // PrefixRouteThreshold, plus the routing itself (plan shape differs).
+    import spark.implicits._
+    val docs = corpus.toDF("doc_id", "text")
+    def shing(t: String): Set[String] = t.sliding(4).toSet
+    def brute(t: Double): Map[(Long, Long), Double] = (for {
+      (a, ta) <- corpus; (b, tb) <- corpus
+      if a < b && ta.length >= 4 && tb.length >= 4 &&
+        math.abs(ta.length - tb.length) <= 10
+      sa = shing(ta); sb = shing(tb)
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= t
+    } yield (a, b) -> j).toMap
+    for (t <- Seq(0.6, 0.9)) {
+      val got = TextDedup.ngramJaccardAuto(docs, "doc_id", "text",
+          lenCol = length(col("text")), n = 4, threshold = t, blockWidth = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got == brute(t), s"auto route at t=$t diverges from brute: " +
+        s"missing=${(brute(t).keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- brute(t).keySet).take(3)}")
+      assert(got.nonEmpty, s"vacuous fixture at t=$t")
+    }
+    // and the routing actually routes — marker columns that survive the
+    // prefix frame's Materialize pin (its window sits behind the pin, so
+    // plan-node sniffing is blind): the blocked branch plans the __blk
+    // block key, the prefix branch plans the __la/__lb post-band filter
+    def planOf(t: Double): String =
+      TextDedup.ngramJaccardAuto(docs, "doc_id", "text",
+        lenCol = length(col("text")), n = 4, threshold = t, blockWidth = 20)
+        .queryExecution.executedPlan.toString
+    assert(planOf(0.6).contains("__blk") && !planOf(0.6).contains("__la"),
+      "t=0.6 should take the length-blocked branch")
+    assert(planOf(0.9).contains("__la") && !planOf(0.9).contains("__blk"),
+      "t=0.9 should take the prefix branch with the band post-filter")
+  }
+
   /** The length-blocked char-n-gram operator (its oracle can't run on
     * the ×K twin boards — DuckDB's brute CTE exceeds local scratch), so
     * its collapse path gets a dedicated driver-side proof: ids must

@@ -427,4 +427,66 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("try_cast"),
       "no TRY-mode cast should survive the rewrite for these targets")
   }
+
+  test("try_cast temporal rewrites: value-identical over the adversarial battery; rule fires") {
+    // r17 TryCastNoThrowRule extension (r16 verdict item 2): TRY-mode
+    // string→date/timestamp/timestamp_ntz rewrites to LEGACY eval mode.
+    // Same protocol as the numeric battery above — truth is the
+    // UNREWRITTEN TRY cast eval'd at the expression level, inputs come
+    // through a real parquet scan (a LocalRelation battery is vacuous:
+    // constant folding runs before injected rules), and the plan is
+    // asserted to actually exercise the rewrite.
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    import spark.implicits._
+    val inputs = Seq(
+      // clean + partial dates (Spark accepts yyyy / yyyy-MM prefixes)
+      "2024-02-29", "2023-02-29", "2024-1-3", "2024-01-3", "2024", "2024-02",
+      "0001-01-01", "9999-12-31", "1970-01-01", "2024-13-01", "2024-00-10",
+      "2024-02-30", "2024-04-31", " 2024-01-03", "2024-01-03 ", "2024/01/03",
+      "01-03-2024", "20240103", "2024-01-03T", "-0001-01-01", "+2024-01-03",
+      // timestamps: space/T separators, fractions, zone suffixes
+      "2024-01-02 10:11:12", "2024-01-02T10:11:12", "2024-01-02 10:11:12.5",
+      "2024-01-02 10:11:12.123456", "2024-01-02 10:11:12.1234567890",
+      "2024-01-02 10:11:12Z", "2024-01-02 10:11:12+05:30",
+      "2024-01-02 10:11:12 UTC", "2024-01-02 10:11:12 America/Los_Angeles",
+      "2024-01-02 10:11:12+0530", "2024-01-02 10:11:12 GMT+8",
+      "2024-01-02 24:00:00", "2024-01-02 23:59:60", "2024-01-02 10:61:00",
+      "T10:11:12", "10:11:12", "2024-01-02T10", "2024-01-02 10:11",
+      // special values cast must NOT accept (typed-literal-only in Spark)
+      "now", "today", "yesterday", "tomorrow", "epoch", "NOW", " now ",
+      // overflow years + junk
+      "294247-01-10", "99999-12-31", "+294247-01-10", "1e3", "abc", "",
+      " ", "null", "∞", null)
+    val types: Seq[(String, DataType)] = Seq(
+      "date" -> DateType, "timestamp" -> TimestampType,
+      "timestamp_ntz" -> TimestampNTZType)
+    val tmp = java.nio.file.Files.createTempDirectory("trycast_temporal")
+    val path = tmp.resolve("in.parquet").toString
+    inputs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "s")
+      .write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+    // vacuity guard: the battery plan must keep the scan and show the
+    // rewrite (a LEGACY cast, no TRY cast) in its own physical plan
+    val batteryPlan = df.selectExpr("try_cast(s AS date) AS v")
+      .queryExecution.executedPlan.toString
+    assert(!batteryPlan.toLowerCase.contains("try_cast") &&
+      batteryPlan.toLowerCase.contains("cast"),
+      s"temporal try_cast did not rewrite to a LEGACY cast:\n$batteryPlan")
+    types.foreach { case (sqlType, dt) =>
+      val conv = CatalystTypeConverters.createToScalaConverter(dt)
+      val got = df.selectExpr("i", s"try_cast(s AS $sqlType) AS v")
+        .collect().map(r => r.get(0).asInstanceOf[Int] -> r.get(1)).toMap
+      inputs.zipWithIndex.foreach { case (in, i) =>
+        val lit = Literal(if (in == null) null else UTF8String.fromString(in),
+          StringType)
+        val want = conv(Cast(lit, dt, Some("UTC"), EvalMode.TRY).eval(null))
+        assert((got(i) == null && want == null) ||
+          (got(i) != null && got(i) == want),
+          s"try_cast($in AS $sqlType): rule path ${got(i)} != TRY truth $want")
+      }
+    }
+  }
 }
