@@ -50,33 +50,29 @@ object JaccardFusionRule extends Rule[LogicalPlan] {
   *     which calls the SAME non-throwing wrapper parser the ANSI cast
   *     wraps and returns null directly — identical accept set by
   *     construction, no exception ever constructed.
-  *   - target date/timestamp/timestamp_ntz (r17) → LEGACY eval mode:
-  *     unlike the integral family, Spark's temporal string parsers have
-  *     NO lenient/strict split — LEGACY calls
-  *     `DateTimeUtils.stringToDate/stringToTimestamp[WithoutTimeZone]`
-  *     and returns null on None, while ANSI (which TRY wraps in a
-  *     catch) calls the `...Ansi` variant of the SAME parser and
-  *     throws on None — so the accept sets are identical by
-  *     construction and the rewrite only removes the per-failing-row
-  *     exception tax (the reference's lenient-ingest pattern try_casts
-  *     date fields too). Re-proven value-for-value over a scan-backed
-  *     adversarial battery incl. partial dates, zone suffixes, and
-  *     overflow years (PlanAuditSpec "try_cast temporal"), and the tax
-  *     measured in TryCastTaxSmoke.
+  * Temporal targets (date/timestamp/timestamp_ntz) are deliberately
+  * NOT rewritten (r17, measured refutation): TRY and LEGACY are
+  * value-identical there too (scan-backed adversarial battery incl.
+  * partial dates, zone suffixes, and overflow years — PlanAuditSpec
+  * "try_cast temporal"), but Spark 4.1's temporal TRY cast does NOT
+  * pay the integral family's per-failing-row exception —
+  * TryCastTaxSmoke on 1M failing + 1M parsing rows: date/timestamp
+  * 1.1× (13 ms, noise-level) vs int 16.1× (1.7 µs per failing row)
+  * under the identical A/B — so a rewrite would add rule surface for
+  * no measured benefit. The battery stays as the licensing proof if
+  * a future Spark version regresses the temporal path.
   *
   * Everything else (non-string sources, other targets, ANSI/LEGACY
   * casts) passes through untouched. */
 object TryCastNoThrowRule extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.EvalMode
-  import org.apache.spark.sql.types.{BooleanType, ByteType, DateType,
-    DecimalType, FloatType, LongType, ShortType, TimestampNTZType,
-    TimestampType}
+  import org.apache.spark.sql.types.{BooleanType, ByteType, DecimalType,
+    FloatType, LongType, ShortType}
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case c @ Cast(child, dt, tz, mode)
         if mode == EvalMode.TRY && child.dataType == StringType =>
       dt match {
-        case DoubleType | FloatType | BooleanType | _: DecimalType |
-             DateType | TimestampType | TimestampNTZType =>
+        case DoubleType | FloatType | BooleanType | _: DecimalType =>
           Cast(child, dt, tz, EvalMode.LEGACY)
         case ByteType | ShortType | IntegerType | LongType =>
           graft.functions.TryParseIntegral(child, dt)

@@ -38,9 +38,10 @@ object MiscQueries {
     // P11 extension (r17): try_cast on TEMPORAL targets — the
     // reference's lenient-ingest pattern try_casts date fields too
     // (ref: servicenow_api_extract.py:190-211). Exercises both the
-    // always-parsing and always-failing paths; runs through
-    // TryCastNoThrowRule's LEGACY rewrite (no per-row exception on the
-    // failing rows — the same tax p11 closed for integrals).
+    // always-parsing and always-failing paths. Unlike p11's integrals,
+    // these deliberately run UNREWRITTEN: Spark 4.1's temporal TRY cast
+    // pays no per-failing-row exception (TryCastTaxSmoke: 1.1× A/B vs
+    // int's 16.1×), so TryCastNoThrowRule leaves temporal targets alone.
     "p12_try_cast_date" -> { (s, dir) =>
       Tables.orders(s, dir)
         .select(
