@@ -54,10 +54,10 @@ object NgramWallSmoke {
     val saltDefault =
       if (est.candidatePairs < 100000L) 1
       else math.max(32L, math.min(256L, est.candidatePairs / 25000000L)).toInt
-    def frames(salt: Int) = {
+    def frames(salt: Int, hint: String = "merge") = {
       val (base, _, sh, blocked) = TextDedup.ngramBlockedInternals(
         docs, "doc_id", "text", col("n_chars"), n, bw)
-      (base, sh, TextDedup.blockedCandJoin(blocked, "doc_id", bw, salt))
+      (base, sh, TextDedup.blockedCandJoin(blocked, "doc_id", bw, salt, hint))
     }
     def timed(label: String)(body: => String): Unit = {
       val t0 = System.nanoTime()
@@ -65,9 +65,10 @@ object NgramWallSmoke {
       println(f"[ngramwall] $label%-14s ${(System.nanoTime() - t0) / 1e9}%9.2f s  $out")
     }
     stages.foreach { st =>
-      val (stage, salt) = st.split(":") match {
-        case Array(s)    => (s, saltDefault)
-        case Array(s, k) => (s, k.toInt)
+      val (stage, salt, hint) = st.split(":") match {
+        case Array(s)       => (s, saltDefault, "merge")
+        case Array(s, k)    => (s, k.toInt, "merge")
+        case Array(s, k, h) => (s, k.toInt, h)
       }
       stage match {
         case "est" =>
@@ -83,7 +84,8 @@ object NgramWallSmoke {
             s"sumShingles=${if (r.isNullAt(0)) 0L else r.getLong(0)}"
           }
         case "cand" =>
-          timed(s"cand:$salt")(s"candidates=${frames(salt)._3.count()}")
+          timed(s"cand:$salt:$hint")(
+            s"candidates=${frames(salt, hint)._3.count()}")
         case "hist" =>
           // salt slot doubles as the sample percent for this stage
           val pct = if (st.contains(":")) salt else 1

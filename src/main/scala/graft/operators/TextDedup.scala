@@ -788,7 +788,8 @@ object TextDedup {
     * RuleJoins.saltedJoin. */
   private[graft] def blockedCandJoin(blk: DataFrame, idCol: String,
                                      blockWidth: Int,
-                                     streamSalt: Int = 1): DataFrame = {
+                                     streamSalt: Int = 1,
+                                     streamHint: String = "merge"): DataFrame = {
     val maxDiff = blockWidth / 2
     val (x, y) =
       if (streamSalt <= 1) (blk.alias("__blk_x"), blk.alias("__blk_y"))
@@ -798,11 +799,14 @@ object TextDedup {
         // broadcast (a corpus-sized hash relation whose per-pair probe
         // measured ~2x the SMJ group scan — ×30: 112 s vs ~60 s), and
         // user-origin exchanges are what AQE's byte-based coalesce
-        // leaves alone (the whole point of the salt — see scaladoc)
+        // leaves alone (the whole point of the salt — see scaladoc).
+        // `streamHint` exists for the NgramWallSmoke strategy A/B
+        // (merge vs shuffle_hash on the same salted shape — r17:
+        // measured a wash, see SCALING.md, so merge stays the default).
         blk.withColumn("__salt",
             pmod(xxhash64(col(idCol)), lit(streamSalt.toLong)))
           .repartition(streamSalt, col("__blk"), col("__salt"))
-          .hint("merge")
+          .hint(streamHint)
           .alias("__blk_x"),
         blk.withColumn("__salt",
             explode(sequence(lit(0L), lit(streamSalt.toLong - 1L))))
