@@ -801,8 +801,10 @@ object TextDedup {
         // user-origin exchanges are what AQE's byte-based coalesce
         // leaves alone (the whole point of the salt — see scaladoc).
         // `streamHint` exists for the NgramWallSmoke strategy A/B
-        // (merge vs shuffle_hash on the same salted shape — r17:
-        // measured a wash, see SCALING.md, so merge stays the default).
+        // (merge vs shuffle_hash on the same salted shape — r17 m100
+        // A/B/A: shuffle_hash 62.9 s vs merge 48.2/53.5 s, identical
+        // 3.02e9 candidates; the per-partition hash build + probe costs
+        // more than sorting the skinny salted rows, so merge stays).
         blk.withColumn("__salt",
             pmod(xxhash64(col(idCol)), lit(streamSalt.toLong)))
           .repartition(streamSalt, col("__blk"), col("__salt"))
