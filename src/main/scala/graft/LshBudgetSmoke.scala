@@ -37,8 +37,17 @@ object LshBudgetSmoke {
     if (!done.exists()) {
       val base = graft.core.Tables.documents(spark, src)
         .select(col("doc_id"), col("text"))
+      // per-copy shift MUST clear the source's id space: a ×K twin
+      // board's ids already occupy d + j·1e9 for j < K_src (ScaleSmoke
+      // Offset), so m100 ids reach ~1e11 — a 2e9 shift would collide
+      // copy (i, j) with (i−1, j+2), binding one doc_id to two
+      // different texts (review r17). 1e12 clears any board this drill
+      // points at; the build asserts it.
+      val shift = 1000000000000L
+      val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+      require(maxId < shift, s"source ids reach $maxId >= shift $shift")
       val copies = (0 until k).map(i =>
-        base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 2000000000L)))
+        base.withColumn("doc_id", col("doc_id") + lit(i.toLong * shift)))
       copies.reduce(_ unionAll _).write.mode("overwrite")
         .parquet(s"$out/documents.parquet")
       done.getParentFile.mkdirs(); done.createNewFile()
@@ -51,14 +60,12 @@ object LshBudgetSmoke {
         .cast("long"))).head()
       (if (r.isNullAt(0)) 0L else r.getLong(0)) * 8L
     }
-    // r17 form: post-collapse (distinct texts), + 32 B/row, ×2 broadcasts
-    val newBytes = {
-      val r = docs.groupBy(md5(col("text")))
-        .agg(first(greatest(size(split(col("text"), " ")) - 2, lit(0))
-          .cast("long")).as("__w"))
-        .agg(sum(col("__w")), count(lit(1))).head()
-      2L * ((if (r.isNullAt(0)) 0L else r.getLong(0)) * 8L + r.getLong(1) * 32L)
-    }
+    // r17 form — THE CATALOG'S OWN estimator (shared helper, so the A/B
+    // measures the formula the shipped decision uses; an inline copy
+    // would silently drift). The corpus dir doubles as a documents
+    // table dir for it. (The r16 form above stays inline: it no longer
+    // exists in the catalog — it IS the historical baseline.)
+    val newBytes = graft.queries.DedupQueries.lshBcastBytes(spark, out)
     val oldDecision = rawBytes <= budget
     val newDecision = newBytes <= budget
     println(s"[lshbudget] budget=$budget rawEst=$rawBytes -> bcast=$oldDecision; " +

@@ -50,10 +50,15 @@ object NgramWallSmoke {
     import graft.operators.TextDedup
     // catalog parameters (DedupQueries d_ngram_jaccard)
     val (n, t, bw) = (4, 0.6, 20)
-    val est = TextDedup.estimateNgramStats(docs, "text", col("n_chars"), n, bw)
-    val saltDefault =
-      if (est.candidatePairs < 100000L) 1
-      else math.max(32L, math.min(256L, est.candidatePairs / 25000000L)).toInt
+    // the estimate AND the derived plan come from the catalog's own
+    // memoized derivation (review r17: an inline copy of the
+    // salt/shards/bcast formulas would silently drift from the shipped
+    // plan — the same hazard ngramBlockedInternals closed for the
+    // frames). Lazy: stages that don't need them must not pay — or
+    // time-pollute — the estimate aggregate at startup.
+    lazy val est = graft.queries.DedupQueries.ngramEstStats(spark, dir)
+    lazy val plan = graft.queries.DedupQueries.ngramPlan(spark, dir)
+    lazy val saltDefault = plan._3
     def frames(salt: Int, hint: String = "merge") = {
       val (base, _, sh, blocked) = TextDedup.ngramBlockedInternals(
         docs, "doc_id", "text", col("n_chars"), n, bw)
@@ -73,9 +78,8 @@ object NgramWallSmoke {
       stage match {
         case "est" =>
           timed("est")(s"pairs=${est.candidatePairs} candBytes=${est.candidateBytes} " +
-            s"shingleBytes=${est.shingleBytes} salt=$saltDefault " +
-            s"shards=${TextDedup.ngramScratchShards(est.candidateBytes)} " +
-            s"bcast=${est.shingleBytes <= TextDedup.ngramBroadcastBudgetBytes}")
+            s"shingleBytes=${est.shingleBytes} salt=${plan._3} " +
+            s"shards=${plan._2} bcast=${plan._1}")
         case "collapse" =>
           timed("collapse")(s"reps=${frames(1)._1.count()}")
         case "shingle" =>
@@ -106,12 +110,11 @@ object NgramWallSmoke {
           }
         case "full" =>
           timed(s"full:$salt") {
-            val bcast = est.shingleBytes <= TextDedup.ngramBroadcastBudgetBytes
+            val (bcast, shards, _) = plan
             val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
               lenCol = col("n_chars"), n = n, threshold = t, blockWidth = bw,
-              shards = if (bcast) 1
-                       else TextDedup.ngramScratchShards(est.candidateBytes),
-              streamParallelism = salt, broadcastVerify = Some(bcast))
+              shards = shards, streamParallelism = salt,
+              broadcastVerify = Some(bcast))
             s"pairs=${pairs.count()}"
           }
         case other => println(s"[ngramwall] unknown stage: $other")

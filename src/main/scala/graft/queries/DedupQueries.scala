@@ -36,8 +36,8 @@ object DedupQueries {
     * d_ngram_jaccard call below. */
   private val ngramEstCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), TextDedup.NgramEstimate]()
-  private def ngramEstStats(s: org.apache.spark.sql.SparkSession,
-                            dir: String): TextDedup.NgramEstimate =
+  private[graft] def ngramEstStats(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): TextDedup.NgramEstimate =
     memoEstimate(ngramEstCache, dir) {
       TextDedup.estimateNgramStats(Tables.documents(s, dir),
         "text", col("n_chars"), n = 4, blockWidth = 20)
@@ -64,9 +64,13 @@ object DedupQueries {
     * generation (memoized), shuffling one skinny row per distinct text. */
   private val wordBytesCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
-  private def lshBcast(s: org.apache.spark.sql.SparkSession,
-                       dir: String): Option[Boolean] = {
-    val bytes = memoEstimate(wordBytesCache, dir) {
+  /** The estimate itself, exposed for LshBudgetSmoke so the A/B drill
+    * measures the SAME formula the catalog decides with (review r17:
+    * an inline drill copy would silently drift — the
+    * ngramBlockedInternals lesson). */
+  private[graft] def lshBcastBytes(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): Long =
+    memoEstimate(wordBytesCache, dir) {
       val row = Tables.documents(s, dir)
         // members of one md5 group share the text, hence the word count
         .groupBy(md5(col("text")))
@@ -77,8 +81,9 @@ object DedupQueries {
       val reps = row.getLong(1)
       java.lang.Long.valueOf(2L * (words * 8L + reps * 32L))
     }
-    Some(bytes <= TextDedup.ngramBroadcastBudgetBytes)
-  }
+  private def lshBcast(s: org.apache.spark.sql.SparkSession,
+                       dir: String): Option[Boolean] =
+    Some(lshBcastBytes(s, dir) <= TextDedup.ngramBroadcastBudgetBytes)
 
   /** (shards, streamParallelism) for d_ngram_jaccard. Shards: when the
     * shingle side fits the broadcast budget the verify stages NOTHING
@@ -98,8 +103,8 @@ object DedupQueries {
     * Under 1e5 estimated pairs (sf0.01-class fixtures) stay unsalted —
     * a single stream stage is right there and the plan stays
     * byte-identical to r14's shape. */
-  private def ngramPlan(s: org.apache.spark.sql.SparkSession,
-                        dir: String): (Boolean, Int, Int) = {
+  private[graft] def ngramPlan(s: org.apache.spark.sql.SparkSession,
+                               dir: String): (Boolean, Int, Int) = {
     val est = ngramEstStats(s, dir)
     val bcast = est.shingleBytes <= TextDedup.ngramBroadcastBudgetBytes
     val shards =
