@@ -210,6 +210,23 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
+    // The ROUTED entry point (r17, verdict item 6), exercised on its
+    // prefix branch: banded semantics (same contract as d_ngram_jaccard,
+    // |len diff| <= 10) at t=0.9 — above PrefixRouteThreshold, so the
+    // plan is prefix filtering + the band post-filter, while the oracle
+    // is the same banded brute force as the blocked row at the higher
+    // threshold. (The blocked branch at t<0.8 IS d_ngram_jaccard.) A
+    // green row proves the routing preserves the banded contract
+    // end-to-end, not just on the property corpus.
+    "d_ngram_jaccard_auto" -> { (s, dir) =>
+      val est = ngramEstStats(s, dir)
+      val bcast = est.shingleBytes <= TextDedup.ngramBroadcastBudgetBytes
+      TextDedup.ngramJaccardAuto(Tables.documents(s, dir), "doc_id", "text",
+          lenCol = col("n_chars"), n = 4, threshold = 0.9, blockWidth = 20,
+          broadcastVerify = Some(bcast))
+        .orderBy("a", "b")
+    },
+
     // Near-dup CLUSTERS: the MinHash-LSH pair graph collapsed to
     // connected components — each doc labeled with its cluster's minimum
     // id (the canonical survivor); the actual dedup is then "keep rows
@@ -444,6 +461,33 @@ object DedupQueries {
         |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.85
         |ORDER BY a, b""".stripMargin,
 
+
+    // banded brute force at t=0.9 — the auto route's contract is the
+    // BLOCKED row's semantics (length band) at any threshold, so the
+    // oracle is d_ngram_jaccard's CTE with the threshold swapped
+    "d_ngram_jaccard_auto" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(text) - 3),
+        |                            i -> substr(text, i, 4))) AS s
+        |    FROM documents)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |lens AS (SELECT doc_id, n_chars FROM documents),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b,
+        |  CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN cnt ca ON ca.doc_id = a
+        |JOIN cnt cb ON cb.doc_id = b
+        |JOIN lens la ON la.doc_id = a
+        |JOIN lens lb ON lb.doc_id = b
+        |WHERE abs(la.n_chars - lb.n_chars) <= 10
+        |  AND CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.9
+        |ORDER BY a, b""".stripMargin,
 
     "d_dedup_clusters" ->
       s"""WITH RECURSIVE $wordShingleCte,
