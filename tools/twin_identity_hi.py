@@ -26,8 +26,15 @@ DuckDB-oracled) plus the raw documents table — no engine machinery.
 A PASS proves the engine's x10 answer value-for-value.
 
 Usage: python3 tools/twin_identity_hi.py <sf01VerifyDir> <x10VerifyDir>
-  (each must contain d_ngram_jaccard_hi/ parquet from graft.Verify;
-   the sf0.1 documents table is read from /root/testdata/sf0.1)
+         [query] [docsParquet]
+  (each dir must contain <query>/ parquet from graft.Verify; query
+   defaults to d_ngram_jaccard_hi; the identity argument holds for ANY
+   pair query whose qualification predicate is a pure function of the
+   two texts — r17 uses it for d_ngram_jaccard_auto too: its band
+   |len_a − len_b| <= 10 is also a pure text function, cross-copy
+   pairs inherit the base pair's band verdict and intra-copy pairs
+   have len diff 0. The sf0.1 documents table defaults to
+   /root/testdata/sf0.1.)
 """
 import sys, glob
 import duckdb
@@ -35,10 +42,11 @@ import duckdb
 G = 1000000000  # ScaleSmoke key offset
 
 
-def main(sf01_dir, x10_dir, docs="/root/testdata/sf0.1/documents.parquet"):
+def main(sf01_dir, x10_dir, query="d_ngram_jaccard_hi",
+         docs="/root/testdata/sf0.1/documents.parquet"):
     con = duckdb.connect()
-    sf01 = glob.glob(f"{sf01_dir}/d_ngram_jaccard_hi/*.parquet")
-    x10 = glob.glob(f"{x10_dir}/d_ngram_jaccard_hi/*.parquet")
+    sf01 = glob.glob(f"{sf01_dir}/{query}/*.parquet")
+    x10 = glob.glob(f"{x10_dir}/{query}/*.parquet")
     if not sf01 or not x10:
         print("MISS: verify outputs not found")
         return 1
@@ -65,10 +73,9 @@ def main(sf01_dir, x10_dir, docs="/root/testdata/sf0.1/documents.parquet"):
         EXCEPT SELECT a, b, round(jaccard, 9) j FROM pred)""").fetchone()[0]
     ok = n_pred == n_got and d1 == 0 and d2 == 0
     print(f"predicted={n_pred} engine={n_got} pred-not-got={d1} got-not-pred={d2}")
-    print("PASS d_ngram_jaccard_hi (exact-twin identity)" if ok else "FAIL")
+    print(f"PASS {query} (exact-twin identity)" if ok else f"FAIL {query}")
     return 0 if ok else 1
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2],
-                  *( [sys.argv[3]] if len(sys.argv) > 3 else [] )))
+    sys.exit(main(sys.argv[1], sys.argv[2], *sys.argv[3:5]))
