@@ -31,6 +31,14 @@ import org.apache.spark.sql.functions._
   *                  early-exit merge pays off on low-Jaccard candidate
   *                  mass, a pre-merge bound sketch on mid-Jaccard mass
   *
+  * Same decomposition for the simhash family (r17, the ladder's #2
+  * after the ngram cut) via `sim_base` (widened scan + word shingles +
+  * collapse + signature/hashed-shingle materialization), `sim_cand`
+  * (+ banded self-join, hamming filter, distinct — rides the
+  * materialized base within one JVM, so its wall minus sim_base's is
+  * the candidate stage), `sim_hist[:PCT]` (candidate jaccard deciles),
+  * and `sim_full` (the catalog row)
+  *
   * Stage wall differences attribute the row's cost: kernel+probes ≈
   * full − cand; emission ≈ cand − shingle. Single timed run per stage
   * (the multi-minute ×100 rows drown the ~5-9 s cold-JIT tax; cheap
@@ -107,6 +115,38 @@ object NgramWallSmoke {
               avg(col("j")).as("mean")).head()
             s"n=${q.getLong(0)} mean=${"%.3f".format(q.getDouble(2))} " +
               s"deciles=${q.getSeq[Double](1).map(d => "%.3f".format(d)).mkString(",")}"
+          }
+        case "sim_base" | "sim_cand" | "sim_hist" | "sim_full" =>
+          // catalog parameters (DedupQueries d_simhash)
+          lazy val sim = TextDedup.simhashInternals(docs, "doc_id", "text",
+            shingleN = 3, maxHamming = 15, numBands = 16, minShingles = 32)
+          stage match {
+            case "sim_base" =>
+              timed("sim_base")(s"reps=${sim._1.count()}")
+            case "sim_cand" =>
+              timed("sim_cand")(s"candidates=${sim._4.count()}")
+            case "sim_hist" =>
+              val pct = if (st.contains(":")) salt else 1
+              timed(s"sim_hist:$pct%") {
+                val sh = sim._3
+                val sample = sim._4.filter(
+                  pmod(xxhash64(col("a"), col("b")), lit(100L)) < pct)
+                val sa = broadcast(sh.select(col("doc_id").as("a"), col("__sh").as("__sha")))
+                val sb = broadcast(sh.select(col("doc_id").as("b"), col("__sh").as("__shb")))
+                val q = sample.join(sa, "a").join(sb, "b")
+                  .select(TextDedup.jaccardSorted(col("__sha"), col("__shb")).as("j"))
+                  .agg(count(lit(1)).as("n"),
+                    expr("approx_percentile(j, array(0.1,0.25,0.5,0.75,0.9,0.95,0.99), 1000)").as("q"),
+                    avg(col("j")).as("mean")).head()
+                s"n=${q.getLong(0)} mean=${"%.3f".format(q.getDouble(2))} " +
+                  s"deciles=${q.getSeq[Double](1).map(d => "%.3f".format(d)).mkString(",")}"
+              }
+            case "sim_full" =>
+              timed("sim_full") {
+                val pairs = graft.queries.DedupQueries
+                  .queries("d_simhash")(spark, dir)
+                s"pairs=${pairs.count()}"
+              }
           }
         case "full" =>
           timed(s"full:$salt") {

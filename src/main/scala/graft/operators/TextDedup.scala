@@ -559,6 +559,23 @@ object TextDedup {
     // Jaccard 0.53 lands at Hamming 16). Docs under minShingles are OUT
     // OF DOMAIN for simhash — route them through minhashLshPairs, whose
     // recall does not depend on signature concentration.
+    val (_, expand, shHashed, cand) = simhashInternals(docs, idCol,
+      textCol, shingleN, maxHamming, numBands, minShingles)
+    expand(verifyJaccard(cand, shHashed, idCol, threshold,
+      jaccardSortedAtLeast(threshold),
+      broadcastShingles = broadcastVerify.getOrElse(false)))
+  }
+
+  /** The simhash path's internal stage frames — (materialized rep base,
+    * expand, hashed-shingle projection, distinct candidate pairs) —
+    * shared by [[simhashPairs]] and the stage-decomposition drill
+    * (NgramWallSmoke `sim_*` stages): one definition, so the drill
+    * times the EXACT frames the shipped plan builds. Not a dedup API —
+    * callers want [[simhashPairs]]. */
+  private[graft] def simhashInternals(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, maxHamming: Int, numBands: Int,
+      minShingles: Int)
+      : (DataFrame, DataFrame => DataFrame, DataFrame, DataFrame) = {
     val width = 64 / numBands
     val mask = (1L << width) - 1
     // widened — the one measured win (see [[widened]]): the rep-level
@@ -613,9 +630,7 @@ object TextDedup {
       .repartition(col("a"), col("b"))
       .distinct()
     val shHashed = base.select(col(idCol), col("__shh").as("__sh"))
-    expand(verifyJaccard(cand, shHashed, idCol, threshold,
-      jaccardSortedAtLeast(threshold),
-      broadcastShingles = broadcastVerify.getOrElse(false)))
+    (base, expand, shHashed, cand)
   }
 
   /** Blocked exact n-gram Jaccard dedup: docs are bucketed by
