@@ -116,13 +116,19 @@ object NgramWallSmoke {
             s"n=${q.getLong(0)} mean=${"%.3f".format(q.getDouble(2))} " +
               s"deciles=${q.getSeq[Double](1).map(d => "%.3f".format(d)).mkString(",")}"
           }
-        case "sim_base" | "sim_cand" | "sim_hist" | "sim_full" =>
+        case "sim_base" | "sim_sigs" | "sim_cand" | "sim_hist" | "sim_full" =>
           // catalog parameters (DedupQueries d_simhash)
           lazy val sim = TextDedup.simhashInternals(docs, "doc_id", "text",
             shingleN = 3, maxHamming = 15, numBands = 16, minShingles = 32)
           stage match {
             case "sim_base" =>
               timed("sim_base")(s"reps=${sim._1.count()}")
+            case "sim_sigs" =>
+              // would collapsing identical signatures cut the banded
+              // join's within-bucket combos? Only if sig-groups are big
+              timed("sim_sigs")(
+                s"reps=${sim._1.count()} distinctSigs=${
+                  sim._1.select(col("__sim")).distinct().count()}")
             case "sim_cand" =>
               timed("sim_cand")(s"candidates=${sim._4.count()}")
             case "sim_hist" =>
