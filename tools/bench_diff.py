@@ -65,7 +65,12 @@ def load(spec):
         # artifact-carried normalized total (r17): the board's total at
         # its PRIOR record's host speed, total * calib_ref/calib_pre
         "total_norm": parsed.get("value_calib_norm"),
+        # floor-normalized total (r17): the board at its prior record's
+        # per-job harness floor — catches IO/scheduler degradation the
+        # single-threaded calib probe cannot see
+        "total_floor_norm": parsed.get("value_floor_norm"),
         "calib_ref": env.get("calib_ref_sec"),
+        "floor_ref": env.get("floor_ref_sec"),
         "queries": queries,
         "n_queries": n_queries,
         "truncated": truncated,
@@ -139,11 +144,25 @@ def main():
         print(f"totals at OLD board's host speed: {old['total']} -> "
               f"{new['total'] * oc / nc:.2f} s  "
               f"(new total x old_calib/new_calib = {oc}/{nc})")
+    # Floor-normalized view (r17): per-job ceremony degradation (IO,
+    # scheduler) that calib cannot see; each reported row pays the floor
+    # once, so the cross-artifact view is new_total − n·(floor_new −
+    # floor_old). First-order, under-corrects on a degraded host.
+    of, nf = old["floor"], new["floor"]
+    if of is not None and nf is not None and new["n_queries"]:
+        adj = new["total"] - new["n_queries"] * (nf - of)
+        print(f"totals at OLD board's harness floor: {old['total']} -> "
+              f"{adj:.2f} s  (new total - n*(floor_new-floor_old) = "
+              f"{nf}-{of} over {new['n_queries']} rows)")
     for side, art in (("old", old), ("new", new)):
         if art["total_norm"] is not None:
             print(f"{side} artifact's own calib-normalized total: "
                   f"{art['total_norm']} s (vs its prior record's calib "
                   f"{art['calib_ref']})")
+        if art["total_floor_norm"] is not None:
+            print(f"{side} artifact's own floor-normalized total: "
+                  f"{art['total_floor_norm']} s (vs its prior record's "
+                  f"floor {art['floor_ref']})")
     for side, art in (("old", old), ("new", new)):
         if art["truncated"]:
             print(f"WARNING: {side} artifact is a truncated stdout tail "
