@@ -130,6 +130,51 @@ case class ArrayJaccardSortedBounded(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** 512-bit parity (odd) sketch of a sorted distinct hashed-shingle
+  * array ([[NativeEval.paritySketch]]) — built once per doc on the
+  * verify side so candidate pairs can be bound-checked in ~10 ns
+  * before the merge kernel runs. Never null-on-null beyond the usual
+  * unary propagation; an empty array yields the all-zero sketch. */
+case class ParitySketch(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.GraftSql.AbstractDataType] =
+    Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_parity_sketch"
+
+  override protected def nullSafeEval(v: Any): Any =
+    NativeEval.paritySketch(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.NativeEval.paritySketch($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): ParitySketch =
+    copy(child = newChild)
+}
+
+/** popcount(a XOR b) of two [[ParitySketch]] signatures — the h of the
+  * deterministic Jaccard upper bound J ≤ (S−h)/(S+h) (soundness at
+  * [[NativeEval.paritySketch]]). */
+case class XorPopcount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.GraftSql.AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_xor_popcount"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    NativeEval.xorPopcount(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.NativeEval.xorPopcount($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): XorPopcount =
+    copy(left = newLeft, right = newRight)
+}
+
 case class ArrayJaccard(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.graft.GraftSql.AbstractDataType] =

@@ -101,6 +101,38 @@ object TextDedup {
     GraftSql.column(graft.functions.ArrayJaccardSortedBounded(
       GraftSql.expression(a), GraftSql.expression(b), t))
 
+  /** 512-bit parity (odd) sketch of a hashed-shingle array — built once
+    * per doc on the verify side; see [[paritySketchPasses]]. */
+  def paritySketchOf(arr: Column): Column =
+    GraftSql.column(graft.functions.ParitySketch(GraftSql.expression(arr)))
+
+  /** The parity-sketch qualification test (r17, the verify pre-filter):
+    * h = popcount(sigA XOR sigB) is a deterministic lower bound on
+    * |A∆B| ([[graft.functions.NativeEval.paritySketch]] proves it), so
+    * J ≤ (S−h)/(S+h) with S = |A|+|B| — a pair can only reach the
+    * threshold if (S−h) ≥ t·(S+h). Evaluated in ~10 ns per pair from
+    * columns already on the probed verify rows, BEFORE the
+    * O(|A|+|B|)-step merge kernel: on candidate-heavy low-precision
+    * shapes (the m100 blocked-ngram board: 3.02e9 candidates at mean
+    * J 0.282 against t=0.6) it prunes ~99% of candidates for ~1% of
+    * the kernel's cost. The same relative (1−1e-12) slack as the
+    * positional filter — rounding only ever ADMITS a borderline pair,
+    * and the exact kernel still decides every kept pair, so the filter
+    * is plan-only: kept rows and their jaccard values are identical. */
+  def paritySketchPasses(t: Double)(sigA: Column, sigB: Column,
+                                    nA: Column, nB: Column): Column = {
+    // (S−h) ≥ t'·(S+h)  ⟺  h ≤ S·(1−t')/(1+t') with t' = t·(1−1e-12):
+    // the single-h form evaluates the popcount once in the join
+    // condition (the And form appeared twice in codegen). The slack
+    // lowers t', which RAISES the admit line (1−t')/(1+t') — rounding
+    // only ever admits a borderline pair, same discipline as the
+    // positional filter.
+    val tp = t * (1 - 1e-12)
+    val h = GraftSql.column(graft.functions.XorPopcount(
+      GraftSql.expression(sigA), GraftSql.expression(sigB))).cast("double")
+    h <= (nA + nB).cast("double") * lit((1 - tp) / (1 + tp))
+  }
+
   /** An `array<string>` hashed element-wise to a sorted `array<long>`
     * ([[graft.functions.ArrayHashesSorted]]) — compact verify-side form
     * when the string shingles are also consumed elsewhere in the plan. */
@@ -686,11 +718,13 @@ object TextDedup {
     // pass it (the catalog memoizes estimateNgramStats — zero extra
     // jobs per call); otherwise decide here from the POST-collapse
     // corpus (what the verify actually probes): ~8 bytes per shingle
-    // hash, ≤ one hash per char, one tiny aggregate on the
-    // (materialized) rep frame.
+    // hash, ≤ one hash per char, plus 80 bytes per rep for the parity
+    // sketch (r17: 64-byte signature + array header) — one tiny
+    // aggregate on the (materialized) rep frame.
     val bcastVerify = broadcastVerify.getOrElse {
-      val row = base.agg(sum(col("__len"))).head()
-      val estShBytes = (if (row.isNullAt(0)) 0L else row.getLong(0)) * 8L
+      val row = base.agg(sum(col("__len")), count(lit(1))).head()
+      val estShBytes = (if (row.isNullAt(0)) 0L else row.getLong(0)) * 8L +
+        row.getLong(1) * 80L
       estShBytes <= ngramBroadcastBudgetBytes
     }
     // NO distinct() on the candidates: the larger-own-block rule emits
@@ -889,8 +923,9 @@ object TextDedup {
   /** Plan-sizing estimates for the blocked ngram join, from one bounded
     * aggregate (one output row per length block):
     *   - `candidateBytes` drives the fallback shard count;
-    *   - `shingleBytes` (8 bytes × total chars — an upper bound on the
-    *     hashed-shingle arrays, PRE-collapse so it only overestimates)
+    *   - `shingleBytes` (8 bytes × total chars + 80 bytes × docs for
+    *     the r17 parity sketches — an upper bound on the hashed-shingle
+    *     verify rows, PRE-collapse so it only overestimates)
     *     predicts whether the verify will run as broadcast probes, in
     *     which case candidates never stage and sharding is pure
     *     overhead;
@@ -914,7 +949,7 @@ object TextDedup {
       val pairs = p.toDouble * (p - 1) / 2 * 0.75 + p.toDouble * prev / 4
       (pairs * 16.0 * ml, pairs)
     }.foldLeft((0.0, 0.0)) { case ((cb, pp), (c, p)) => (cb + c, pp + p) }
-    val shingle = pop.valuesIterator.map { case (p, ml) => p * ml * 8.0 }
+    val shingle = pop.valuesIterator.map { case (p, ml) => p * (ml * 8.0 + 80.0) }
       .sum.toLong
     NgramEstimate(cand.toLong, shingle, pairsTot.toLong)
   }
@@ -1192,13 +1227,40 @@ object TextDedup {
                             broadcastShingles: Boolean = false): DataFrame = {
     val hint: DataFrame => DataFrame =
       if (broadcastShingles) broadcast(_) else identity
-    val sa = hint(shingled.select(col(idCol).as("a"), col("__sh").as("__sha")))
-    val sb = hint(shingled.select(col(idCol).as("b"), col("__sh").as("__shb")))
-    cand.join(sa, "a").join(sb, "b")
+    // hashed (array<long>) shingles additionally carry the 64-byte
+    // parity sketch (r17): the bound check below skips the merge kernel
+    // on provably-under-threshold pairs. String-shingle callers skip it
+    // (the sketch is defined over the hashed form; all catalog verify
+    // paths are hashed). SPARK_GRAFT_PARITY_FILTER=0 disables it — the
+    // per-JVM A/B hook (the LshBudgetSmoke protocol: one variant per
+    // JVM, alternated) and the operational escape hatch.
+    val hashed = sys.env.get("SPARK_GRAFT_PARITY_FILTER").forall(_ != "0") &&
+      shingled.schema.fields.exists(f =>
+        f.name == "__sh" && (f.dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, _) => true
+          case _ => false
+        }))
+    def side(as: String, sh: String, sg: String) = {
+      val base = shingled.select(col(idCol).as(as), col("__sh").as(sh))
+      hint(if (hashed) base.withColumn(sg, paritySketchOf(col(sh))) else base)
+    }
+    val sa = side("a", "__sha", "__pka")
+    val sb = side("b", "__shb", "__pkb")
+    val joined = cand.join(sa, "a").join(sb, "b")
       // Jaccard ≥ t implies min(|a|,|b|)/max(|a|,|b|) ≥ t — prune with a
       // scalar compare before paying for the set probe
       .filter(least(size(col("__sha")), size(col("__shb"))) >=
         lit(threshold) * greatest(size(col("__sha")), size(col("__shb"))))
+    val bounded =
+      if (hashed)
+        // parity bound next — still before the kernel (see
+        // paritySketchPasses; conjunct order is preserved through
+        // CombineFilters and codegen short-circuits left-to-right)
+        joined.filter(paritySketchPasses(threshold)(
+          col("__pka"), col("__pkb"), size(col("__sha")), size(col("__shb"))))
+      else joined
+    bounded
       .withColumn("jaccard", jac(col("__sha"), col("__shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))

@@ -48,7 +48,8 @@ object DedupQueries {
     * (r16: the ngram verify-budget discipline applied family-wide).
     *
     * r17 (verdict item 4 + ADVICE): the estimate is now
-    *   2 × (8 bytes per word 3-gram + 32 bytes per doc), POST-collapse —
+    *   2 × (8 bytes per word 3-gram + 112 bytes per doc), POST-collapse —
+    * (per-doc = 32 id+header + 80 parity sketch, r17 verify filter) —
     * computed over DISTINCT texts (md5-grouped, the exact-dup collapse
     * key those operators apply before their verifies), with a per-row
     * constant for id + array header and doubled because verifyJaccard
@@ -79,7 +80,8 @@ object DedupQueries {
         .agg(sum(col("__w")), count(lit(1))).head()
       val words = if (row.isNullAt(0)) 0L else row.getLong(0)
       val reps = row.getLong(1)
-      java.lang.Long.valueOf(2L * (words * 8L + reps * 32L))
+      // 32 B/doc id+header, +80 B/doc parity sketch (r17 verify filter)
+      java.lang.Long.valueOf(2L * (words * 8L + reps * 112L))
     }
   private def lshBcast(s: org.apache.spark.sql.SparkSession,
                        dir: String): Option[Boolean] =

@@ -598,6 +598,57 @@ class DedupPropertySpec extends SparkSpec {
     assert(NativeEval.arrayJaccardSortedLongBounded(arr(a6), arr(a6), 1.0) == 1.0)
   }
 
+  test("parity sketch: h <= |A∆B|, and the verify pre-filter never prunes a qualifying pair") {
+    // r17 verify pre-filter: h = popcount(sigA^sigB) must lower-bound
+    // the symmetric difference (parity: shared elements cancel, each ∆
+    // element flips one bucket, collisions only cancel), so the bound
+    // J <= (S−h)/(S+h) can never reject a pair whose exact jaccard is
+    // >= t. Randomized + exactly-at-threshold fixtures + a live-prune
+    // fixture (the filter must actually fire on a hopeless pair).
+    import graft.functions.NativeEval
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Array[Long]) = new GenericArrayData(xs)
+    def passes(a: Array[Long], b: Array[Long], t: Double): Boolean = {
+      // the production predicate's arithmetic (TextDedup.paritySketchPasses):
+      // h ≤ S·(1−t')/(1+t'), t' = t·(1−1e-12)
+      val h = NativeEval.xorPopcount(
+        NativeEval.paritySketch(arr(a)), NativeEval.paritySketch(arr(b)))
+      val s = (a.length + b.length).toDouble
+      val tp = t * (1 - 1e-12)
+      h.toDouble <= s * ((1 - tp) / (1 + tp))
+    }
+    val rnd = new scala.util.Random(13)
+    val thresholds = Seq(0.3, 0.5, 0.6, 0.85, 1.0)
+    (0 until 5000).foreach { k =>
+      def gen() = Array.fill(1 + rnd.nextInt(60))(rnd.nextInt(120).toLong)
+        .distinct.sorted
+      val (a, b) = (gen(), gen())
+      val t = thresholds(k % thresholds.size)
+      val h = NativeEval.xorPopcount(
+        NativeEval.paritySketch(arr(a)), NativeEval.paritySketch(arr(b)))
+      val delta = ((a.toSet diff b.toSet) ++ (b.toSet diff a.toSet)).size
+      assert(h <= delta, s"parity bound broken: h=$h > |∆|=$delta")
+      val exact = NativeEval.arrayJaccardSortedLong(arr(a), arr(b))
+      if (exact >= t)
+        assert(passes(a, b, t), s"false prune: j=$exact t=$t h=$h")
+    }
+    // exactly-at-threshold pairs must pass the filter (the kernel then
+    // computes their exact value): J == t bit-for-bit fixtures from the
+    // bounded-kernel test
+    val a6 = Array(1L, 2L, 3L, 10L); val b6 = Array(1L, 2L, 3L, 20L)
+    assert(passes(a6, b6, 0.6), "at-threshold pair pruned (t=0.6)")
+    val a5 = Array(1L, 2L, 10L); val b5 = Array(1L, 2L, 20L)
+    assert(passes(a5, b5, 0.5), "at-threshold pair pruned (t=0.5)")
+    assert(passes(a6, a6, 1.0), "identical pair pruned (t=1.0)")
+    // ... and the filter is LIVE: two disjoint 40-element docs at t=0.6
+    // (deterministic inputs — the parity popcount is a fixed value far
+    // over the prune line, so this asserts the filter actually fires)
+    val da = Array.tabulate(40)(i => i * 7919L + 1)
+    val db = Array.tabulate(40)(i => i * 7919L + 1000000L)
+    assert(!passes(da.sorted, db.sorted, 0.6),
+      "filter failed to prune disjoint docs — sketch is dead weight")
+  }
+
   test("ngramJaccardAuto: both routed branches == brute-force banded jaccard") {
     // r16 verdict item 6: the measured blocked-vs-prefix routing rule as
     // an entry point. The contract is the BANDED semantics at every
