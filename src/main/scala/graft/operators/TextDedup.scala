@@ -1241,29 +1241,72 @@ object TextDedup {
             org.apache.spark.sql.types.LongType, _) => true
           case _ => false
         }))
-    def side(as: String, sh: String, sg: String) = {
-      val base = shingled.select(col(idCol).as(as), col("__sh").as(sh))
-      hint(if (hashed) base.withColumn(sg, paritySketchOf(col(sh))) else base)
+    // TWO-TIER probe (r17, after the parity filter landed): on a
+    // candidate-heavy low-precision stream (m100 blocked ngram: 3.02e9
+    // candidates, 99.15% fail t=0.6) the per-candidate cost is random
+    // memory LATENCY, not arithmetic — each probe walks a bucket of a
+    // multi-hundred-MB hash relation just to read the 64-byte sketch
+    // the parity filter needs, and BOTH array-bearing probes complete
+    // before any filter can fire. Splitting the verify side into a
+    // SKINNY relation (id, |A|, sketch — ~100 B/doc, LLC-resident at
+    // m100 scale: ~35 MB vs ~620 MB) probed by ALL candidates and a FAT
+    // relation (id, shingle array) probed only by size+parity SURVIVORS
+    // moves ~all probe traffic of the 99% into the cache-resident tier.
+    // Same inner-join keys, same filter predicates, same kernel on the
+    // same surviving pairs: the kept (a, b, jaccard) set is identical —
+    // DedupPropertySpec's brute-force pipeline equalities run through
+    // this shape, and PlanAuditSpec asserts the 4-probe plan. Everything
+    // still fuses into ONE codegen stage (BHJ chains + filters), so
+    // candidates stage nothing, exactly as before.
+    // SPARK_GRAFT_TIERED_VERIFY=0 restores the one-tier shape — the
+    // per-JVM A/B hook and operational escape hatch.
+    val tiered = hashed && broadcastShingles &&
+      sys.env.get("SPARK_GRAFT_TIERED_VERIFY").forall(_ != "0")
+    if (tiered) {
+      val skinny = shingled.select(col(idCol), size(col("__sh")).as("__n"),
+        paritySketchOf(col("__sh")).as("__pk"))
+      def sk(as: String, n: String, sg: String) = broadcast(skinny.select(
+        col(idCol).as(as), col("__n").as(n), col("__pk").as(sg)))
+      val pruned = cand.join(sk("a", "__na", "__pka"), "a")
+        .join(sk("b", "__nb", "__pkb"), "b")
+        // Jaccard ≥ t implies min(|a|,|b|)/max(|a|,|b|) ≥ t — the scalar
+        // compare runs on the precomputed sizes (no array access at all)
+        .filter(least(col("__na"), col("__nb")) >=
+          lit(threshold) * greatest(col("__na"), col("__nb")))
+        .filter(paritySketchPasses(threshold)(
+          col("__pka"), col("__pkb"), col("__na"), col("__nb")))
+        .select(col("a"), col("b"))
+      def ft(as: String, sh: String) = broadcast(
+        shingled.select(col(idCol).as(as), col("__sh").as(sh)))
+      pruned.join(ft("a", "__sha"), "a").join(ft("b", "__shb"), "b")
+        .withColumn("jaccard", jac(col("__sha"), col("__shb")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("a"), col("b"), col("jaccard"))
+    } else {
+      def side(as: String, sh: String, sg: String) = {
+        val base = shingled.select(col(idCol).as(as), col("__sh").as(sh))
+        hint(if (hashed) base.withColumn(sg, paritySketchOf(col(sh))) else base)
+      }
+      val sa = side("a", "__sha", "__pka")
+      val sb = side("b", "__shb", "__pkb")
+      val joined = cand.join(sa, "a").join(sb, "b")
+        // Jaccard ≥ t implies min(|a|,|b|)/max(|a|,|b|) ≥ t — prune with a
+        // scalar compare before paying for the set probe
+        .filter(least(size(col("__sha")), size(col("__shb"))) >=
+          lit(threshold) * greatest(size(col("__sha")), size(col("__shb"))))
+      val bounded =
+        if (hashed)
+          // parity bound next — still before the kernel (see
+          // paritySketchPasses; conjunct order is preserved through
+          // CombineFilters and codegen short-circuits left-to-right)
+          joined.filter(paritySketchPasses(threshold)(
+            col("__pka"), col("__pkb"), size(col("__sha")), size(col("__shb"))))
+        else joined
+      bounded
+        .withColumn("jaccard", jac(col("__sha"), col("__shb")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("a"), col("b"), col("jaccard"))
     }
-    val sa = side("a", "__sha", "__pka")
-    val sb = side("b", "__shb", "__pkb")
-    val joined = cand.join(sa, "a").join(sb, "b")
-      // Jaccard ≥ t implies min(|a|,|b|)/max(|a|,|b|) ≥ t — prune with a
-      // scalar compare before paying for the set probe
-      .filter(least(size(col("__sha")), size(col("__shb"))) >=
-        lit(threshold) * greatest(size(col("__sha")), size(col("__shb"))))
-    val bounded =
-      if (hashed)
-        // parity bound next — still before the kernel (see
-        // paritySketchPasses; conjunct order is preserved through
-        // CombineFilters and codegen short-circuits left-to-right)
-        joined.filter(paritySketchPasses(threshold)(
-          col("__pka"), col("__pkb"), size(col("__sha")), size(col("__shb"))))
-      else joined
-    bounded
-      .withColumn("jaccard", jac(col("__sha"), col("__shb")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** Broadcast budget for the verify's shingle side: an explicit

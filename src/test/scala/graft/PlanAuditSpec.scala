@@ -31,6 +31,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("tiered verify: parity prune probes the skinny sketch relation, arrays join survivors only") {
+    // r17 two-tier broadcast verify (TextDedup.verifyJaccard): ALL
+    // candidates probe a skinny (id, |A|, sketch) relation and the
+    // size+parity filters run on those precomputed columns; only
+    // survivors probe the fat array relation for the exact kernel. The
+    // plan must show ≥4 broadcast hash probes (2 skinny + 2 fat), the
+    // parity filter over the skinny columns (__na/__pka — NOT
+    // size(__sha), the one-tier form), and the bounded kernel on the
+    // fat columns. A regression that collapses the tiers puts every
+    // candidate's probe back into the multi-hundred-MB array relation
+    // (the m100 ngram verify wall).
+    val p = plan("d_minhash_lsh")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "two-tier verify should probe skinny sketch + fat array relations")
+    assert(p.contains("graft_parity_sketch"), "skinny sketch projection missing")
+    assert(p.contains("graft_xor_popcount"), "parity pre-filter missing")
+    assert(p.contains("__na"), "size/parity filters should read the " +
+      "precomputed skinny columns, not size(__sha)")
+    assert(p.contains("graft_array_jaccard_sorted_bounded"),
+      "bounded kernel missing from the survivor verify")
+  }
+
   test("s_cosine_topk: query side broadcast, corpus not shuffled by a join") {
     val p = plan("s_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin"),
